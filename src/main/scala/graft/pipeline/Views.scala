@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ChFunctions._
+import graft.model.Schemas
+
+/** The materialized-view cascade of the reference
+  * (`clickhouse-config/init/init.sql:49-121`), as pure
+  * `DataFrame => DataFrame` functions. Each is usable both in batch and
+  * under Structured Streaming (stateless projections — exactly the
+  * incremental per-insert-block semantics of ClickHouse MVs).
+  */
+object Views {
+
+  /** Q2+Q3: the two per-stream pass-through MVs (`init.sql:49-58`,
+    * `:62-71`) share one `TO nats_data_all_streams` target — an implicit
+    * UNION ALL of the streams. */
+  def allStreams(streams: Seq[DataFrame]): DataFrame =
+    streams.reduce(_ unionByName _)
+
+  /** Q4–Q8: the analytics MV (`init.sql:100-121`) — 5 pass-through columns
+    * plus 4 JSON extractions and 8 subject segments. One narrow projection;
+    * never a shuffle.
+    *
+    * Note `sequence` is dropped: the analytics table (`init.sql:74-96`)
+    * does not carry it. */
+  def deriveAnalytics(raw: DataFrame): DataFrame = {
+    val segNames = Seq(
+      "client_code", "project_code", "user_id", "session_id",
+      "message_from", "message_to", "message_type", "message_context")
+    raw.select(
+      Seq(
+        col("timestamp"), col("subject"), col("chat_id"),
+        col("metadata"), col("data"),
+        jsonString(col("data"), "text").as("message_text"),
+        jsonString(col("data"), "meta").as("message_meta"),
+        jsonString(col("data"), "id").as("message_id"),
+        jsonEpochTimestamp(col("data"), "timestamp").as("message_timestamp")
+      ) ++ segNames.zipWithIndex.map { case (name, i) =>
+        subjectSegment(col("subject"), i + 1).as(name)
+      }: _*
+    )
+  }
+
+  require(Schemas.analyticsDerived.size == 12)
+
+  /** Q1 physical layout: month partition column for
+    * `PARTITION BY toYYYYMM(timestamp)` (`init.sql:18,31,45,95`). At scale
+    * this is the partition-pruning axis: a reader filtering on a time range
+    * scans only the touched months. */
+  def withMonth(df: DataFrame): DataFrame =
+    df.withColumn("month", toYYYYMM(col("timestamp")))
+
+  /** Write a table the way the reference lays it out: month-partitioned,
+    * clustered by the MergeTree ORDER BY keys (`init.sql:19,32,46,96`) via
+    * sortWithinPartitions → parquet min/max page stats give readers the
+    * same range-skipping the sparse primary index provides. */
+  def writePartitioned(df: DataFrame, path: String, sortKeys: Seq[String]): Unit =
+    withMonth(df)
+      .repartition(col("month"))
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy("month")
+      .parquet(path)
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ChFunctions._
+
+/** The batch query battery the north star demands beyond reference parity
+  * (SURVEY.md §2.6 / §7.2 step 4): joins, aggregations, windows, top-k,
+  * set ops, event-time buckets, sessionization — each designed for the
+  * plan Spark should pick at 100 TB:
+  *
+  *  - dimension joins are `broadcast()` (no shuffle of the fact table);
+  *  - fact-fact joins shuffle on the join key once and reuse it;
+  *  - aggregations are partial (map-side combine) by construction;
+  *  - filters/projections sit directly on the parquet scan (pushdown);
+  *  - every double aggregate uses exact-decimal accumulation
+  *    ([[ChFunctions.dsum]]) so results are partitioning-independent.
+  */
+object Relational {
+
+  /** Q1-style pricing summary: single scan, partial agg, 4-group output.
+    * At 100 TB this is scan-bound; no shuffle beyond the 4-key exchange. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q6-style selective filter + global agg. The three predicates push down
+    * to the parquet scan (`PushedFilters`), and only 3 of 11 columns are
+    * read (`ReadSchema`) — the 100 TB plan reads a fraction of the data. */
+  def filterAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Q3-style shipping-priority top-k: broadcast the filtered customer dim,
+    * shuffle lineitem⋈orders on orderkey once, top-10 via TakeOrdered
+    * (no global sort of the aggregate output). */
+  def joinTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Fact⋈dimension with an explicit broadcast: part (2k–2M rows) never
+    * justifies shuffling a 100 TB lineitem. */
+  def broadcastJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice", "l_quantity")
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_quantity")).as("avg_qty"))
+      .orderBy("p_brand")
+  }
+
+  /** Q5-style six-table star join: all dimensions broadcast, the single
+    * shuffle is lineitem⋈orders on orderkey + the final 25-key agg. */
+  def multiJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark
+    val reg = Tables.region(s, sfDir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, sfDir)
+    val cust = Tables.customer(s, sfDir)
+    val sup = Tables.supplier(s, sfDir)
+    val ord = Tables.orders(s, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val li = Tables.lineitem(s, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** EXISTS as a left-semi join (never materializes the probe side twice). */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 49).select("l_orderkey")
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** NOT EXISTS as a left-anti join: customers with no orders in 1996. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(col("c_acctbal")).as("sum_acctbal"),
+           min(col("c_custkey")).as("min_custkey"))
+      .orderBy("c_mktsegment")
+
+  /** Ranking window: top-3 orders per customer. The partition key is the
+    * shuffle key; within-partition sort is local. Tie-broken on orderkey
+    * so results are total-ordered. */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-total window over an explicit ROWS frame (RANGE would be
+    * tie-sensitive); order key is made unique so the running sum is
+    * deterministic. */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") < 10)
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity")
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(25,6)")).over(w).cast("double"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** Exact distinct aggregation (expands to a two-phase agg in Spark). */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+
+  /** ROLLUP over two keys — grouping-set aggregation, labeled 'ALL' at the
+    * rolled-up levels to keep the output NULL-free (data has no NULLs). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** INTERSECT / EXCEPT on the key domain of two month slices, tagged and
+    * unioned so one result covers both set operators. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    def monthKeys(m: String, next: String) = ord
+      .filter(col("o_orderdate") >= to_timestamp(lit(m)) &&
+              col("o_orderdate") < to_timestamp(lit(next)))
+      .select("o_custkey")
+    val jan = monthKeys("1996-01-01", "1996-02-01")
+    val feb = monthKeys("1996-02-01", "1996-03-01")
+    jan.intersect(feb).select(lit("both").as("tag"), col("o_custkey"))
+      .unionByName(jan.except(feb)
+        .select(lit("jan_only").as("tag"), col("o_custkey")))
+      .unionByName(feb.except(jan)
+        .select(lit("feb_only").as("tag"), col("o_custkey")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** Event-time tumbling window over the event stream (batch flavor of the
+    * streaming windowed agg; same `window()` expression works under
+    * Structured Streaming with a watermark). */
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Gap-based sessionization (30 min inactivity): lag → flag → cumulative
+    * session counter → per-session rollup. Two window passes over the same
+    * (user_id, ts) shuffle partitioning — the exchange is reused. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          date_trunc("second", col("ts")).cast("long") -
+            date_trunc("second", col("prev_ts")).cast("long") > 1800, 1L)
+        .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Daily time series + 7-day moving aggregate over an explicit ROWS
+    * frame. Integer/decimal window sums keep it deterministic. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast("decimal(25,6)")).as("dec_price"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7_orders",
+        sum(col("n_orders")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+      .withColumn("ma7_price",
+        sum(col("dec_price")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+      .select(col("day"), col("n_orders"),
+        col("dec_price").cast("double").as("sum_price"),
+        col("ma7_orders"), col("ma7_price"))
+      .orderBy("day")
+  }
+
+  /** Sketch aggregation: HyperLogLog++ approximate distincts per group —
+    * the 100 TB substitute for exact COUNT(DISTINCT) when the key domain
+    * is huge. No DuckDB oracle (different sketch) → rows-only check. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,7 +44,22 @@ object SparkEntry {
     "q13_event_windows" -> (Relational.eventWindows _),
     "q14_sessionize" -> (Relational.sessionize _),
     "q15_moving_avg" -> (Relational.movingAvg _),
-    "q16_approx_distinct" -> (Relational.approxDistinct _)
+    "q16_approx_distinct" -> (Relational.approxDistinct _),
+    // — LLM-pipeline extensions (SURVEY §7.2 step 5 / north star) —
+    "x1_dedup_exact" -> (Dedup.exact _),
+    "x2_minhash_lsh" -> (Dedup.minhashLsh _),
+    "x3_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "x4_simhash" -> (Dedup.simhash _),
+    "x5_simhash_pairs" -> (Dedup.simhashPairs _),
+    "x6_ann_bruteforce" -> (Similarity.bruteForceTopK _),
+    "x7_ann_lsh" -> (Similarity.lshTopK _),
+    "x8_embedding_dups" -> (Similarity.embeddingDups _),
+    "x9_text_stats" -> (TextAnalysis.textStats _),
+    "x10_lang_id" -> (TextAnalysis.langId _),
+    "x11_token_regex" -> (TextAnalysis.tokenRegex _),
+    "x12_fingerprint" -> (TextAnalysis.fingerprint _),
+    "x13_media_meta" -> (Multimodal.mediaMeta _),
+    "x14_media_decode" -> (Multimodal.decodeFeatures _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -76,6 +92,48 @@ object SparkEntry {
       |  FROM env
       |)
       |""".stripMargin
+
+  /** DuckDB fragment: word-3-gram shingle sets per document — mirrors
+    * [[graft.functions.TextFunctions.shingles]] (1-based list indexing,
+    * distinct, empty for <3-token docs). */
+  private val shingleCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+      |    ELSE list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      |  FROM toks)
+      |""".stripMargin
+
+  /** DuckDB expression: rolling polynomial char hash — mirrors
+    * [[graft.functions.TextFunctions.polyHash]] (left fold from 0, mod 1e9+7). */
+  private def polyhashSql(col: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || " +
+    s"list_transform(string_split($col, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** DuckDB expression: Σ aᵢ·bᵢ as the same sequential double left fold as
+    * [[graft.functions.VectorFunctions.dot]] — bit-identical IEEE result. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
+    s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB fragment: 16-bit SimHash per document — mirrors
+    * [[graft.operators.Dedup.simhash]]. */
+  private val simhashCte: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${polyhashSql("w")} AS h FROM w),
+       |bits AS (SELECT doc_id, h, unnest(range(0, 16)) AS b FROM h),
+       |d AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+       |      FROM bits GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM d GROUP BY 1)
+       |""".stripMargin
+
+  private val stopList: String =
+    graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
@@ -274,6 +332,201 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "x1_dedup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS text_hash,
+        |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS prefix_hash
+        |  FROM documents)
+        |SELECT doc_id, text_hash,
+        |  MIN(doc_id) OVER (PARTITION BY text_hash) AS exact_rep,
+        |  COUNT(*) OVER (PARTITION BY text_hash) AS exact_group_size,
+        |  prefix_hash,
+        |  MIN(doc_id) OVER (PARTITION BY prefix_hash) AS prefix_rep,
+        |  COUNT(*) OVER (PARTITION BY prefix_hash) AS prefix_group_size
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x2_minhash_lsh" -> (shingleCte +
+      """, bands AS (
+        |  SELECT doc_id, sh, p.band,
+        |    list_min(list_transform(sh, x -> md5('s' || p.band || ':' || x))) AS h
+        |  FROM sh, (SELECT unnest(range(0, 6)) AS band) p
+        |  WHERE len(sh) > 0
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bands,
+        |    any_value(a.sh) AS sh_a, any_value(b.sh) AS sh_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT doc_a, doc_b, n_bands,
+        |    CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter,
+        |    len(sh_a) AS na, len(sh_b) AS nb
+        |  FROM cand)
+        |SELECT doc_a, doc_b, n_bands, inter,
+        |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+        |FROM j
+        |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.02
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "x3_ngram_jaccard" -> (shingleCte +
+      """, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.03
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "x4_simhash" -> (simhashCte +
+      """SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
+
+    "x5_simhash_pairs" -> (simhashCte +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.simhash AS sim_a, b.simhash AS sim_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "x6_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label FROM embeddings),
+         |p AS (
+         |  SELECT query_id, neighbor_id, label,
+         |    ${dotSql("qv", "nv")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv", "nv")})) AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+         |SELECT query_id, neighbor_id, label, cos, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "x7_ann_lsh" ->
+      s"""WITH dots AS (
+         |  SELECT vec_id, embedding, p,
+         |    list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(0, 64), i ->
+         |      CAST(embedding[i + 1] AS DOUBLE) *
+         |      (CAST((CAST(1103515245 AS BIGINT) * (p * 64 + i) + 12345) % 2147483647 AS DOUBLE)
+         |        / 2147483647.0 - 0.5)), (x, y) -> x + y) AS dp
+         |  FROM embeddings, (SELECT unnest(range(0, 4)) AS p)
+         |), sig AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY vec_id, embedding
+         |), pairs AS (
+         |  SELECT q.sig, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.embedding", "c.embedding")} /
+         |      (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+         |       sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+         |  FROM sig q JOIN sig c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT sig, query_id, neighbor_id, cos, rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "x8_embedding_dups" ->
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+         |p AS (
+         |  SELECT id_a, id_b,
+         |    ${dotSql("va", "vb")} /
+         |      (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")})) AS cos
+         |  FROM a JOIN b ON id_a < id_b)
+         |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x9_text_stats" ->
+      s"""WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id, lang, source, n_chars,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
+         |  CAST(list_reduce([CAST(0 AS BIGINT)] ||
+         |      list_transform(t, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS avg_token_len,
+         |  CAST(len(list_filter(t, w -> w IN ($stopList))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(list_distinct(t)) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS uniq_ratio
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x10_lang_id" ->
+      """WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(t, w -> w IN ('the', 'is', 'and', 'of'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(t, w -> w IN ('der', 'die', 'das', 'und'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(t, w -> w IN ('el', 'la', 'los', 'y'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(t, w -> w IN ('le', 'les', 'et', 'un'))) AS BIGINT) AS score_fr
+        |  FROM d),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |         WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |         WHEN score_es >= score_fr THEN 'es'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM s)
+        |SELECT doc_id, lang, score_en, score_de, score_es, score_fr, pred_lang,
+        |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS INTEGER) AS is_match
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "x11_token_regex" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+') AS rt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(rt) AS BIGINT) AS n_regex_tokens,
+        |  CAST(len(list_distinct(rt)) AS BIGINT) AS n_uniq_regex,
+        |  CAST(len(list_filter(rt, x -> length(x) > 5)) AS BIGINT) AS n_long_tokens,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(rt, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS total_token_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x12_fingerprint" -> (shingleCte +
+      s""", f AS (
+         |  SELECT d.doc_id, ${polyhashSql("d.text")} AS fp,
+         |    ${polyhashSql("array_to_string(regexp_split_to_array(d.text, ' +'), ' ')")} AS fp_norm,
+         |    list_min(list_transform(sh.sh, x -> md5('s0:' || x))) AS fp_minhash
+         |  FROM documents d JOIN sh ON sh.doc_id = d.doc_id)
+         |SELECT doc_id, fp, fp_norm, fp_minhash FROM f ORDER BY doc_id""".stripMargin),
+
+    "x13_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  (CAST(strlen(text) AS BIGINT) + 255) // 256 AS n_chunks,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x14_media_decode" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio'
+         |         ELSE 'video' END AS media_type,
+         |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |    ${polyhashSql("text")} AS checksum
+         |  FROM documents)
+         |SELECT doc_id, media_type, n_bytes,
+         |  CAST(16 + checksum % 624 AS INTEGER) AS width,
+         |  CAST(16 + (checksum // 624) % 464 AS INTEGER) AS height,
+         |  CAST(CASE WHEN media_type = 'video' THEN 1 + n_bytes % 120 ELSE 1 END AS INTEGER) AS n_frames,
+         |  CAST(checksum % 10000 AS DOUBLE) / 10000.0 AS feat_mean
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q15_moving_avg" ->
       """WITH daily AS (

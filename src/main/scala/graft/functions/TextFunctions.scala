@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline extensions, built
+  * exclusively from codegen'd built-ins / higher-order functions — no UDFs,
+  * so every operator scales as a narrow projection.
+  *
+  * Cross-engine determinism: the rolling polynomial hash and the md5-based
+  * MinHash are defined so the identical computation is expressible in ANSI
+  * SQL (DuckDB oracle) — integer arithmetic and lexicographic min over hex
+  * digests only.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Rolling polynomial hash over characters:
+    * h_0 = 0; h_{i+1} = (31·h_i + ascii(c_i)) mod 1e9+7.
+    * A document fingerprint usable for grouping/sharding; stays in a long. */
+  def polyHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+
+  /** Word n-gram shingles (default 3): the unit set for Jaccard/MinHash
+    * near-dup detection. Distinct, so shingle multiplicity doesn't bias
+    * similarity. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val grams = transform(sequence(lit(1), size(t) - lit(n - 1)),
+      i => concat_ws(" ",
+        (0 until n).map(j => element_at(t, (i + lit(j)).cast("int"))): _*))
+    // sequence(1, k) is descending for k < 1, so short docs need the guard.
+    array_distinct(
+      when(size(t) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** One MinHash value: lexicographic min of seeded md5 digests of the
+    * shingle set. Hex-string min is engine-portable (no 64-bit unsigned
+    * arithmetic needed); seeding by prefix gives independent permutations. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr,
+      s => md5(concat(lit(s"s$seed:"), s))))
+
+  /** 16-bit SimHash built on [[polyHash]] of each token — see
+    * `graft.operators.Dedup.simhash` for the aggregation (it needs a
+    * groupBy, not a scalar). */
+  val SimhashBits = 16
+
+  /** ClickHouse-free stopword list used by quality scoring. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.queries.Tables
+
+/** Deduplication operators over the `documents` table — the four standard
+  * levels of a training-data pipeline, each shaped for 100 TB:
+  *
+  *  - exact: hash-groupBy (one shuffle on the digest);
+  *  - MinHash+LSH: shingle → signature → band bucket-join (turns O(N²)
+  *    similarity into per-bucket candidate generation) → exact-Jaccard
+  *    verify on candidates only;
+  *  - n-gram Jaccard: inverted-index join on shingles (never a cross
+  *    join — the shuffle key is the shingle);
+  *  - SimHash: 16-bit signature + banded Hamming join.
+  *
+  * Embedding-cosine near-dup lives in [[Similarity]].
+  */
+object Dedup {
+
+  private val NumMinhashes = 6
+
+  /** Exact dedup via content digest, plus a relaxed prefix-key variant
+    * (first 5 tokens) — both as window functions over the hash partition,
+    * so every doc keeps its group representative and group size. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("prefix_hash",
+        md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))))
+    val byText = Window.partitionBy("text_hash")
+    val byPrefix = Window.partitionBy("prefix_hash")
+    d.select(
+      col("doc_id"), col("text_hash"),
+      min(col("doc_id")).over(byText).as("exact_rep"),
+      count(lit(1)).over(byText).as("exact_group_size"),
+      col("prefix_hash"),
+      min(col("doc_id")).over(byPrefix).as("prefix_rep"),
+      count(lit(1)).over(byPrefix).as("prefix_group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc MinHash signature rows: (doc_id, band, minhash-hex). The
+    * band value IS the LSH bucket key. */
+  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bandCols = (0 until NumMinhashes).map(s =>
+      struct(lit(s).as("band"), minhash(col("sh"), s).as("h")))
+    sh.select(col("doc_id"), col("sh"),
+        explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("sh"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  /** MinHash-LSH near-dup: candidates = pairs agreeing on ≥1 of 6 MinHash
+    * bands (bucket join on (band, hash)), then verified with exact Jaccard
+    * over the shingle sets — the classic generate→verify LSH shape. Only
+    * candidate pairs ever pay the Jaccard cost. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = minhashBands(spark, sfDir)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("h"),
+      col("sh").as("sh_a"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("h"),
+      col("sh").as("sh_b"))
+    a.join(c, Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"),
+        first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+            .cast("double"))
+      .filter(col("jaccard") >= 0.02)
+      .select("doc_a", "doc_b", "n_bands", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard over ALL overlapping pairs via an inverted-index
+    * join on the shingle (the scalable alternative to a cross join: the
+    * shuffle key is the shingle, intersection counts fall out of a
+    * groupBy). */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.03)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash per document: token-hash each word with the portable
+    * polynomial hash, sum ±1 per bit position, pack the sign bits. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h",
+        expr("aggregate(split(w, ''), 0L, " +
+          "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+      .withColumn("dir", expr("2 * (shiftright(h, b) & 1) - 1"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("dir")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr(s"if(s > 0, shiftleft(1L, b), 0L)")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs via BANDED Hamming join: the 16-bit signature
+    * splits into 4 nibbles; a pair is a candidate iff some nibble matches
+    * exactly (pigeonhole: Hamming ≤ 3 ⇒ ≥1 matching nibble when distance
+    * is spread, and ≤ 4-band recall in general) — then the true Hamming
+    * distance filters. Never an O(N²) cross join. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhash(spark, sfDir)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 4) & 15"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("c"), col("chunk"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("c"), col("chunk"))
+    a.join(b, Seq("c", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic FAKE (see [[FakeDecoder.decode]]); the
+  * Spark-side contract — binary column schema, per-partition batching,
+  * typed output rows — is real and tested. A production build swaps
+  * `FakeDecoder.decode` for a JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** One media blob + metadata, as it would sit in a 100 TB lake table. */
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+
+  /** Typed features out of the decode stage. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+    width: Int, height: Int, n_frames: Int, feat_mean: Double)
+
+  /** STUB decoder — deterministic fake standing in for the real codec. */
+  object FakeDecoder {
+    /** Pretend-decode a blob: dimensions and a feature statistic derived
+      * only from the byte content, so results are stable across runs. */
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val n = bytes.length
+      val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      val width = 16 + (checksum % 624).toInt
+      val height = 16 + ((checksum / 624) % 464).toInt
+      val frames = if (mediaType == "video") 1 + (n % 120) else 1
+      val featMean = (checksum % 10000).toDouble / 10000.0
+      (width, height, frames, featMean)
+    }
+  }
+
+  /** Build a media table from `documents` (text bytes standing in for
+    * media payloads — the schema is the point, not the pixels). */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Pure-SQL media metadata (byte size, 256-byte chunk count, content
+    * digest) — the part of the multimodal path that IS oracle-checkable. */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .select(
+        col("doc_id"), col("media_type"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        ((octet_length(col("content")) + 255) / 256).cast("long")
+          .as("n_chunks"),
+        md5(col("content")).as("content_hash"))
+      .orderBy("doc_id")
+
+  /** The decode/feature-extract stage: `mapPartitions` so a real decoder
+    * would amortize codec init per partition (the Scala analogue of a
+    * pandas-batch UDF). Deterministic fake decode ⇒ rows-only check. */
+  def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .mapPartitions { rows =>
+        // Real impl: init codec once here, then stream the partition.
+        rows.map { r =>
+          val (w, h, f, m) = FakeDecoder.decode(r.media_type, r.content)
+          MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
+            w, h, f, m)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

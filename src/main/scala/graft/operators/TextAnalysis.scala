@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.queries.Tables
+
+/** Text-analysis operators over `documents`: quality stats, heuristic
+  * language ID, regex tokenization, and content fingerprinting — all
+  * narrow projections (per-row, no shuffle), which is exactly what keeps
+  * them viable as a map stage over 100 TB of text.
+  */
+object TextAnalysis {
+
+  private val stopSql = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document quality statistics: token counts, uniqueness, average
+    * token length, stopword ratio — the standard quality-filter features. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq_tokens"),
+        (expr("aggregate(toks, 0L, (acc, w) -> acc + length(w))")
+          .cast("double") / size(col("toks")).cast("double"))
+          .as("avg_token_len"),
+        (expr(s"size(filter(toks, w -> w in ($stopSql)))").cast("double") /
+          size(col("toks")).cast("double")).as("stopword_ratio"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("uniq_ratio"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID: marker-word hit counts per language with a
+    * fixed priority order on ties (deterministic, SQL-expressible — the
+    * point is the operator shape: a scored CASE over token-set membership,
+    * evaluable as one map stage). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "is", "and", "of"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "los", "y"),
+      "fr" -> Seq("le", "les", "et", "un"))
+    val scoreCols = markers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(toks, w -> w in ($lst)))").cast("long")
+        .as(s"score_$l")
+    }
+    val pred =
+      when(col("score_en") >= col("score_de") &&
+           col("score_en") >= col("score_es") &&
+           col("score_en") >= col("score_fr"), "en")
+      .when(col("score_de") >= col("score_es") &&
+            col("score_de") >= col("score_fr"), "de")
+      .when(col("score_es") >= col("score_fr"), "es")
+      .otherwise("fr")
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokens(col("text")))
+      .select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Regex ("BPE-ish") tokenization stats: alpha runs, digit runs, long
+    * tokens — the token-counting pass of a data pipeline. */
+  def tokenRegex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("rtoks",
+        regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("rtoks")).cast("long").as("n_regex_tokens"),
+        size(array_distinct(col("rtoks"))).cast("long").as("n_uniq_regex"),
+        expr("size(filter(rtoks, t -> length(t) > 5))").cast("long")
+          .as("n_long_tokens"),
+        expr("aggregate(transform(rtoks, t -> length(t)), 0L, (a, x) -> a + x)")
+          .as("total_token_chars"))
+      .orderBy("doc_id")
+
+  /** Content fingerprints: rolling polynomial hash of the raw and the
+    * whitespace-normalized text, plus the first MinHash — three sharding/
+    * dedup keys computable in one pass. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        polyHash(col("text")).as("fp"),
+        expr("aggregate(split(concat_ws(' ', split(text, ' +')), ''), 0L, " +
+          "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp_norm"),
+        minhash(shingles(col("text")), 0).as("fp_minhash"))
+      .orderBy("doc_id")
+}

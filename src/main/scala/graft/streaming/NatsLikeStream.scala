@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.Schemas
+import graft.pipeline.{Ingest, Views}
+
+/** The reference service as a Structured Streaming pipeline
+  * (SURVEY.md §2.1–§2.4, §3.2–§3.3).
+  *
+  * Mapping of the reference's moving parts onto Spark's micro-batch engine:
+  *
+  *  - B1 channel hand-off → internal micro-batch admission; the bounded
+  *    channel's backpressure is the source `ReadLimit` (`maxRows`, set via
+  *    [[MaxRowsPerTrigger]] on sources that support it).
+  *  - B2 count-based flush (1000 msgs, `main.go:26`) → `maxOffsetsPerTrigger`
+  *    / `maxFilesPerTrigger`-style admission per micro-batch.
+  *  - B3 time-based flush (5 s ticker, `main.go:27`) →
+  *    `Trigger.ProcessingTime("5 seconds")` ([[BatchTimeout]]).
+  *  - B4 final flush on shutdown → `StreamingQuery.stop()` + checkpoint
+  *    recovery replays the uncommitted tail on restart.
+  *  - B5 retry-by-not-clearing → micro-batch replay from the checkpoint:
+  *    offsets commit only after the sink epoch commits (K2), so a failed
+  *    epoch re-runs with the same rows — the same at-least-once guarantee,
+  *    with the same duplicate risk at the sink.
+  *  - S2 subject wildcard → [[Ingest.subjectFilter]] (server-side in a real
+  *    NATS source; a semantically identical prefix filter here).
+  *  - K1 batched columnar INSERT → `foreachBatch` writing parquet append —
+  *    the local stand-in for a ClickHouse block insert; the MV cascade
+  *    (Q2–Q4) runs inside the same epoch, mirroring ClickHouse's synchronous
+  *    per-insert-block MV semantics (`init.sql:49-121`).
+  */
+object NatsLikeStream {
+
+  /** Reference `batchSize` (`main.go:26`). */
+  val MaxRowsPerTrigger = 1000
+
+  /** Reference `batchTimeout` (`main.go:27`). */
+  val BatchTimeout: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** The subject pattern the service subscribes to (`nats.yml:8`,
+    * `main.go:88` — only `Subjects[0]`). */
+  val SubjectPrefix = "globex.supprt"
+
+  /** A file-based streaming source with the envelope schema — the local
+    * stand-in for the NATS JetStream subscription (S1): JSON files dropped
+    * into `dir` play the role of published messages; `maxFilesPerTrigger`
+    * plays the role of the bounded channel (B1/B2). */
+  def fileEnvelopeSource(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(Schemas.envelope)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** The full continuous pipeline: envelopes → subject filter (S2) → raw
+    * rows (P1–P4) → raw table append (K1) → MV cascade to the analytics
+    * table (Q2–Q4) in the SAME epoch — exactly ClickHouse's synchronous
+    * insert-triggered MV chain (§3.3). Offsets commit after both writes
+    * (K2: ack-after-write ⇒ at-least-once).
+    *
+    * Output layout under `warehouse`: `raw/` and `analytics/` parquet
+    * tables, each month-partitioned like the reference MergeTree tables. */
+  def start(envelopes: DataFrame, warehouse: String, checkpoint: String,
+      trigger: Trigger = BatchTimeout): StreamingQuery =
+    envelopes.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val raw = Ingest.envelopeToRaw(
+          Ingest.subjectFilter(batch, SubjectPrefix))
+          .persist()
+        try {
+          Views.withMonth(raw)
+            .write.mode("append").partitionBy("month")
+            .parquet(s"$warehouse/raw")
+          Views.withMonth(Views.deriveAnalytics(raw))
+            .write.mode("append").partitionBy("month")
+            .parquet(s"$warehouse/analytics")
+        } finally raw.unpersist()
+        ()
+      }
+      .start()
+
+  /** B5 upgrade the reference can't express: drop replayed duplicates by
+    * stream sequence within an event-time watermark — turns the sink from
+    * at-least-once into effectively-once while keeping state bounded (old
+    * sequence keys age out with the watermark). */
+  def dedupedRaw(envelopes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Ingest.envelopeToRaw(envelopes)
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("sequence")
+
+  /** Streaming event-time tumbling window + watermark over the envelope
+    * stream — the windowed continuous aggregation the reference lacks
+    * (SURVEY §2.6), expressed so late data beyond the watermark is dropped
+    * and state is bounded. Works identically in batch mode for oracles. */
+  def windowedCounts(envelopes: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    envelopes
+      .withWatermark("metaTimestamp", watermark)
+      // group on the window STRUCT (not .start): the event-time watermark
+      // marker lives on the struct attribute; extracting the field before
+      // the agg would sever it and break append-mode streaming.
+      .groupBy(
+        window(col("metaTimestamp"), "1 hour").as("win"),
+        substring_index(col("subject"), ".", 2).as("stream"))
+      .agg(count(lit(1)).as("n_msgs"),
+        approx_count_distinct(col("streamSeq")).as("approx_seqs"))
+      .select(col("win.start").as("hour_start"), col("stream"),
+        col("n_msgs"), col("approx_seqs"))
+
+  /** Streaming session windows (30-min gap) over the envelope stream —
+    * `session_window` keeps per-key state bounded by the watermark; the
+    * batch flavor matches the sessionize oracle semantics. */
+  def sessionCounts(envelopes: DataFrame, watermark: String = "30 minutes")
+      : DataFrame =
+    envelopes
+      .withWatermark("metaTimestamp", watermark)
+      .groupBy(
+        session_window(col("metaTimestamp"), "30 minutes"),
+        col("subject"))
+      .agg(count(lit(1)).as("n_msgs"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("subject"), col("n_msgs"))
+}

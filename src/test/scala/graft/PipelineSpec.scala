@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+import graft.pipeline.{Ingest, Views}
+
+/** Ingest (P1–P4) + the MV cascade (Q2–Q4) on fixture envelopes. */
+class PipelineSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def envelopes: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("globex.supprt.u1.chat9.bot.user.view.ctx1",
+        """{"text":"hi","meta":"view","id":"m1","timestamp":1704067200}""",
+        ts("2024-01-15 10:30:45.123"), 1L),
+      ("globex.supprt.u2",
+        """{"no":"keys"}""", ts("2024-02-01 00:00:00"), 2L),
+      ("globex.crmabc.u3.chat7",
+        "not json at all", ts("2024-02-29 23:59:59.999"), 3L)
+    ).toDF("subject", "data", "metaTimestamp", "streamSeq")
+  }
+
+  test("envelopeToRaw produces the raw schema with second-truncated timestamps") {
+    val raw = Ingest.envelopeToRaw(envelopes)
+    assert(raw.schema.fieldNames.toSeq === Schemas.raw.fieldNames.toSeq)
+    val rows = raw.orderBy("sequence").collect()
+    assert(rows(0).getAs[Timestamp]("timestamp") === ts("2024-01-15 10:30:45"))
+    assert(rows(0).getAs[String]("chat_id") === "chat9")
+    assert(rows(1).getAs[String]("chat_id") === "")
+    assert(rows(2).getAs[String]("chat_id") === "chat7")
+    // metadata JSON mirrors json.Marshal(msg.Metadata()) shape
+    val meta = rows(0).getAs[String]("metadata")
+    assert(meta.contains(""""Stream":1""") && meta.contains(""""NumDelivered":1"""))
+  }
+
+  test("subjectFilter matches only the configured prefix (S2)") {
+    val raw = Ingest.envelopeToRaw(envelopes)
+    assert(Ingest.subjectFilter(raw, "globex.supprt").count() === 2)
+    assert(Ingest.subjectFilter(raw, "globex.crmabc").count() === 1)
+    assert(Ingest.subjectFilter(raw, "globex.supprt.u1").count() === 1)
+  }
+
+  test("deriveAnalytics: 17 columns, CH defaults, chat_id==session_id quirk") {
+    val a = Views.deriveAnalytics(Ingest.envelopeToRaw(envelopes))
+    assert(a.schema.fieldNames.toSeq === Schemas.analytics.fieldNames.toSeq)
+    val rows = a.orderBy("subject").collect()
+    val full = rows.find(_.getAs[String]("subject").endsWith("ctx1")).get
+    assert(full.getAs[String]("message_text") === "hi")
+    assert(full.getAs[String]("client_code") === "globex")
+    assert(full.getAs[String]("project_code") === "supprt")
+    assert(full.getAs[String]("user_id") === "u1")
+    assert(full.getAs[String]("session_id") === "chat9")
+    assert(full.getAs[String]("session_id") === full.getAs[String]("chat_id"))
+    assert(full.getAs[Timestamp]("message_timestamp") === ts("2024-01-01 00:00:00"))
+    val short = rows.find(_.getAs[String]("subject") === "globex.supprt.u2").get
+    assert(short.getAs[String]("message_text") === "")
+    assert(short.getAs[String]("session_id") === "")
+    assert(short.getAs[Timestamp]("message_timestamp") === ts("1970-01-01 00:00:00"))
+  }
+
+  test("union of per-stream views covers all rows exactly once (Q3)") {
+    val raw = Ingest.envelopeToRaw(envelopes)
+    val u = Views.allStreams(Seq(
+      Ingest.subjectFilter(raw, "globex.supprt"),
+      Ingest.subjectFilter(raw, "globex.crmabc")))
+    assert(u.count() === 3)
+    assert(u.select("sequence").distinct().count() === 3)
+  }
+
+  test("writePartitioned lays out month partitions (Q1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    Views.writePartitioned(Ingest.envelopeToRaw(envelopes), s"$dir/raw",
+      Seq("timestamp", "chat_id", "sequence"))
+    val back = spark.read.parquet(s"$dir/raw")
+    assert(back.count() === 3)
+    // partition-column type inference reads "202401" back as int
+    assert(back.select(col("month").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted === Array("202401", "202402"))
+    // partition pruning: a month filter reads a single partition directory
+    val pruned = back.filter(col("month") === "202401")
+    assert(pruned.count() === 1)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ChFunctions._
+import graft.functions.TextFunctions._
+
+/** Property-style checks over a generated corpus (fixed seed → deterministic):
+  * engine semantics ≡ plain-Scala model implementations (SURVEY §5.4). */
+class PropertySpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(42)
+  private val alphabet = "abcXYZ019._- "
+
+  private def randomString(maxLen: Int): String =
+    (0 until rng.nextInt(maxLen)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+
+  private val corpus: Seq[String] = Seq("", ".", "..", "a.", ".a", "a.b.c.d.e.f.g.h.i") ++
+    (0 until 200).map(_ => randomString(40))
+
+  /** The Go service model: strings.Split + parts[n-1] with "" default. */
+  private def modelSegment(s: String, n: Int): String = {
+    val parts = s.split("\\.", -1)
+    if (n - 1 < parts.length) parts(n - 1) else ""
+  }
+
+  test("subjectSegment ≡ strings.Split model for arbitrary subjects, n=1..10") {
+    import spark.implicits._
+    val df = corpus.toDF("s")
+      .select(col("s") +: (1 to 10).map(n => subjectSegment(col("s"), n).as(s"n$n")): _*)
+    df.collect().foreach { row =>
+      val s = row.getString(0)
+      (1 to 10).foreach { n =>
+        assert(row.getString(n) === modelSegment(s, n), s"subject=$s n=$n")
+      }
+    }
+  }
+
+  test("json extraction is total (never throws) on arbitrary payloads") {
+    import spark.implicits._
+    val payloads = corpus ++ Seq("""{"a":}""", """{"a":{"b":1}}""", """[1,2]""", "null", "{}")
+    val r = payloads.toDF("data").select(
+      jsonString(col("data"), "a"),
+      jsonUInt(col("data"), "a"),
+      jsonEpochTimestamp(col("data"), "a")).collect()
+    assert(r.length === payloads.length)
+    r.foreach { row => assert(row.getString(0) != null && !row.isNullAt(1)) }
+  }
+
+  test("polyHash ≡ model fold on arbitrary ASCII strings") {
+    import spark.implicits._
+    def model(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val df = corpus.toDF("s").select(col("s"), polyHash(col("s")))
+    df.collect().foreach { row =>
+      assert(row.getLong(1) === model(row.getString(0)), s"s=${row.getString(0)}")
+    }
+  }
+
+  test("shingles ≡ sliding-window model") {
+    import spark.implicits._
+    def model(s: String): Seq[String] = {
+      val t = s.split(" ", -1).toSeq
+      if (t.length < 3) Seq.empty else t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    val df = corpus.toDF("s").select(col("s"), shingles(col("s")))
+    df.collect().foreach { row =>
+      assert(row.getSeq[String](1) === model(row.getString(0)), s"s=${row.getString(0)}")
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text primitives against model implementations computed in plain Scala. */
+class TextFunctionsSpec extends SparkSpec {
+
+  private def modelPolyHash(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+
+  test("polyHash matches the model fold") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "the quick brown fox")
+    val got = inputs.toDF("t").select(polyHash(col("t"))).collect().map(_.getLong(0))
+    assert(got.toSeq === inputs.map(modelPolyHash))
+  }
+
+  test("shingles: 3-grams, distinct, empty for short docs") {
+    import spark.implicits._
+    val r = Seq(
+      "a b c d",
+      "a b",
+      "x y z x y z x y z"
+    ).toDF("t").select(shingles(col("t"))).collect()
+    assert(r(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) === Seq.empty[String])
+    // repeated text: distinct collapses repeated shingles
+    assert(r(2).getSeq[String](0).sorted ===
+      Seq("x y z", "y z x", "z x y").sorted)
+  }
+
+  test("minhash: deterministic, seed-dependent, order-independent") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "e d c b a").toDF("t")
+      .select(shingles(col("t")).as("sh"))
+    val r = df.select(minhash(col("sh"), 0), minhash(col("sh"), 1)).collect()
+    // same doc, different seeds → different permutation minima (wildly likely)
+    assert(r(0).getString(0) !== r(0).getString(1))
+    // deterministic across runs
+    val r2 = df.select(minhash(col("sh"), 0)).collect()
+    assert(r(0).getString(0) === r2(0).getString(0))
+  }
+}

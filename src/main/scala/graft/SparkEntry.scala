@@ -118,6 +118,27 @@ object SparkEntry {
     s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
     s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** [[dotSql]] over already-double unit vectors (no per-element cast) —
+    * mirrors the Spark side's pre-normalized pair dot. */
+  private def dotUnitSql(a: String, b: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
+    s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** DuckDB fragment: unit-normalized embeddings — mirrors
+    * [[graft.operators.Similarity]]'s normalize-once-then-one-dot-per-pair
+    * shape (norm = sqrt of the same sequential fold, then an element-wise
+    * divide). */
+  private val unitCte: String =
+    s"""WITH nrm_t AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |unit_t AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+       |  FROM nrm_t)
+       |""".stripMargin
+
   /** DuckDB fragment: 16-bit SimHash per document — mirrors
     * [[graft.operators.Dedup.simhash]]. */
   private val simhashCte: String =
@@ -397,22 +418,21 @@ object SparkEntry {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
 
-    "x6_ann_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label FROM embeddings),
+    "x6_ann_bruteforce" -> (unitCte +
+      s""", q AS (SELECT vec_id AS query_id, u AS qu FROM unit_t WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, u AS nu, label FROM unit_t),
          |p AS (
          |  SELECT query_id, neighbor_id, label,
-         |    ${dotSql("qv", "nv")} /
-         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv", "nv")})) AS cos
+         |    ${dotUnitSql("qu", "nu")} AS cos
          |  FROM q, c WHERE query_id <> neighbor_id),
          |r AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS rank FROM p)
          |SELECT query_id, neighbor_id, label, cos, rank FROM r
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
-    "x7_ann_lsh" ->
-      s"""WITH dots AS (
+    "x7_ann_lsh" -> (unitCte +
+      s""", dots AS (
          |  SELECT vec_id, embedding, p,
          |    list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(0, 64), i ->
          |      CAST(embedding[i + 1] AS DOUBLE) *
@@ -420,32 +440,30 @@ object SparkEntry {
          |        / 2147483647.0 - 0.5)), (x, y) -> x + y) AS dp
          |  FROM embeddings, (SELECT unnest(range(0, 4)) AS p)
          |), sig AS (
-         |  SELECT vec_id, embedding,
+         |  SELECT vec_id,
          |    CAST(SUM(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
-         |  FROM dots GROUP BY vec_id, embedding
+         |  FROM dots GROUP BY vec_id
+         |), su AS (
+         |  SELECT s.vec_id, s.sig, u.u FROM sig s JOIN unit_t u ON s.vec_id = u.vec_id
          |), pairs AS (
          |  SELECT q.sig, q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${dotSql("q.embedding", "c.embedding")} /
-         |      (sqrt(${dotSql("q.embedding", "q.embedding")}) *
-         |       sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
-         |  FROM sig q JOIN sig c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+         |    ${dotUnitSql("q.u", "c.u")} AS cos
+         |  FROM su q JOIN su c ON q.sig = c.sig AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10
          |), r AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
          |SELECT sig, query_id, neighbor_id, cos, rank FROM r
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
-    "x8_embedding_dups" ->
-      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+    "x8_embedding_dups" -> (unitCte +
+      s""", a AS (SELECT vec_id AS id_a, u AS ua FROM unit_t),
+         |b AS (SELECT vec_id AS id_b, u AS ub FROM unit_t),
          |p AS (
-         |  SELECT id_a, id_b,
-         |    ${dotSql("va", "vb")} /
-         |      (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")})) AS cos
+         |  SELECT id_a, id_b, ${dotUnitSql("ua", "ub")} AS cos
          |  FROM a JOIN b ON id_a < id_b)
          |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35
-         |ORDER BY id_a, id_b""".stripMargin,
+         |ORDER BY id_a, id_b""".stripMargin),
 
     "x9_text_stats" ->
       s"""WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents)

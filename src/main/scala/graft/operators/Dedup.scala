@@ -17,11 +17,28 @@ import graft.queries.Tables
   *    join — the shuffle key is the shingle);
   *  - SimHash: 16-bit signature + banded Hamming join.
   *
+  * Scale shape: the shingle/signature tables are materialized ONCE
+  * (`persist` locally; a temp table on a cluster) and the
+  * candidate joins carry ONLY ids — the heavy shingle arrays are fetched
+  * back by a broadcast join after candidate pairs are known, so the wide
+  * data never rides through the pair shuffle.
+  *
   * Embedding-cosine near-dup lives in [[Similarity]].
   */
 object Dedup {
 
   private val NumMinhashes = 6
+
+  /** (doc_id, sh) with non-empty shingle sets, materialized once. The
+    * scan is repartitioned first: locally `documents` is a single parquet
+    * split and the shingle lambdas would otherwise run on ONE core — at
+    * scale the many input splits provide this parallelism for free. */
+  private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
 
   /** Exact dedup via content digest, plus a relaxed prefix-key variant
     * (first 5 tokens) — both as window functions over the hash partition,
@@ -43,35 +60,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Per-doc MinHash signature rows: (doc_id, band, minhash-hex). The
-    * band value IS the LSH bucket key. */
-  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+  /** MinHash-LSH near-dup: candidates = pairs agreeing on ≥1 of 6 MinHash
+    * bands (bucket join on (band, hash) carrying only doc ids), then
+    * verified with exact Jaccard over the shingle sets fetched back via
+    * broadcast — the classic generate→verify LSH shape. Only candidate
+    * pairs ever pay the Jaccard cost. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleTable(spark, sfDir)
     val bandCols = (0 until NumMinhashes).map(s =>
       struct(lit(s).as("band"), minhash(col("sh"), s).as("h")))
-    sh.select(col("doc_id"), col("sh"),
-        explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("sh"),
-        col("bh.band").as("band"), col("bh.h").as("h"))
-  }
-
-  /** MinHash-LSH near-dup: candidates = pairs agreeing on ≥1 of 6 MinHash
-    * bands (bucket join on (band, hash)), then verified with exact Jaccard
-    * over the shingle sets — the classic generate→verify LSH shape. Only
-    * candidate pairs ever pay the Jaccard cost. */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = minhashBands(spark, sfDir)
-    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("h"),
-      col("sh").as("sh_a"))
-    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("h"),
-      col("sh").as("sh_b"))
-    a.join(c, Seq("band", "h"))
+    val bands = sh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .persist()
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
+    val cand = a.join(b, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_bands"),
-        first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    cand
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
@@ -88,17 +98,18 @@ object Dedup {
     * shuffle key is the shingle, intersection counts fall out of a
     * groupBy). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
+    val ex = shingleTable(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .persist()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
@@ -108,29 +119,31 @@ object Dedup {
   }
 
   /** 16-bit SimHash per document: token-hash each word with the portable
-    * polynomial hash, sum ±1 per bit position, pack the sign bits. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    * polynomial hash, sum ±1 per bit position, pack the sign bits — one
+    * groupBy with 16 partial-aggregated sums (no per-bit row explosion). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(expr(s"2 * (shiftright(h, $b) & 1) - 1")).as(s"s$b"))
+    val pack = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
     Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .withColumn("h",
-        expr("aggregate(split(w, ''), 0L, " +
-          "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .withColumn("dir", expr("2 * (shiftright(h, b) & 1) - 1"))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("dir")).as("s"))
+      .withColumn("h", polyHash(col("w")))
       .groupBy("doc_id")
-      .agg(sum(expr(s"if(s > 0, shiftleft(1L, b), 0L)")).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), pack.as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs via BANDED Hamming join: the 16-bit signature
     * splits into 4 nibbles; a pair is a candidate iff some nibble matches
-    * exactly (pigeonhole: Hamming ≤ 3 ⇒ ≥1 matching nibble when distance
-    * is spread, and ≤ 4-band recall in general) — then the true Hamming
-    * distance filters. Never an O(N²) cross join. */
+    * exactly (pigeonhole: Hamming ≤ 3 ⇒ ≥1 untouched nibble, so recall is
+    * total for the ≤3 threshold) — then the true Hamming distance filters.
+    * Never an O(N²) cross join. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhash(spark, sfDir)
+    val sig = simhash(spark, sfDir).persist()
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 4) & 15"))
@@ -140,9 +153,12 @@ object Dedup {
       col("simhash").as("sim_b"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      // hamming-filter BEFORE dedup: bit_count is codegen'd and drops the
+      // ~12M skew-inflated candidate rows to a handful, so the distinct
+      // shuffles almost nothing.
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -42,6 +42,7 @@ object Multimodal {
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")

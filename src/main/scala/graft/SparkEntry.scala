@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,7 +59,10 @@ object SparkEntry {
     "x11_token_regex" -> (TextAnalysis.tokenRegex _),
     "x12_fingerprint" -> (TextAnalysis.fingerprint _),
     "x13_media_meta" -> (Multimodal.mediaMeta _),
-    "x14_media_decode" -> (Multimodal.decodeFeatures _)
+    "x14_media_decode" -> (Multimodal.decodeFeatures _),
+    "x15_asof_join" -> (TemporalJoins.asofJoin _),
+    "x16_range_join" -> (TemporalJoins.rangeJoin _),
+    "x17_udaf_wavg" -> (Relational.udafWeightedAvg _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -545,6 +548,43 @@ object SparkEntry {
          |  CAST(CASE WHEN media_type = 'video' THEN 1 + n_bytes % 120 ELSE 1 END AS INTEGER) AS n_frames,
          |  CAST(checksum % 10000 AS DOUBLE) / 10000.0 AS feat_mean
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x15_asof_join" ->
+      """WITH views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_event_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |clicks AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id, c.ts, c.value,
+        |  coalesce(v.ts, epoch_ms(0)) AS asof_view_ts,
+        |  coalesce(v.view_event_id, -1) AS asof_view_id,
+        |  coalesce(v.view_value, 0.0) AS asof_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "x16_range_join" ->
+      """WITH views AS (SELECT user_id, ts AS vts, value FROM events
+        |               WHERE event_type = 'view'),
+        |clicks AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  COUNT(v.vts) AS n_views_1h,
+        |  CAST(SUM(CASE WHEN v.vts IS NOT NULL
+        |    THEN CAST(v.value AS DECIMAL(25,6))
+        |    ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE) AS sum_view_value_1h
+        |FROM clicks c LEFT JOIN views v
+        |  ON c.user_id = v.user_id
+        |  AND v.vts > c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "x17_udaf_wavg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS wavg_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q15_moving_avg" ->
       """WITH daily AS (

@@ -268,6 +268,22 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Custom typed UDAF ([[graft.functions.WeightedAvg]]): quantity-weighted
+    * average price per return flag. Demonstrates the Aggregator[IN,BUF,OUT]
+    * surface with a partitioning-independent (exact-decimal) buffer. */
+  def udafWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** Sketch aggregation: HyperLogLog++ approximate distincts per group —
     * the 100 TB substitute for exact COUNT(DISTINCT) when the key domain
     * is huge. No DuckDB oracle (different sketch) → rows-only check. */

@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with checkpointed intermediates needs headroom; the image
   // has 128 GiB — 8g caused GC-bound bench numbers.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // A 39-query session generates far more whole-stage-codegen classes
+  // than the 240m default code cache holds; when it fills, the JIT
+  // silently disables and interpreted-expression queries crawl (observed
+  // 15x on the HOF-heavy operators late in a bench session).
+  "-XX:ReservedCodeCacheSize=1g",
 )

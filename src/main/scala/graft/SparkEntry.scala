@@ -61,6 +61,7 @@ object SparkEntry {
     "x13_media_meta" -> (Multimodal.mediaMeta _),
     "x14_media_decode" -> (Multimodal.decodeFeatures _),
     "x15_asof_join" -> (TemporalJoins.asofJoin _),
+    "x18_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "x16_range_join" -> (TemporalJoins.rangeJoin _),
     "x17_udaf_wavg" -> (Relational.udafWeightedAvg _)
   )
@@ -578,6 +579,22 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         |  AND v.vts > c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "x18_frame_sample" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |    ${polyhashSql("text")} AS checksum
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         |  SELECT doc_id, n_bytes, checksum,
+         |    CAST(1 + n_bytes % 120 AS INTEGER) AS n_frames
+         |  FROM m)
+         |SELECT doc_id, n_bytes, n_frames,
+         |  CAST(u.i AS INTEGER) AS frame_idx,
+         |  (n_bytes // CAST(n_frames AS BIGINT)) * u.i AS byte_offset,
+         |  (checksum + u.i) % 1000000007 AS frame_sig
+         |FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 8)) AS u(i)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "x17_udaf_wavg" ->
       """SELECT l_returnflag,

@@ -64,6 +64,30 @@ object Multimodal {
         md5(col("content")).as("content_hash"))
       .orderBy("doc_id")
 
+  /** Frame sampling over video blobs: every `stride`-th frame with its
+    * byte offset and a per-frame signature — the plan shape of a
+    * frame-extraction pass (explode over a per-row frame range; no
+    * shuffle). Frame count/signature come from the deterministic fake
+    * decode, so the whole operator is oracle-checkable. */
+  def frameSample(spark: SparkSession, sfDir: String, stride: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.polyHash
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2) // media_type = video
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        polyHash(col("text")).as("checksum"))
+      .withColumn("n_frames", (lit(1) + col("n_bytes") % 120).cast("int"))
+      .withColumn("bytes_per_frame",
+        (col("n_bytes") / col("n_frames")).cast("long"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select(
+        col("doc_id"), col("n_bytes"), col("n_frames"), col("frame_idx"),
+        (col("bytes_per_frame") * col("frame_idx")).as("byte_offset"),
+        ((col("checksum") + col("frame_idx")) % 1000000007L).as("frame_sig"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The decode/feature-extract stage: `mapPartitions` so a real decoder
     * would amortize codec init per partition (the Scala analogue of a
     * pandas-batch UDF). Deterministic fake decode ⇒ rows-only check. */

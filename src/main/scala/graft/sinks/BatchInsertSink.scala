@@ -1,0 +1,173 @@
+package graft.sinks
+
+import java.io.{BufferedWriter, FileWriter}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 streaming sink (SURVEY §2.4 K1/K2): the local stand-in
+  * for the reference's batched ClickHouse INSERT protocol
+  * (`main.go:153-212`, clickhouse-go `PrepareBatch`/`Append`/`Send`).
+  *
+  *  - K1 batched insert: each task buffers rows and flushes them as one
+  *    block file (the columnar insert block analogue); `batchSize` rows
+  *    per flush mirrors the reference's 1000-row blocks.
+  *  - K2 ack-after-write: task outputs land in a staging directory;
+  *    ONLY the driver-side `commit(epochId, …)` publishes them into the
+  *    table directory (atomic renames). A failed epoch leaves nothing
+  *    visible and replays — the same at-least-once contract as ack-only-
+  *    after-successful-`Send`. Re-publishing an epoch overwrites its own
+  *    files (names are (epoch, partition, attempt-agnostic)), so replayed
+  *    epochs don't duplicate.
+  *
+  * Rows serialize as JSON lines (schema-driven; string/long/int/double/
+  * boolean/timestamp/binary). A production build swaps the serializer for
+  * the native wire protocol and nothing else changes.
+  *
+  * Usage:
+  * {{{
+  * df.writeStream.format("graft.sinks.BatchInsertSinkProvider")
+  *   .option("path", dir).option("batchSize", 1000)
+  *   .option("checkpointLocation", cp).start()
+  * }}}
+  */
+class BatchInsertSinkProvider extends TableProvider {
+  // Sink-only: schema comes from the query via LogicalWriteInfo.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new BatchInsertTable(properties.get("path"),
+      Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000))
+}
+
+final class BatchInsertTable(path: String, batchSize: Int)
+    extends Table with SupportsWrite {
+  override def name(): String = s"batch_insert($path)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.STREAMING_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new BatchInsertStreamingWrite(path, batchSize, info.schema())
+      }
+    }
+}
+
+final case class BlockFileCommit(stagedPath: String, fileName: String)
+    extends WriterCommitMessage
+
+final class BatchInsertStreamingWrite(path: String, batchSize: Int,
+    schema: StructType) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    BlockWriterFactory(path, batchSize, schema)
+
+  /** The single ack point: rename every staged block into the table dir.
+    * Until this runs, nothing is visible (ack-after-write). */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    messages.foreach {
+      case BlockFileCommit(staged, name) =>
+        Files.move(Paths.get(staged), dir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      case _ => ()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case BlockFileCommit(staged, _) => Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+}
+
+/** Serializable factory shipped to tasks (must not capture the
+  * driver-side StreamingWrite). */
+final case class BlockWriterFactory(path: String, batchSize: Int,
+    schema: StructType) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new BlockWriter(path, batchSize, schema, partitionId, epochId)
+}
+
+/** Task-side writer: buffer up to `batchSize` rows, flush each full buffer
+  * as one serialized block (the `Append`×N → `Send` loop). */
+final class BlockWriter(path: String, batchSize: Int, schema: StructType,
+    partitionId: Int, epochId: Long) extends DataWriter[InternalRow] {
+
+  private val staging = {
+    val d = Paths.get(path, "_staging")
+    Files.createDirectories(d)
+    d.resolve(f"epoch-$epochId%06d-part-$partitionId%05d.jsonl")
+  }
+  private val out = new BufferedWriter(new FileWriter(staging.toFile))
+  private val buffer = new ArrayBuffer[String](batchSize)
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private def jsonLine(row: InternalRow): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case TimestampType => row.getLong(i).toString // epoch micros
+          case BinaryType => "\"" + java.util.Base64.getEncoder
+            .encodeToString(row.getBinary(i)) + "\""
+          case other => "\"" + esc(row.get(i, other).toString) + "\""
+        }
+      "\"" + f.name + "\":" + v
+    }
+    fields.mkString("{", ",", "}")
+  }
+
+  private def flush(): Unit = {
+    buffer.foreach { l => out.write(l); out.newLine() }
+    buffer.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buffer += jsonLine(row)
+    if (buffer.size >= batchSize) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush(); out.close()
+    BlockFileCommit(staging.toString, staging.getFileName.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staging)
+  }
+
+  override def close(): Unit = ()
+}

@@ -62,6 +62,7 @@ object SparkEntry {
     "x14_media_decode" -> (Multimodal.decodeFeatures _),
     "x15_asof_join" -> (TemporalJoins.asofJoin _),
     "x18_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "x19_ann_ivf" -> (Similarity.ivfTopK _),
     "x16_range_join" -> (TemporalJoins.rangeJoin _),
     "x17_udaf_wavg" -> (Relational.udafWeightedAvg _)
   )
@@ -579,6 +580,28 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         |  AND v.vts > c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "x19_ann_ivf" -> (unitCte +
+      s""", cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT v.vec_id, v.u, c.cid, ${dotUnitSql("v.u", "c.cu")} AS cdot,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotUnitSql("v.u", "c.cu")} DESC, c.cid) AS crn
+         |  FROM unit_t v, cents c),
+         |assign AS (SELECT vec_id AS neighbor_id, cid AS cell, u AS nu
+         |           FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell, u AS qu
+         |           FROM ranked WHERE crn <= 2 AND vec_id < 10),
+         |pairs AS (
+         |  SELECT p.query_id, a.neighbor_id, p.cell,
+         |    ${dotUnitSql("p.qu", "a.nu")} AS cos
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |    AND p.query_id <> a.neighbor_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, cell, cos, rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "x18_frame_sample" ->
       s"""WITH m AS (

@@ -80,6 +80,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into Voronoi
+    * cells of [[NumCells]] deterministic centroids (the first K vectors —
+    * a stand-in for trained centroids; the plan shape is the point);
+    * a query probes its [[NumProbes]] nearest cells and ranks only those
+    * cells' members. At 100 TB the cell id is the partition key: each
+    * query touches nprobe/K of the corpus instead of all of it. */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normalized(spark, sfDir)
+    val cents = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    // assignment: nearest centroid per vector (rank 1), probe list for
+    // queries (rank <= NumProbes) — same ranking, two slices
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cdot").desc, col("cid"))
+    val ranked = e.join(broadcast(cents))
+      .withColumn("cdot", dot(col("u"), col("cu")))
+      .withColumn("crn", row_number().over(byVec))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("cell"),
+        col("u").as("nu"))
+    val probes = ranked.filter(col("crn") <= NumProbes && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+        col("u").as("qu"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(assign, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qu"), col("nu")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "cell", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  val NumCells = 16
+  private val NumProbes = 2
+
   /** Embedding-cosine near-duplicate pairs. Correctness baseline is the
     * triangular all-pairs compare (one codegen'd dot per pair over unit
     * vectors); the LSH variant above is the 100 TB shape — see SURVEY.md

@@ -1,10 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.model.Schemas
 import graft.pipeline.{Ingest, Views}
+
+/** Typed envelope row (mirrors [[Schemas.envelope]]). */
+case class EnvelopeRow(subject: String, data: String,
+  metaTimestamp: java.sql.Timestamp, streamSeq: Long)
+
+/** Custom per-key state for [[NatsLikeStream.sequenceGaps]]. */
+case class SeqState(lastSeq: Long, total: Long, gaps: Long)
+
+/** One progress report per key per micro-batch. */
+case class SeqReport(key: String, batchRows: Long, total: Long,
+  lastSeq: Long, gaps: Long)
 
 /** The reference service as a Structured Streaming pipeline
   * (SURVEY.md §2.1–§2.4, §3.2–§3.3).
@@ -110,6 +121,37 @@ object NatsLikeStream {
         approx_count_distinct(col("streamSeq")).as("approx_seqs"))
       .select(col("win.start").as("hour_start"), col("stream"),
         col("n_msgs"), col("approx_seqs"))
+
+  /** Custom stateful operator via `flatMapGroupsWithState` (the tool the
+    * built-in aggregations can't replace): per-stream sequence-gap
+    * monitoring. The reference's delivery is at-least-once with possible
+    * redelivery and loss-on-misack; this operator tracks the last seen
+    * JetStream sequence per stream (2nd subject segment) across
+    * micro-batches and reports holes — arbitrary keyed state, checkpointed
+    * and restored like any other streaming state. Emits one report per
+    * key per batch (Update mode). */
+  def sequenceGaps(spark: SparkSession, envelopes: DataFrame)
+      : Dataset[SeqReport] = {
+    import spark.implicits._
+    envelopes.as[EnvelopeRow]
+      .groupByKey(e => e.subject.split("\\.", 3).take(2).mkString("."))
+      .flatMapGroupsWithState[SeqState, SeqReport](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[SeqState]) =>
+          val prev = state.getOption.getOrElse(SeqState(-1L, 0L, 0L))
+          // order within the batch so gap counting is deterministic
+          val seqs = rows.map(_.streamSeq).toSeq.sorted
+          var last = prev.lastSeq
+          var gaps = prev.gaps
+          seqs.foreach { s =>
+            if (last >= 0 && s > last + 1) gaps += s - last - 1
+            if (s > last) last = s
+          }
+          val next = SeqState(last, prev.total + seqs.size, gaps)
+          state.update(next)
+          Iterator(SeqReport(key, seqs.size.toLong, next.total, next.lastSeq, next.gaps))
+      }
+  }
 
   /** Streaming session windows (30-min gap) over the envelope stream —
     * `session_window` keeps per-key state bounded by the watermark; the

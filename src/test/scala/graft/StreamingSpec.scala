@@ -101,6 +101,44 @@ class StreamingSpec extends SparkSpec {
       Seq("hour_start", "stream", "n_msgs", "approx_seqs"))
   }
 
+  test("sequenceGaps: custom keyed state persists across micro-batches and counts holes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("graft_gaps_cp").toString
+    val src = MemoryStream[Env]
+    val reports = new scala.collection.concurrent.TrieMap[Long, Array[org.apache.spark.sql.Row]]()
+    def run(): Unit = {
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val q = NatsLikeStream.sequenceGaps(spark, src.toDF())
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.SeqReport], id: Long) =>
+          reports.put(id, ds.toDF().collect()); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: contiguous sequences 0..9 on one stream
+    src.addData((0L until 10L).map(i =>
+      Env("globex.supprt.u1", "{}", java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), i)): _*)
+    run()
+    val r1 = reports.values.flatten
+      .filter(_.getAs[String]("key") == "globex.supprt").maxBy(_.getAs[Long]("total"))
+    assert(r1.getAs[Long]("total") === 10)
+    assert(r1.getAs[Long]("gaps") === 0)
+    // batch 2: sequences 12..15 — sequence 10 and 11 were lost
+    src.addData((12L until 16L).map(i =>
+      Env("globex.supprt.u9", "{}", java.sql.Timestamp.valueOf("2024-01-15 10:10:00"), i)): _*)
+    run()
+    val r2 = reports.values.flatten
+      .filter(_.getAs[String]("key") == "globex.supprt").maxBy(_.getAs[Long]("total"))
+    assert(r2.getAs[Long]("total") === 14)
+    assert(r2.getAs[Long]("lastSeq") === 15)
+    assert(r2.getAs[Long]("gaps") === 2)
+  }
+
   test("windowedCounts batch flavor aggregates per hour and stream") {
     import spark.implicits._
     val batch = envs(0, 30).toDF()

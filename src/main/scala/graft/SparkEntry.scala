@@ -45,6 +45,8 @@ object SparkEntry {
     "q14_sessionize" -> (Relational.sessionize _),
     "q15_moving_avg" -> (Relational.movingAvg _),
     "q16_approx_distinct" -> (Relational.approxDistinct _),
+    "q17_pivot" -> (Relational.pivotAgg _),
+    "q18_percentiles" -> (Relational.percentiles _),
     // — LLM-pipeline extensions (SURVEY §7.2 step 5 / north star) —
     "x1_dedup_exact" -> (Dedup.exact _),
     "x2_minhash_lsh" -> (Dedup.minhashLsh _),
@@ -358,6 +360,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q17_pivot" ->
+      """SELECT o_orderpriority,
+        |  coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS sum_f,
+        |  coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS sum_o,
+        |  coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS sum_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  quantile_cont(l_discount, 0.25) AS p25_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "x1_dedup_exact" ->
       """WITH d AS (

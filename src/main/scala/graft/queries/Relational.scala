@@ -268,6 +268,32 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Pivot: order-status columns per priority (grouping-to-columns
+    * reshaping; explicit value list so the plan needs no discovery pass —
+    * at scale an unlisted pivot would scan twice). */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .na.fill(0.0)
+      .withColumnRenamed("F", "sum_f")
+      .withColumnRenamed("O", "sum_o")
+      .withColumnRenamed("P", "sum_p")
+      .orderBy("o_orderpriority")
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ ANSI
+    * PERCENTILE_CONT): the exact-quantile counterpart of the q16 sketch. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_discount, 0.25)").as("p25_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Custom typed UDAF ([[graft.functions.WeightedAvg]]): quantity-weighted
     * average price per return flag. Demonstrates the Aggregator[IN,BUF,OUT]
     * surface with a partitioning-independent (exact-decimal) buffer. */

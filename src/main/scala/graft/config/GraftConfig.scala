@@ -47,8 +47,22 @@ object GraftConfig {
         (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
       else t
     }
+    // Strip comments quote-aware: a '#' inside a quoted scalar (e.g. a
+    // password or URL fragment) is content, not a comment.
+    def stripComment(raw: String): String = {
+      var quote: Char = 0
+      val b = new StringBuilder
+      var done = false
+      for (c <- raw if !done) {
+        if (quote != 0) { if (c == quote) quote = 0; b.append(c) }
+        else if (c == '"' || c == '\'') { quote = c; b.append(c) }
+        else if (c == '#') done = true
+        else b.append(c)
+      }
+      b.toString
+    }
     for (raw <- lines) {
-      val line = raw.takeWhile(_ != '#')
+      val line = stripComment(raw)
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         val indented = line.startsWith(" ") || line.startsWith("\t")

@@ -83,12 +83,15 @@ object Dedup {
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // NOT broadcast: the shingle table is corpus-sized, never a dimension.
+    // The candidate set is tiny after the band join, so these are cheap
+    // shuffle joins on doc ids (AQE may still choose broadcast from stats).
     a.join(b, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
-      .join(broadcast(shA), "doc_a")
-      .join(broadcast(shB), "doc_b")
+      .join(shA, "doc_a")
+      .join(shB, "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",

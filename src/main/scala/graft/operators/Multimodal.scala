@@ -22,6 +22,17 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
     width: Int, height: Int, n_frames: Int, feat_mean: Double)
 
+  /** Video blobs pretend-decode to `1 + n_bytes % VideoFrameMod` frames —
+    * shared by [[FakeDecoder.decode]] and the SQL-side [[frameSample]]. */
+  val VideoFrameMod = 120
+
+  /** doc_id → media_type assignment, shared by [[mediaTable]] and the
+    * SQL-side operators so the rule can't silently diverge. */
+  def mediaTypeOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(docId % 3 === 0, "image")
+      .when(docId % 3 === 1, "audio")
+      .otherwise("video")
+
   /** STUB decoder — deterministic fake standing in for the real codec. */
   object FakeDecoder {
     /** Pretend-decode a blob: dimensions and a feature statistic derived
@@ -31,7 +42,7 @@ object Multimodal {
       val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
       val width = 16 + (checksum % 624).toInt
       val height = 16 + ((checksum / 624) % 464).toInt
-      val frames = if (mediaType == "video") 1 + (n % 120) else 1
+      val frames = if (mediaType == "video") 1 + (n % VideoFrameMod) else 1
       val featMean = (checksum % 10000).toDouble / 10000.0
       (width, height, frames, featMean)
     }
@@ -45,9 +56,7 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_type"),
+        mediaTypeOf(col("doc_id")).as("media_type"),
         col("text").cast("binary").as("content"))
       .as[MediaRow]
   }
@@ -68,15 +77,20 @@ object Multimodal {
     * byte offset and a per-frame signature — the plan shape of a
     * frame-extraction pass (explode over a per-row frame range; no
     * shuffle). Frame count/signature come from the deterministic fake
-    * decode, so the whole operator is oracle-checkable. */
+    * decode, so the whole operator is oracle-checkable.
+    *
+    * Caveat: the SQL-side checksum folds CHARACTERS ([[graft.functions.TextFunctions.polyHash]])
+    * while [[FakeDecoder]] folds raw bytes — identical only while the
+    * corpus is ASCII (it is; both oracles rely on it). */
   def frameSample(spark: SparkSession, sfDir: String, stride: Int = 8): DataFrame = {
     import graft.functions.TextFunctions.polyHash
     Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 3 === 2) // media_type = video
+      .filter(mediaTypeOf(col("doc_id")) === "video")
       .select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         polyHash(col("text")).as("checksum"))
-      .withColumn("n_frames", (lit(1) + col("n_bytes") % 120).cast("int"))
+      .withColumn("n_frames",
+        (lit(1) + col("n_bytes") % VideoFrameMod).cast("int"))
       .withColumn("bytes_per_frame",
         (col("n_bytes") / col("n_frames")).cast("long"))
       .withColumn("frame_idx",

@@ -94,8 +94,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         polyHash(col("text")).as("fp"),
-        expr("aggregate(split(concat_ws(' ', split(text, ' +')), ''), 0L, " +
-          "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp_norm"),
+        polyHash(concat_ws(" ", split(col("text"), " +"))).as("fp_norm"),
         minhash(shingles(col("text")), 0).as("fp_minhash"))
       .orderBy("doc_id")
 }

@@ -63,6 +63,8 @@ final class BatchInsertTable(path: String, batchSize: Int)
     }
 }
 
+/** stagedPath includes the task attempt id; fileName is the attempt-
+  * agnostic published name, so a replayed epoch overwrites itself. */
 final case class BlockFileCommit(stagedPath: String, fileName: String)
     extends WriterCommitMessage
 
@@ -99,18 +101,24 @@ final case class BlockWriterFactory(path: String, batchSize: Int,
     schema: StructType) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new BlockWriter(path, batchSize, schema, partitionId, epochId)
+    new BlockWriter(path, batchSize, schema, partitionId, taskId, epochId)
 }
 
 /** Task-side writer: buffer up to `batchSize` rows, flush each full buffer
   * as one serialized block (the `Append`×N → `Send` loop). */
 final class BlockWriter(path: String, batchSize: Int, schema: StructType,
-    partitionId: Int, epochId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, epochId: Long)
+    extends DataWriter[InternalRow] {
 
+  /** Published (attempt-agnostic) block name: replayed epochs overwrite. */
+  private val published = f"epoch-$epochId%06d-part-$partitionId%05d.jsonl"
+
+  /** Staged per-ATTEMPT (taskId) so a retried/speculative attempt never
+    * clobbers another attempt's file, and abort() deletes only its own. */
   private val staging = {
     val d = Paths.get(path, "_staging")
     Files.createDirectories(d)
-    d.resolve(f"epoch-$epochId%06d-part-$partitionId%05d.jsonl")
+    d.resolve(f"epoch-$epochId%06d-part-$partitionId%05d-task-$taskId.jsonl")
   }
   private val out = new BufferedWriter(new FileWriter(staging.toFile))
   private val buffer = new ArrayBuffer[String](batchSize)
@@ -137,7 +145,11 @@ final class BlockWriter(path: String, batchSize: Int, schema: StructType,
           case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
-          case DoubleType => row.getDouble(i).toString
+          case DoubleType =>
+            val d = row.getDouble(i)
+            // NaN/Infinity are not valid JSON tokens; surface them as null
+            // rather than emitting lines a strict consumer would reject
+            if (java.lang.Double.isFinite(d)) d.toString else "null"
           case BooleanType => row.getBoolean(i).toString
           case TimestampType => row.getLong(i).toString // epoch micros
           case BinaryType => "\"" + java.util.Base64.getEncoder
@@ -161,7 +173,7 @@ final class BlockWriter(path: String, batchSize: Int, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     flush(); out.close()
-    BlockFileCommit(staging.toString, staging.getFileName.toString)
+    BlockFileCommit(staging.toString, published)
   }
 
   override def abort(): Unit = {

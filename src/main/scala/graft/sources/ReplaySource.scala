@@ -77,15 +77,24 @@ final class ReplayMicroBatchStream(path: String, maxRows: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Files in deterministic name order with their line counts — the
-    * "stream backlog" index. Built once on the driver (metadata only). */
+    * "stream backlog" index. Built once on the driver (metadata only).
+    *
+    * Contract: the backlog is a STATIC replay fixture — offsets are global
+    * line positions over this name-sorted list, so adding or removing
+    * files under an existing checkpoint would remap committed offsets.
+    * (A live NATS source has no such caveat: its offsets are the broker's
+    * absolute stream sequences.) Append new data as files that sort AFTER
+    * the existing ones, or use a fresh checkpoint. */
   private lazy val files: Seq[(String, Long)] = {
     val p = Paths.get(path)
     val all =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p)
+        try stream.iterator().asScala.toSeq
           .filter(f => f.toString.endsWith(".json") || f.toString.endsWith(".jsonl"))
           .sortBy(_.getFileName.toString)
-      else Seq(p)
+        finally stream.close()
+      } else Seq(p)
     all.map { f =>
       var n = 0L
       val r = new BufferedReader(new FileReader(f.toFile))
@@ -113,12 +122,15 @@ final class ReplayMicroBatchStream(path: String, maxRows: Int)
   /** B2: admit at most the read limit's row count per trigger. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ReplayOffset].rows
-    val cap = limit match {
-      case m: ReadMaxRows => m.maxRows()
-      case _ => Long.MaxValue
-    }
     val end = availableNowEnd.getOrElse(totalRows)
-    ReplayOffset(math.min(end, math.addExact(from, cap)))
+    val capped = limit match {
+      // overflow-safe: compare against the remaining row count instead of
+      // computing from + maxRows (maxRows may be huge)
+      case m: ReadMaxRows =>
+        if (m.maxRows() >= end - from) end else from + m.maxRows()
+      case _ => end // allAvailable / composite limits: drain to the end
+    }
+    ReplayOffset(capped)
   }
 
   override def reportLatestOffset(): Offset = ReplayOffset(totalRows)

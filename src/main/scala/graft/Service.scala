@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.config.GraftConfig
+import graft.streaming.NatsLikeStream
+
+/** The reference service's `main` (`main.go:30-104`), assembled from this
+  * library's parts: config load (+env overrides) → source connect →
+  * continuous pipeline → batched sink → block until termination.
+  *
+  * Usage:
+  * {{{
+  * sbt "runMain graft.Service --config nats.yml --backlog <jsonl dir> \
+  *   --warehouse <out dir> [--once]"
+  * }}}
+  *
+  * With a live NATS deployment, the backlog source is replaced by the
+  * real connector and `clickhouse.url` feeds a JDBC/native sink — the
+  * pipeline in between is unchanged.
+  */
+object Service {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap ++ (if (args.contains("--once")) Map("once" -> "true") else Map.empty)
+
+    val cfg = opts.get("config") match {
+      case Some(path) => GraftConfig.load(path) match {
+        case Right(c) => c
+        case Left(err) => System.err.println(err); sys.exit(1)
+      }
+      case None => GraftConfig("", "", "text", "info",
+        Seq("globex.supprt.>", "globex.crmabc.>"))
+    }
+    val backlog = opts.getOrElse("backlog", "/tmp/graft_backlog")
+    val warehouse = opts.getOrElse("warehouse", "/tmp/graft_warehouse")
+
+    // ConfigBanner (logger.go:36-52): surface the effective configuration
+    println(s"[graft] nats.url=${cfg.natsUrl} clickhouse.url=${cfg.clickhouseUrl}")
+    println(s"[graft] subjects=${cfg.subjects.mkString(",")} backlog=$backlog warehouse=$warehouse")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-service")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val envelopes = spark.readStream
+      .format("graft.sources.ReplayStreamProvider")
+      .option("path", backlog)
+      .option("maxRowsPerTrigger", NatsLikeStream.MaxRowsPerTrigger)
+      .load()
+    val trigger =
+      if (opts.contains("once")) Trigger.AvailableNow()
+      else NatsLikeStream.BatchTimeout
+    val query = NatsLikeStream.start(
+      envelopes, warehouse, s"$warehouse/_checkpoint", trigger)
+
+    // B4: SIGTERM/SIGINT → graceful stop; checkpoint replays the tail.
+    sys.addShutdownHook { if (query.isActive) query.stop() }
+    query.awaitTermination()
+    spark.stop()
+  }
+}

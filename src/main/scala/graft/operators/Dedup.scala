@@ -83,15 +83,17 @@ object Dedup {
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    // NOT broadcast: the shingle table is corpus-sized, never a dimension.
-    // The candidate set is tiny after the band join, so these are cheap
-    // shuffle joins on doc ids (AQE may still choose broadcast from stats).
-    a.join(b, Seq("band", "h"))
+    val cand = a.join(b, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
-      .join(shA, "doc_a")
-      .join(shB, "doc_b")
+    // Broadcast the CANDIDATE side (tiny after the band join) and stream
+    // the corpus-sized shingle table through it — the corpus is never
+    // collected, shuffled, or sorted. The intermediate (candidates +
+    // sh_a) is still candidate-sized, so it broadcasts for the second
+    // fetch too.
+    val withA = shA.join(broadcast(cand), "doc_a")
+    shB.join(broadcast(withA), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",

@@ -23,6 +23,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(r(2).getDouble(1) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("codegen'd VecDot is bit-identical to the interpreted HOF fold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 200).map(_ =>
+      (Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("fast"), dotHof(col("a"), col("b")).as("ref"))
+    // exact equality: same left-to-right IEEE accumulation order
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("lshSignature: same vector → same bucket; opposite vectors differ") {
     import spark.implicits._
     val v = (0 until 64).map(i => (i % 7 - 3).toFloat).toArray

@@ -1,0 +1,71 @@
+package graft.config
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties (SURVEY §5.4) for the pure-JVM components —
+  * totality and invariants under arbitrary input. (Spark-side semantics
+  * are property-tested against model folds in [[PropertySpec]] over a
+  * deterministic generated corpus; running a SparkSession per ScalaCheck
+  * sample would be prohibitively slow.) */
+object GraftProperties extends Properties("graft") {
+
+  private val anyLines: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("nats:", "  url: \"x\"", "subjects:", "  - \"a.b.>\"", "", "# c"),
+      Gen.const("key: value # comment")))
+
+  property("config parser is total (never throws) on arbitrary lines") =
+    forAll(anyLines) { lines =>
+      GraftConfig.parseYamlSubset(lines)
+      true // reaching here = no exception; Left(...) is a valid outcome
+    }
+
+  property("env override always wins over file value") =
+    forAll(Gen.identifier, Gen.asciiPrintableStr.suchThat(_.nonEmpty)) { (k, v) =>
+      val yml = Seq("nats:", s"  url: \"file-value\"")
+      val env = Map("NATS_URL" -> v)
+      GraftConfig.load({
+        val f = java.nio.file.Files.createTempFile("p", ".yml")
+        java.nio.file.Files.writeString(f, yml.mkString("\n"))
+        f.toString
+      }, env).toOption.get.natsUrl == v
+    }
+
+  property("sink URL parse: round-trippable URLs parse to their parts") =
+    forAll(Gen.identifier, Gen.identifier, Gen.identifier,
+      Gen.choose(1, 65535)) { (u, p, h, port) =>
+      GraftConfig.parseSinkUrl(s"ch://$u:$p@$h:$port") ==
+        Right(GraftConfig.SinkConn(u, p, h, port))
+    }
+
+  property("quoted '#' survives comment stripping") =
+    forAll(Gen.asciiPrintableStr.suchThat(s => !s.contains('"') && !s.contains('\''))) { s =>
+      val lines = Seq("nats:", s"""  url: "$s#frag"""")
+      GraftConfig.parseYamlSubset(lines) match {
+        case Right((kv, _)) => kv.get("nats.url").contains(s + "#frag")
+        case Left(_) => false
+      }
+    }
+
+  /** Model JSON-string escaper equivalent to the one in Verify.q and the
+    * sink's BlockWriter.esc: output must parse back to the input. */
+  property("json escaping round-trips through a strict parser") =
+    forAll(Gen.asciiStr) { s =>
+      def esc(x: String): String = x.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readTree("{\"v\":\"" + esc(s) + "\"}").get("v").asText() == s
+    }
+
+  // keep Prop referenced so the import is legitimate even if properties change
+  locally { val _ = Prop }
+}

@@ -21,9 +21,22 @@ import graft.streaming.NatsLikeStream
   */
 object Service {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ (if (args.contains("--once")) Map("once" -> "true") else Map.empty)
+    // Fold-based flag parsing: only value-taking keys consume the next
+    // token, so the valueless --once works in ANY position (a pairwise
+    // sliding would mis-pair everything after a non-trailing --once).
+    val valueKeys = Set("config", "backlog", "warehouse")
+    val opts = {
+      @annotation.tailrec
+      def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+        rest match {
+          case k :: v :: tail if k.startsWith("--") && valueKeys(k.drop(2)) =>
+            loop(tail, acc + (k.drop(2) -> v))
+          case "--once" :: tail => loop(tail, acc + ("once" -> "true"))
+          case _ :: tail => loop(tail, acc)
+          case Nil => acc
+        }
+      loop(args.toList, Map.empty)
+    }
 
     val cfg = opts.get("config") match {
       case Some(path) => GraftConfig.load(path) match {

@@ -416,21 +416,25 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.02
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // Mirrors Dedup.ngramJaccardFrom: n carried through the explode, and
+    // the stop-shingle cut (df <= MaxShingleDf) applied before the join.
     "x3_ngram_jaccard" -> (shingleCte +
-      """, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS inter
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
-        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.03
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      s""", ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s
+         |         FROM sh WHERE len(sh) > 0),
+         |cut AS (SELECT doc_id, n, s FROM (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex)
+         |  WHERE df <= ${graft.operators.Dedup.MaxShingleDf}),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter,
+         |    MAX(a.n) AS n_a, MAX(b.n) AS n_b
+         |  FROM cut a JOIN cut b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, n_a, n_b,
+         |  CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.03
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "x4_simhash" -> (simhashCte +
       """SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
@@ -481,12 +485,22 @@ object SparkEntry {
          |SELECT sig, query_id, neighbor_id, cos, rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
+    // Mirrors Similarity.embeddingDups: multi-probe IVF candidates (top-2
+    // cells of 16) + exact cosine verify on the deduped pair set.
     "x8_embedding_dups" -> (unitCte +
-      s""", a AS (SELECT vec_id AS id_a, u AS ua FROM unit_t),
-         |b AS (SELECT vec_id AS id_b, u AS ub FROM unit_t),
+      s""", cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT v.vec_id, v.u, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotUnitSql("v.u", "c.cu")} DESC, c.cid) AS crn
+         |  FROM unit_t v, cents c),
+         |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |p AS (
-         |  SELECT id_a, id_b, ${dotUnitSql("ua", "ub")} AS cos
-         |  FROM a JOIN b ON id_a < id_b)
+         |  SELECT id_a, id_b, ${dotUnitSql("ua.u", "ub.u")} AS cos
+         |  FROM cand JOIN unit_t ua ON ua.vec_id = id_a
+         |            JOIN unit_t ub ON ub.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35
          |ORDER BY id_a, id_b""".stripMargin),
 

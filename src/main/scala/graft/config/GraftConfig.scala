@@ -112,13 +112,31 @@ object GraftConfig {
   final case class SinkConn(user: String, password: String,
       host: String, port: Int,
       dialTimeoutSec: Int = 30, maxExecutionTimeSec: Int = 60,
-      compression: String = "lz4")
+      compression: String = "lz4") {
+
+    /** The client settings as sink options — what
+      * `graft.sinks.BatchInsertSinkProvider` consumes, so the `ch://` URL's
+      * connection semantics round-trip into the actual write path. */
+    def writerOptions: Map[String, String] = Map(
+      "compression" -> compression,
+      "maxExecutionTimeSec" -> maxExecutionTimeSec.toString,
+      "dialTimeoutSec" -> dialTimeoutSec.toString)
+  }
 
   def parseSinkUrl(url: String): Either[String, SinkConn] = {
     val re = "^[a-z]+://([^:@/]+)(?::([^@/]*))?@([^:/]+):([0-9]+)$".r
     url match {
       case re(user, pass, host, port) =>
-        Right(SinkConn(user, Option(pass).getOrElse(""), host, port.toInt))
+        // Unbounded digit runs overflow toInt; out-of-range ports are a
+        // parse error (Left), not an exception — the reference exits with
+        // a parse error on a bad DSN.
+        Try(port.toInt).toEither.left.map(_ => "").flatMap {
+          case p if p >= 1 && p <= 65535 => Right(p)
+          case _ => Left("")
+        } match {
+          case Right(p) => Right(SinkConn(user, Option(pass).getOrElse(""), host, p))
+          case Left(_) => Left(s"failed to parse ClickHouse URL: $url")
+        }
       case _ => Left(s"failed to parse ClickHouse URL: $url")
     }
   }

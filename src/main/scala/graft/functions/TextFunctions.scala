@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSql
 import org.apache.spark.sql.functions._
+import graft.expressions.PolyHash
 
 /** Text-analysis primitives for the LLM-data-pipeline extensions, built
   * exclusively from codegen'd built-ins / higher-order functions — no UDFs,
@@ -19,8 +21,16 @@ object TextFunctions {
 
   /** Rolling polynomial hash over characters:
     * h_0 = 0; h_{i+1} = (31·h_i + ascii(c_i)) mod 1e9+7.
-    * A document fingerprint usable for grouping/sharding; stays in a long. */
+    * A document fingerprint usable for grouping/sharding; stays in a long.
+    * Codegen'd ([[graft.expressions.PolyHash]]); [[polyHashHof]] is the
+    * reference fold it must match bit-for-bit. */
   def polyHash(text: Column): Column =
+    GraftSql.column(PolyHash(GraftSql.expression(text)))
+
+  /** Reference interpreted fold for [[polyHash]] (kept for the identity
+    * spec; do not use on hot paths — it evaluates a boxed lambda per
+    * character). */
+  def polyHashHof(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
 

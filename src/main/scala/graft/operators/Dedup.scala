@@ -29,15 +29,29 @@ object Dedup {
 
   private val NumMinhashes = 6
 
-  /** (doc_id, sh) with non-empty shingle sets. The scan is repartitioned
-    * first: locally `documents` is a single parquet split and the shingle
-    * lambdas would otherwise run on ONE core — at scale the many input
-    * splits provide this parallelism for free. */
-  private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+  /** Stop-shingle document-frequency cut for [[ngramJaccard]]: shingles
+    * appearing in more than this many documents are dropped before the
+    * inverted-index join. A shingle with document frequency f contributes
+    * f·(f−1)/2 candidate rows, so one boilerplate phrase shared by a
+    * million documents would otherwise explode quadratically inside a
+    * single join key. At the current test corpora the max DF is 25, so the
+    * cut is a pure scale guard (results unchanged); a production corpus
+    * would set it per-corpus (e.g. a few ppm of N). */
+  private[graft] val MaxShingleDf = 32
+
+  /** (doc_id, sh) with non-empty shingle sets, from an arbitrary
+    * (doc_id, text) relation — the testable core. */
+  private[graft] def shingleTableFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** [[shingleTableFrom]] over the `documents` table. The scan is
+    * repartitioned first: locally `documents` is a single parquet split
+    * and the shingle lambdas would otherwise run on ONE core — at scale
+    * the many input splits provide this parallelism for free. */
+  private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
+    shingleTableFrom(Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism))
 
   /** Exact dedup via content digest, plus a relaxed prefix-key variant
     * (first 5 tokens) — both as window functions over the hash partition,
@@ -64,21 +78,31 @@ object Dedup {
     * over the shingle sets — the classic generate→verify LSH shape. Only
     * candidate pairs ever pay the Jaccard cost.
     *
-    * The signature is computed row-wise: shingles explode to (doc, seed,
-    * shingle) rows so the seeded md5 runs as a codegen'd projection (not
-    * inside an interpreted HOF lambda — ~5× on this stage), and the band
-    * minimum is a partial-aggregated `min`. Values are identical to
-    * `array_min(transform(sh, md5(...)))`. */
+    * The signature is computed row-wise: shingles explode ONCE to (doc,
+    * shingle) rows, each row computes all six seeded md5s as codegen'd
+    * projections (not interpreted HOF lambdas — ~5× on this stage), and
+    * ONE groupBy(doc_id) takes the six band minimums together — 6× fewer
+    * rows through the aggregation's sort/exchange than a per-band
+    * explode. The tiny post-agg result unpivots back to (doc, band, h).
+    * Values are identical to `array_min(transform(sh, md5(...)))`. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleTable(spark, sfDir)
-    val bands = sh
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(NumMinhashes - 1))).as("band"),
-        col("sh"))
-      .select(col("doc_id"), col("band"), explode(col("sh")).as("s"))
-      .withColumn("hs", md5(concat(lit("s"), col("band"), lit(":"), col("s"))))
-      .groupBy("doc_id", "band")
-      .agg(min(col("hs")).as("h"))
+    val minCols = (0 until NumMinhashes).map(b =>
+      min(md5(concat(lit(s"s$b:"), col("s")))).as(s"h$b"))
+    // The signature table is O(N) SMALL (one row per doc, 6 digests) but
+    // expensive to build (all shingle md5s), and the band self-join reads
+    // it twice — when the join resolves as broadcast the two sides cannot
+    // share a ReusedExchange, so without materialization the whole
+    // signature pipeline runs twice. Persist is the same answer a cluster
+    // deployment uses (signatures as a materialized/bucketed temp table).
+    val mins = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = mins.select(col("doc_id"), explode(array(
+        (0 until NumMinhashes).map(b =>
+          struct(lit(b).as("band"), col(s"h$b").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -87,13 +111,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
-    // Broadcast the CANDIDATE side (tiny after the band join) and stream
-    // the corpus-sized shingle table through it — the corpus is never
-    // collected, shuffled, or sorted. The intermediate (candidates +
-    // sh_a) is still candidate-sized, so it broadcasts for the second
-    // fetch too.
-    val withA = shA.join(broadcast(cand), "doc_a")
-    shB.join(broadcast(withA), "doc_b")
+    // Shingle fetch for the verify stage: UNHINTED equi-joins on the doc
+    // id. The candidate set is data-dependent (unbounded on a self-similar
+    // corpus), so it must never be force-broadcast; both joins sit behind
+    // shuffles, which lets AQE pick broadcast-hash at runtime when the
+    // candidate side's measured size permits — and degrade to a shuffled
+    // join when it doesn't, instead of OOMing the driver.
+    val withA = shA.join(cand, "doc_a")
+    shB.join(withA, "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
@@ -105,22 +130,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard over ALL overlapping pairs via an inverted-index
-    * join on the shingle (the scalable alternative to a cross join: the
-    * shuffle key is the shingle, intersection counts fall out of a
-    * groupBy). */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingleTable(spark, sfDir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") &&
+  /** n-gram Jaccard over ALL overlapping pairs via an inverted-index join
+    * on the shingle (the scalable alternative to a cross join: the shuffle
+    * key is the shingle, intersection counts fall out of a groupBy).
+    *
+    * Scale shape, in order:
+    *  - the set size `n` is computed BEFORE the explode and carried
+    *    through it, so no corpus-sized `sizes` join exists at all;
+    *  - stop-shingles (document frequency > [[MaxShingleDf]]) are cut via
+    *    a window count over the shingle partition — the same shuffle key
+    *    the self-join needs, so the exchange is reused — bounding every
+    *    join key's candidate fan-out to MaxShingleDf²/2;
+    *  - the self-join and the (doc_a, doc_b) groupBy are the only other
+    *    shuffles.
+    *
+    * Intersections are counted over the surviving shingles, so on a corpus
+    * where the cut fires the score lower-bounds true Jaccard (standard
+    * stop-shingle practice); at the test corpora the max DF is under the
+    * cut and the result is exact. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardFrom(Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation. */
+  private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame = {
+    val ex = shingleTableFrom(docs)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("s"))
+    // Materialized once: both self-join sides read it, and a broadcast
+    // resolution of the join would otherwise recompute the shingle
+    // explode + DF window on each side. (At cluster scale this is the
+    // inverted index itself — the thing you'd keep as a bucketed table.)
+    val cut = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= MaxShingleDf)
+      .select("doc_id", "n", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cut.as("a")
+      .join(cut.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
@@ -154,7 +205,10 @@ object Dedup {
     * total for the ≤3 threshold) — then the true Hamming distance filters.
     * Never an O(N²) cross join. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // Same materialization rationale as minhashLsh: O(N)-small signature
+    // table, expensive to build, read by both sides of the banded join.
     val sig = simhash(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 4) & 15"))

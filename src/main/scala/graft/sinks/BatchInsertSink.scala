@@ -1,9 +1,11 @@
 package graft.sinks
 
-import java.io.{BufferedWriter, FileWriter}
+import java.io.{BufferedWriter, FileOutputStream, IOException, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.collection.mutable.ArrayBuffer
 
+import net.jpountz.lz4.LZ4BlockOutputStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -14,7 +16,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 streaming sink (SURVEY §2.4 K1/K2): the local stand-in
   * for the reference's batched ClickHouse INSERT protocol
-  * (`main.go:153-212`, clickhouse-go `PrepareBatch`/`Append`/`Send`).
+  * (`main.go:153-212`, clickhouse-go `PrepareBatch`/`Append`/`Send`),
+  * carrying the reference connection's client settings
+  * (`connection/connection.go:46-76`):
   *
   *  - K1 batched insert: each task buffers rows and flushes them as one
   *    block file (the columnar insert block analogue); `batchSize` rows
@@ -26,6 +30,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    after-successful-`Send`. Re-publishing an epoch overwrites its own
   *    files (names are (epoch, partition, attempt-agnostic)), so replayed
   *    epochs don't duplicate.
+  *  - `compression=lz4` (default, `connection.go:58-60`): blocks are
+  *    LZ4-framed on the wire; here each block file is written through
+  *    `LZ4BlockOutputStream` (the codec Spark ships) as `.jsonl.lz4`.
+  *  - `maxExecutionTimeSec` (default 60, `connection.go:55-57`): the
+  *    server-side query ceiling becomes a writer-side ceiling — a task
+  *    whose write exceeds it aborts the epoch instead of hanging.
+  *  - ping-on-open (`connection.go:69-72`): the write path is probed when
+  *    the write is built, so an unreachable/unwritable target fails the
+  *    query at start, not at first epoch commit.
   *
   * Rows serialize as JSON lines (schema-driven; string/long/int/double/
   * boolean/timestamp/binary). A production build swaps the serializer for
@@ -35,6 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   * df.writeStream.format("graft.sinks.BatchInsertSinkProvider")
   *   .option("path", dir).option("batchSize", 1000)
+  *   .options(sinkConn.writerOptions)   // from a ch:// URL
   *   .option("checkpointLocation", cp).start()
   * }}}
   */
@@ -44,11 +58,15 @@ class BatchInsertSinkProvider extends TableProvider {
     new StructType()
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new BatchInsertTable(properties.get("path"),
-      Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000))
+    new BatchInsertTable(
+      properties.get("path"),
+      Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000),
+      Option(properties.get("compression")).getOrElse("lz4"),
+      Option(properties.get("maxExecutionTimeSec")).map(_.toInt).getOrElse(60))
 }
 
-final class BatchInsertTable(path: String, batchSize: Int)
+final class BatchInsertTable(path: String, batchSize: Int,
+    compression: String, maxExecutionTimeSec: Int)
     extends Table with SupportsWrite {
   override def name(): String = s"batch_insert($path)"
   override def schema(): StructType = new StructType()
@@ -57,8 +75,22 @@ final class BatchInsertTable(path: String, batchSize: Int)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite =
-          new BatchInsertStreamingWrite(path, batchSize, info.schema())
+        override def toStreaming: StreamingWrite = {
+          // Ping (connection.go:69-72): prove the target accepts writes
+          // BEFORE any epoch runs — create the dir and round-trip a probe
+          // file, failing the query at start() on an unusable target.
+          val dir = Paths.get(path)
+          try {
+            Files.createDirectories(dir)
+            val probe = Files.createTempFile(dir, "_ping", "")
+            Files.delete(probe)
+          } catch {
+            case e: Exception =>
+              throw new IOException(s"sink ping failed for $path: $e")
+          }
+          new BatchInsertStreamingWrite(path, batchSize, compression,
+            maxExecutionTimeSec, info.schema())
+        }
       }
     }
 }
@@ -69,11 +101,13 @@ final case class BlockFileCommit(stagedPath: String, fileName: String)
     extends WriterCommitMessage
 
 final class BatchInsertStreamingWrite(path: String, batchSize: Int,
+    compression: String, maxExecutionTimeSec: Int,
     schema: StructType) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    BlockWriterFactory(path, batchSize, schema)
+    BlockWriterFactory(path, batchSize, compression, maxExecutionTimeSec,
+      schema)
 
   /** The single ack point: rename every staged block into the table dir.
     * Until this runs, nothing is visible (ack-after-write). */
@@ -98,30 +132,52 @@ final class BatchInsertStreamingWrite(path: String, batchSize: Int,
 /** Serializable factory shipped to tasks (must not capture the
   * driver-side StreamingWrite). */
 final case class BlockWriterFactory(path: String, batchSize: Int,
-    schema: StructType) extends StreamingDataWriterFactory {
+    compression: String, maxExecutionTimeSec: Int, schema: StructType)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new BlockWriter(path, batchSize, schema, partitionId, taskId, epochId)
+    new BlockWriter(path, batchSize, compression, maxExecutionTimeSec,
+      schema, partitionId, taskId, epochId)
 }
 
 /** Task-side writer: buffer up to `batchSize` rows, flush each full buffer
-  * as one serialized block (the `Append`×N → `Send` loop). */
-final class BlockWriter(path: String, batchSize: Int, schema: StructType,
+  * as one serialized block (the `Append`×N → `Send` loop), optionally
+  * LZ4-framed, aborting if the task outlives `maxExecutionTimeSec`. */
+final class BlockWriter(path: String, batchSize: Int, compression: String,
+    maxExecutionTimeSec: Int, schema: StructType,
     partitionId: Int, taskId: Long, epochId: Long)
     extends DataWriter[InternalRow] {
 
+  private val lz4 = compression.equalsIgnoreCase("lz4")
+  private val ext = if (lz4) "jsonl.lz4" else "jsonl"
+
   /** Published (attempt-agnostic) block name: replayed epochs overwrite. */
-  private val published = f"epoch-$epochId%06d-part-$partitionId%05d.jsonl"
+  private val published = f"epoch-$epochId%06d-part-$partitionId%05d.$ext"
 
   /** Staged per-ATTEMPT (taskId) so a retried/speculative attempt never
     * clobbers another attempt's file, and abort() deletes only its own. */
   private val staging = {
     val d = Paths.get(path, "_staging")
     Files.createDirectories(d)
-    d.resolve(f"epoch-$epochId%06d-part-$partitionId%05d-task-$taskId.jsonl")
+    d.resolve(f"epoch-$epochId%06d-part-$partitionId%05d-task-$taskId.$ext")
   }
-  private val out = new BufferedWriter(new FileWriter(staging.toFile))
+  private val out = {
+    val raw = new FileOutputStream(staging.toFile)
+    val stream = if (lz4) new LZ4BlockOutputStream(raw) else raw
+    new BufferedWriter(new OutputStreamWriter(stream, StandardCharsets.UTF_8))
+  }
   private val buffer = new ArrayBuffer[String](batchSize)
+  private val startNanos = System.nanoTime()
+
+  /** max_execution_time (connection.go:55-57), enforced at each block
+    * flush and at commit — a wedged write aborts instead of hanging. */
+  private def checkDeadline(): Unit = {
+    val elapsedSec = (System.nanoTime() - startNanos) / 1e9
+    if (elapsedSec > maxExecutionTimeSec)
+      throw new IOException(
+        s"max_execution_time (${maxExecutionTimeSec}s) exceeded after " +
+        f"$elapsedSec%.1fs writing block $published")
+  }
 
   private def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
@@ -162,6 +218,7 @@ final class BlockWriter(path: String, batchSize: Int, schema: StructType,
   }
 
   private def flush(): Unit = {
+    checkDeadline()
     buffer.foreach { l => out.write(l); out.newLine() }
     buffer.clear()
   }

@@ -41,6 +41,7 @@ class BatchInsertSinkSpec extends SparkSpec {
     val q = src.toDF().writeStream
       .format("graft.sinks.BatchInsertSinkProvider")
       .option("path", dir).option("batchSize", 10)
+      .option("compression", "none")
       .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -56,11 +57,91 @@ class BatchInsertSinkSpec extends SparkSpec {
     val q2 = src.toDF().writeStream
       .format("graft.sinks.BatchInsertSinkProvider")
       .option("path", dir).option("batchSize", 10)
+      .option("compression", "none")
       .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow())
       .start()
     q2.awaitTermination()
     assert(readBack(dir).count() === 25)
+  }
+
+  test("ch:// URL options round-trip: blocks are LZ4-compressed (connection.go:58-60)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conn = graft.config.GraftConfig
+      .parseSinkUrl("ch://writer:secret@ch-host:9000")
+      .fold(e => fail(e), identity)
+    assert(conn.writerOptions("compression") === "lz4")
+    assert(conn.writerOptions("maxExecutionTimeSec") === "60")
+    val dir = Files.createTempDirectory("graft_sink_lz4").toString
+    val cp = Files.createTempDirectory("graft_sink_lz4_cp").toString
+    val src = MemoryStream[Env]
+    src.addData(envs(0, 8): _*)
+    val q = src.toDF().writeStream
+      .format("graft.sinks.BatchInsertSinkProvider")
+      .option("path", dir).option("batchSize", 10)
+      .options(conn.writerOptions)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val blocks = Files.list(Paths.get(dir)).iterator().asScala.toSeq
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl.lz4"))
+    assert(blocks.nonEmpty)
+    // decompress and parse: all 8 rows round-trip through the LZ4 frames
+    val lines = blocks.flatMap { f =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new net.jpountz.lz4.LZ4BlockInputStream(
+          Files.newInputStream(Paths.get(dir, f)))))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+      finally in.close()
+    }
+    assert(lines.size === 8)
+    assert(lines.forall(_.contains("\"subject\":\"globex.supprt.u")))
+  }
+
+  test("maxExecutionTimeSec: an over-deadline write aborts the epoch, nothing published") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sink_to").toString
+    val cp = Files.createTempDirectory("graft_sink_to_cp").toString
+    val src = MemoryStream[Env]
+    src.addData(envs(0, 5): _*)
+    val q = src.toDF().writeStream
+      .format("graft.sinks.BatchInsertSinkProvider")
+      .option("path", dir).option("maxExecutionTimeSec", -1)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("max_execution_time") ||
+      Option(err.getCause).exists(_.toString.contains("max_execution_time")))
+    // K2: the failed epoch published no blocks
+    assert(Files.list(Paths.get(dir)).iterator().asScala
+      .count(p => !Files.isDirectory(p)) === 0)
+  }
+
+  test("ping-on-open: an unwritable target fails the query at start (connection.go:69-72)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // target path nested under a regular FILE -> createDirectories fails
+    val f = Files.createTempFile("graft_sink_ping", ".blocker")
+    val cp = Files.createTempDirectory("graft_sink_ping_cp").toString
+    val src = MemoryStream[Env]
+    src.addData(envs(0, 2): _*)
+    val ex = intercept[Exception] {
+      val q = src.toDF().writeStream
+        .format("graft.sinks.BatchInsertSinkProvider")
+        .option("path", s"$f/table")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(ex.toString.contains("ping failed") ||
+      Option(ex.getCause).exists(_.toString.contains("ping failed")))
   }
 
   test("source → pipeline → sink: the full connector chain") {
@@ -73,7 +154,8 @@ class BatchInsertSinkSpec extends SparkSpec {
     val raw = graft.pipeline.Ingest.envelopeToRaw(src.toDF())
     val q = raw.writeStream
       .format("graft.sinks.BatchInsertSinkProvider")
-      .option("path", dir).option("checkpointLocation", cp)
+      .option("path", dir).option("compression", "none")
+      .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -71,6 +71,64 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_.toSeq.toList).toSeq === b.map(_.toSeq.toList).toSeq)
   }
 
+  test("ngram-jaccard stop-shingle cut: hot shingles are excluded, cold ones counted") {
+    import spark.implicits._
+    // Every doc shares the phrase "aaa bbb ccc"; the rest of each doc is
+    // unique filler, so the ONLY common shingle across docs is that phrase.
+    def corpus(n: Int) = (1 to n)
+      .map(i => (i.toLong, s"aaa bbb ccc u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    // df("aaa bbb ccc") = 3 <= MaxShingleDf: all C(3,2) pairs survive with
+    // inter = 1 over 4-shingle docs -> jaccard = 1/7.
+    val cold = Dedup.ngramJaccardFrom(corpus(3)).collect()
+    assert(cold.length === 3)
+    assert(cold.forall(r => r.getAs[Long]("inter") == 1L
+      && math.abs(r.getAs[Double]("jaccard") - 1.0 / 7.0) < 1e-15))
+    // df = MaxShingleDf + 2 > cut: the shingle is dropped, no pair overlaps.
+    val hot = Dedup.ngramJaccardFrom(corpus(Dedup.MaxShingleDf + 2))
+    assert(hot.count() === 0)
+  }
+
+  test("embedding dups: exact precision over IVF candidates (subset of true pairs)") {
+    import graft.functions.VectorFunctions._
+    val dups = Similarity.embeddingDups(spark, Sf).cache()
+    assert(dups.filter(col("cos") <= 0.35).count() === 0)
+    assert(dups.filter(col("id_a") >= col("id_b")).count() === 0)
+    // precision is exact: every reported pair is a true >0.35 pair when
+    // recomputed from scratch (recall is approximate by design)
+    val e = graft.queries.Tables.embeddings(spark, Sf)
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), unit(col("embedding"), col("nrm")).as("u"))
+    val truth = e.select(col("vec_id").as("id_a"), col("u").as("ua"))
+      .join(e.select(col("vec_id").as("id_b"), col("u").as("ub")),
+        col("id_a") < col("id_b"))
+      .withColumn("true_cos", dot(col("ua"), col("ub")))
+      .filter(col("true_cos") > 0.35)
+      .select("id_a", "id_b", "true_cos")
+    val joined = dups.join(truth, Seq("id_a", "id_b"), "left").cache()
+    assert(joined.filter(col("true_cos").isNull).count() === 0)
+    assert(joined.filter(col("cos") =!= col("true_cos")).count() === 0)
+    assert(dups.count() > 0)
+  }
+
+  test("q16 HLL estimates within tolerance of exact distinct counts (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = graft.queries.Relational.approxDistinct(spark, sf01)
+    val exact = graft.queries.Tables.lineitem(spark, sf01)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    val j = approx.join(exact, "l_returnflag").collect()
+    assert(j.nonEmpty)
+    // configured rsd = 1%; allow 5x for small-group variance
+    j.foreach { r =>
+      val (ao, eo) = (r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
+      val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      assert(math.abs(ao - eo).toDouble / eo <= 0.05, s"orders: $ao vs $eo")
+      assert(math.abs(ap - ep).toDouble / ep <= 0.05, s"parts: $ap vs $ep")
+    }
+  }
+
   test("multimodal: meta matches decode stage on byte counts; decode is deterministic") {
     val meta = Multimodal.mediaMeta(spark, Sf).select("doc_id", "n_bytes", "media_type")
     val dec = Multimodal.decodeFeatures(spark, Sf)

@@ -16,6 +16,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.toSeq === inputs.map(modelPolyHash))
   }
 
+  test("codegen PolyHash is bit-identical to the interpreted HOF fold on real docs") {
+    val d = graft.queries.Tables.documents(spark, Sf)
+      .select(polyHash(col("text")).as("fast"), polyHashHof(col("text")).as("ref"))
+    assert(d.filter(col("fast") =!= col("ref")).count() === 0)
+    assert(d.count() === 500)
+  }
+
   test("shingles: 3-grams, distinct, empty for short docs") {
     import spark.implicits._
     val r = Seq(

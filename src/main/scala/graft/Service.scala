@@ -5,6 +5,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.config.GraftConfig
 import graft.streaming.NatsLikeStream
 
+
 /** The reference service's `main` (`main.go:30-104`), assembled from this
   * library's parts: config load (+env overrides) → source connect →
   * continuous pipeline → batched sink → block until termination.
@@ -49,9 +50,10 @@ object Service {
     val backlog = opts.getOrElse("backlog", "/tmp/graft_backlog")
     val warehouse = opts.getOrElse("warehouse", "/tmp/graft_warehouse")
 
-    // ConfigBanner (logger.go:36-52): surface the effective configuration
-    println(s"[graft] nats.url=${cfg.natsUrl} clickhouse.url=${cfg.clickhouseUrl}")
-    println(s"[graft] subjects=${cfg.subjects.mkString(",")} backlog=$backlog warehouse=$warehouse")
+    // logger.Init + ConfigBanner (logger.go:18-52): format/level from config
+    val log = graft.logging.GraftLogger.init(cfg)
+    log.configBanner(cfg)
+    log.info("pipeline paths", "backlog" -> backlog, "warehouse" -> warehouse)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -62,6 +64,10 @@ object Service {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Q9: the reference's init.sql bootstrap — idempotent CREATE TABLE IF
+    // NOT EXISTS over the warehouse layout, re-run on every start.
+    graft.pipeline.Ddl.ensureTables(spark, warehouse)
 
     val envelopes = spark.readStream
       .format("graft.sources.ReplayStreamProvider")

@@ -84,4 +84,33 @@ class PipelineSpec extends SparkSpec {
     val pruned = back.filter(col("month") === "202401")
     assert(pruned.count() === 1)
   }
+
+  test("Q9 idempotent DDL: bootstrap re-runs safely; catalog writes round-trip") {
+    import graft.pipeline.Ddl
+    val wh = java.nio.file.Files.createTempDirectory("graft_ddl_wh").toString
+    Ddl.ensureTables(spark, wh)
+    Ddl.ensureTables(spark, wh) // init.sql re-run: IF NOT EXISTS, no error
+    assert(Ddl.tables.forall { case (name, _, _) =>
+      spark.catalog.tableExists(name) })
+    val raw = Ingest.envelopeToRaw(envelopes)
+    Ddl.insertPartitioned(raw, Ddl.AllStreams, Seq("timestamp", "sequence"))
+    val got = spark.table(Ddl.AllStreams)
+    assert(got.count() === 3)
+    assert(got.select("month").distinct().collect().map(_.getString(0)).sorted
+      === Array("202401", "202402"))
+    // bootstrap again AFTER data: same table, data still served
+    Ddl.ensureTables(spark, wh)
+    assert(spark.table(Ddl.AllStreams).count() === 3)
+    // dynamic partition overwrite: reloading only January leaves February
+    val jan = raw.filter(col("timestamp") < lit(ts("2024-02-01 00:00:00")))
+    assert(jan.count() === 1)
+    Ddl.insertPartitioned(jan, Ddl.AllStreams, Seq("timestamp", "sequence"))
+    assert(spark.table(Ddl.AllStreams).count() === 3)
+    // the analytics table takes the derived MV through the catalog too
+    Ddl.insertPartitioned(Views.deriveAnalytics(raw), Ddl.Analytics,
+      Seq("timestamp"))
+    assert(spark.table(Ddl.Analytics).count() === 3)
+    assert(spark.table(Ddl.Analytics).schema.fieldNames.init.toSeq ===
+      Schemas.analytics.fieldNames.toSeq)
+  }
 }

@@ -148,4 +148,55 @@ class StreamingSpec extends SparkSpec {
     assert(r.map(_.getAs[String]("stream")).toSet ===
       Set("globex.supprt", "globex.crmabc"))
   }
+
+  test("redelivery end-to-end: a crashed epoch replays (NumDelivered>1) " +
+      "and dedup + ack-after-write yield effectively-once in the sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_redeliver").toString
+    val cp = Files.createTempDirectory("graft_redeliver_cp").toString
+    val src = MemoryStream[Env]
+    // the server redelivers unacked sequences 5-9 (at-least-once delivery)
+    src.addData(envs(0, 10): _*)
+    src.addData(envs(5, 5): _*)
+    // injected mid-epoch crash BEFORE the sink's driver commit — the
+    // consumer dies without acking, so on restart the whole batch is
+    // delivered again (the reference's NumDelivered > 1 path: unacked
+    // messages replay because batch.Send never succeeded, main.go:199-208)
+    CrashOnce.armed.set(true)
+    val crash = udf { (seq: Long) =>
+      if (seq == 7L && CrashOnce.armed.compareAndSet(true, false))
+        throw new RuntimeException("injected crash before epoch commit")
+      seq
+    }
+    def run() = NatsLikeStream.dedupedRaw(src.toDF())
+      .withColumn("sequence", crash(col("sequence")))
+      .writeStream.format("graft.sinks.BatchInsertSinkProvider")
+      .option("path", dir).option("compression", "none")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run().awaitTermination()
+    }
+    // K2: the crashed epoch acked nothing — no blocks visible
+    import scala.jdk.CollectionConverters._
+    def published = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(p => !java.nio.file.Files.isDirectory(p)).toSeq
+    assert(published.isEmpty)
+    // restart: everything redelivers, dedup collapses the duplicates,
+    // the epoch commits — each sequence lands exactly once
+    run().awaitTermination()
+    assert(published.nonEmpty)
+    val got = spark.read.json(s"$dir/*.jsonl")
+    assert(got.count() === 10)
+    assert(got.select("sequence").distinct().count() === 10)
+  }
+}
+
+/** Crash latch for the redelivery spec (top-level: shared between the
+  * driver and local-mode executor threads in one JVM). */
+object CrashOnce {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

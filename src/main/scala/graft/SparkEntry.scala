@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,7 +66,11 @@ object SparkEntry {
     "x18_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "x19_ann_ivf" -> (Similarity.ivfTopK _),
     "x16_range_join" -> (TemporalJoins.rangeJoin _),
-    "x17_udaf_wavg" -> (Relational.udafWeightedAvg _)
+    "x17_udaf_wavg" -> (Relational.udafWeightedAvg _),
+    // — corpus curation (split / filter / mix) —
+    "x20_train_split" -> (Curation.trainSplit _),
+    "x21_length_filter" -> (Curation.lengthFilter _),
+    "x22_mixture_weights" -> (Curation.mixtureWeights _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -659,6 +663,53 @@ object SparkEntry {
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS wavg_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mirrors Curation.trainSplit: content-hash buckets, 80/10/10.
+    "x20_train_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${polyhashSql("text")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.lengthFilter: corpus-relative [p05, p95] keep flag.
+    "x21_length_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT quantile_cont(n_tokens, 0.05) AS p05,
+        |         quantile_cont(n_tokens, 0.95) AS p95
+        |  FROM d)
+        |SELECT doc_id, n_tokens, p05, p95,
+        |  (n_tokens >= p05 AND n_tokens <= p95) AS keep
+        |FROM d, b ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.mixtureWeights: sqrt-token weights, DECIMAL-summed
+    // normalizer, exact-longs stopword rate.
+    "x22_mixture_weights" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+         |d AS (
+         |  SELECT source, CAST(len(tk) AS BIGINT) AS toks,
+         |    CAST(len(list_filter(tk, w -> w IN ($stopList))) AS BIGINT) AS stops
+         |  FROM t),
+         |s AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(stops) AS BIGINT) AS stop_tokens
+         |  FROM d GROUP BY 1),
+         |r AS (
+         |  SELECT *,
+         |    CAST(stop_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS stop_ratio,
+         |    sqrt(CAST(total_tokens AS DOUBLE)) AS root_toks
+         |  FROM s),
+         |n AS (SELECT CAST(SUM(CAST(root_toks AS DECIMAL(25,6))) AS DOUBLE) AS norm FROM r)
+         |SELECT source, n_docs, total_tokens, stop_tokens, stop_ratio,
+         |  root_toks / norm AS weight
+         |FROM r, n ORDER BY source""".stripMargin,
 
     "q15_moving_avg" ->
       """WITH daily AS (

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ChFunctions.dsum
+import graft.functions.TextFunctions._
+import graft.queries.Tables
+
+/** Corpus-curation operators — the steps between "raw documents" and "a
+  * training mix" that every large-scale data pipeline runs after dedup:
+  *
+  *  - deterministic content-hash train/valid/test split (reproducible
+  *    regardless of row order, partitioning, or cluster size — the split
+  *    is a pure function of the text);
+  *  - percentile-based length filtering (the classic Gopher-style rule:
+  *    drop the tails of the token-length distribution);
+  *  - per-source mixture weights (how much of each domain a sampler
+  *    should draw, here ∝ √tokens — sublinear so small domains are not
+  *    drowned out).
+  *
+  * All three are either narrow projections or one aggregation; nothing
+  * shuffles more than one row per document. Double reductions go through
+  * the DECIMAL(25,6) accumulator ([[dsum]]) so results are independent of
+  * partition merge order — required both for the DuckDB oracle and for
+  * run-to-run reproducibility on a cluster.
+  */
+object Curation {
+
+  /** Bucket count for the hash split; 80/10/10 by bucket range. */
+  val SplitBuckets = 100
+  val TrainUpper = 80
+  val ValidUpper = 90
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
+  /** x20: reproducible train/valid/test assignment from the CONTENT hash
+    * (polyHash mod 100 → 80/10/10). Content-keyed (not id-keyed) splits
+    * survive re-ingestion with different ids and keep exact duplicates in
+    * the same fold — no train/test leakage through duplicated text. */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(polyHash(col("text")), lit(SplitBuckets.toLong)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValidUpper, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** x21: length filter against the corpus's own token-length
+    * distribution: keep docs inside [p05, p95]. The two quantiles are ONE
+    * tiny aggregate broadcast back over the scan (a 1-row build side —
+    * the legitimate broadcast), so the whole operator is two passes over
+    * the corpus and no wide shuffle. */
+  def lengthFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val bounds = d.agg(
+      expr("percentile(n_tokens, 0.05)").as("p05"),
+      expr("percentile(n_tokens, 0.95)").as("p95"))
+    d.join(broadcast(bounds))
+      .select(col("doc_id"), col("n_tokens"), col("p05"), col("p95"),
+        (col("n_tokens") >= col("p05") && col("n_tokens") <= col("p95"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** x22: per-source mixture weights: token mass, stopword rate (an exact
+    * longs ratio — no float accumulation), and a √tokens sampling weight
+    * normalized over sources. The normalizer sums DECIMAL-cast √tokens so
+    * the weight is bit-identical however the 1-row-per-source aggregate
+    * merged. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = docs(spark, sfDir).select(
+      col("source"),
+      size(tokens(col("text"))).cast("long").as("toks"),
+      size(filter(tokens(col("text")),
+        w => w.isInCollection(Stopwords))).cast("long").as("stops"))
+    val perSource = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("total_tokens"),
+      sum(col("stops")).as("stop_tokens"))
+      .withColumn("stop_ratio",
+        col("stop_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("root_toks",
+        sqrt(col("total_tokens").cast("double")))
+    val norm = perSource.agg(dsum(col("root_toks")).as("norm"))
+    perSource.join(broadcast(norm))
+      .withColumn("weight", col("root_toks") / col("norm"))
+      .select("source", "n_docs", "total_tokens", "stop_tokens",
+        "stop_ratio", "weight")
+      .orderBy("source")
+  }
+}

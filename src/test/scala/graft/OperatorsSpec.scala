@@ -129,6 +129,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("curation: content split is stable and ~80/10/10; filter keeps ~90%; weights sum to 1") {
+    import graft.operators.Curation
+    val split = Curation.trainSplit(spark, Sf).cache()
+    assert(split.count() === 500)
+    // deterministic: second evaluation identical
+    val again = Curation.trainSplit(spark, Sf).collect().map(_.toSeq.toList).toSeq
+    assert(split.collect().map(_.toSeq.toList).toSeq === again)
+    val byFold = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet === Set("train", "valid", "test"))
+    assert(byFold("train") > 300L) // ~400 expected of 500
+    val lf = Curation.lengthFilter(spark, Sf).cache()
+    val kept = lf.filter(col("keep")).count().toDouble / lf.count()
+    assert(kept >= 0.85 && kept <= 0.95)
+    val w = Curation.mixtureWeights(spark, Sf).collect()
+    assert(w.nonEmpty)
+    // norm is a DECIMAL(25,6)-rounded sum, so allow its rounding granularity
+    assert(math.abs(w.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-6)
+    assert(w.forall(r => r.getAs[Double]("stop_ratio") >= 0 &&
+      r.getAs[Double]("stop_ratio") <= 1))
+  }
+
   test("multimodal: meta matches decode stage on byte counts; decode is deterministic") {
     val meta = Multimodal.mediaMeta(spark, Sf).select("doc_id", "n_bytes", "media_type")
     val dec = Multimodal.decodeFeatures(spark, Sf)

@@ -70,7 +70,8 @@ object SparkEntry {
     // — corpus curation (split / filter / mix) —
     "x20_train_split" -> (Curation.trainSplit _),
     "x21_length_filter" -> (Curation.lengthFilter _),
-    "x22_mixture_weights" -> (Curation.mixtureWeights _)
+    "x22_mixture_weights" -> (Curation.mixtureWeights _),
+    "x23_curated_corpus" -> (Curation.curatedCorpus _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -710,6 +711,33 @@ object SparkEntry {
          |SELECT source, n_docs, total_tokens, stop_tokens, stop_ratio,
          |  root_toks / norm AS weight
          |FROM r, n ORDER BY source""".stripMargin,
+
+    // Mirrors Curation.curatedCorpus: dedup winners ∩ length-keep, with fold.
+    "x23_curated_corpus" ->
+      s"""WITH reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |    FROM documents) WHERE doc_id = rep),
+         |d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT quantile_cont(n_tokens, 0.05) AS p05,
+         |         quantile_cont(n_tokens, 0.95) AS p95
+         |  FROM d),
+         |kept AS (
+         |  SELECT doc_id, n_tokens FROM d, b
+         |  WHERE n_tokens >= p05 AND n_tokens <= p95),
+         |folds AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${polyhashSql("text")} % 100 < 80 THEN 'train'
+         |         WHEN ${polyhashSql("text")} % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT r.doc_id, k.n_tokens, f.split
+         |FROM reps r JOIN kept k ON k.doc_id = r.doc_id
+         |            JOIN folds f ON f.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin,
 
     "q15_moving_avg" ->
       """WITH daily AS (

@@ -93,4 +93,24 @@ object Curation {
         "stop_ratio", "weight")
       .orderBy("source")
   }
+
+  /** x23: the end-to-end curated corpus — the composition a real pipeline
+    * ships: exact-dedup winners ([[Dedup.exact]] group representatives)
+    * ∩ length-filter survivors ([[lengthFilter]]), each carrying its fold
+    * from [[trainSplit]]. Three doc_id-keyed relations, two equi-joins
+    * (AQE broadcasts the small post-filter sides at this scale; shuffles
+    * co-partition on doc_id at 100 TB). Demonstrates that the curation
+    * operators compose without materializing intermediates. */
+  def curatedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val winners = Dedup.exact(spark, sfDir)
+      .filter(col("doc_id") === col("exact_rep"))
+      .select("doc_id")
+    val kept = lengthFilter(spark, sfDir)
+      .filter(col("keep"))
+      .select("doc_id", "n_tokens")
+    val folds = trainSplit(spark, sfDir).select("doc_id", "split")
+    winners.join(kept, "doc_id").join(folds, "doc_id")
+      .select("doc_id", "n_tokens", "split")
+      .orderBy("doc_id")
+  }
 }

@@ -66,6 +66,34 @@ object GraftProperties extends Properties("graft") {
       mapper.readTree("{\"v\":\"" + esc(s) + "\"}").get("v").asText() == s
     }
 
+  private val neighbors: Gen[List[graft.functions.Neighbor]] =
+    Gen.listOf(for {
+      // few distinct scores → frequent cos ties exercising the id tiebreak
+      cos <- Gen.oneOf(-1.0, -0.5, 0.0, 0.25, 0.5, 1.0)
+      label <- Gen.chooseNum(0, 3)
+    } yield (cos, label)).map(_.zipWithIndex.map { case ((c, l), i) =>
+      graft.functions.Neighbor(c, i.toLong, l) // ids unique, like real rows
+    })
+
+  /** The bounded-heap aggregator must agree with the obvious spec —
+    * sort everything by (cos DESC, id ASC), take k — for ANY partitioning
+    * of the input into partial buffers and ANY merge order, since Spark
+    * chooses both at runtime. */
+  property("TopKByScore: reduce/merge over arbitrary partitionings == sort.take(k)") =
+    forAll(neighbors, Gen.chooseNum(1, 7), Gen.chooseNum(1, 5)) { (xs, k, nparts) =>
+      val agg = new graft.functions.TopKByScore(k)
+      val expected = xs.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b.cos, a.cos)
+        c < 0 || (c == 0 && a.neighbor_id < b.neighbor_id)
+      }.take(k)
+      // simulate Spark: partial-reduce each partition, then merge
+      val partials = xs.grouped(math.max(1, (xs.size + nparts - 1) / nparts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      val mergedReversed = partials.reverse.foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == expected && agg.finish(mergedReversed) == expected
+    }
+
   // keep Prop referenced so the import is legitimate even if properties change
   locally { val _ = Prop }
 }

@@ -47,6 +47,7 @@ object SparkEntry {
     "q16_approx_distinct" -> (Relational.approxDistinct _),
     "q17_pivot" -> (Relational.pivotAgg _),
     "q18_percentiles" -> (Relational.percentiles _),
+    "q19_salted_agg" -> (Relational.saltedAgg _),
     // — LLM-pipeline extensions (SURVEY §7.2 step 5 / north star) —
     "x1_dedup_exact" -> (Dedup.exact _),
     "x2_minhash_lsh" -> (Dedup.minhashLsh _),
@@ -381,6 +382,15 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
         |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
         |  quantile_cont(l_discount, 0.25) AS p25_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Oracle is the UNSALTED group-by: the salt is a physical detail that
+    // must not change results (decimal accumulation is associative).
+    "q19_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

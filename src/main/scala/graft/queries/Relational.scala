@@ -294,6 +294,32 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Salted two-phase aggregation over a pathologically low-cardinality
+    * key (3 return flags): phase 1 groups on (key, salt) so the combine
+    * spreads over `SaltBuckets`×|keys| reducers instead of piling every
+    * row of a hot key onto one task; phase 2 re-aggregates the tiny salted
+    * partials. The salt never reaches the result — accumulation stays in
+    * DECIMAL through BOTH phases, so the de-salted totals are bit-equal to
+    * a direct group-by (which is exactly what the oracle runs). This is
+    * the manual skew treatment for aggregations; joins get the same effect
+    * from AQE's skew-join splitting. */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(SaltBuckets)).as("salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(25,6)")).as("dq"),
+        sum(col("l_extendedprice").cast("decimal(25,6)")).as("dp"),
+        count(lit(1)).as("n"))
+    salted.groupBy("l_returnflag")
+      .agg(
+        sum(col("dq")).cast("double").as("sum_qty"),
+        sum(col("dp")).cast("double").as("sum_price"),
+        sum(col("n")).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  private val SaltBuckets = 16
+
   /** Custom typed UDAF ([[graft.functions.WeightedAvg]]): quantity-weighted
     * average price per return flag. Demonstrates the Aggregator[IN,BUF,OUT]
     * surface with a partitioning-independent (exact-decimal) buffer. */

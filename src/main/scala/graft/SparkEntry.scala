@@ -69,6 +69,7 @@ object SparkEntry {
     "x16_range_join" -> (TemporalJoins.rangeJoin _),
     "x17_udaf_wavg" -> (Relational.udafWeightedAvg _),
     // — corpus curation (split / filter / mix) —
+    "x24_media_resize" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     "x20_train_split" -> (Curation.trainSplit _),
     "x21_length_filter" -> (Curation.lengthFilter _),
     "x22_mixture_weights" -> (Curation.mixtureWeights _),
@@ -674,6 +675,28 @@ object SparkEntry {
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS wavg_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mirrors Multimodal.resizePlan: integer letterbox fit to 224.
+    "x24_media_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type,
+         |    ${polyhashSql("text")} AS checksum
+         |  FROM documents WHERE doc_id % 3 <> 1),
+         |d AS (
+         |  SELECT doc_id, media_type,
+         |    CAST(16 + checksum % 624 AS INTEGER) AS width,
+         |    CAST(16 + (checksum // 624) % 464 AS INTEGER) AS height
+         |  FROM m),
+         |f AS (
+         |  SELECT *, GREATEST(width, height) AS fit,
+         |    CAST((width * 224) // GREATEST(width, height) AS INTEGER) AS out_w,
+         |    CAST((height * 224) // GREATEST(width, height) AS INTEGER) AS out_h
+         |  FROM d)
+         |SELECT doc_id, media_type, width, height, out_w, out_h,
+         |  224 - out_w AS pad_x, 224 - out_h AS pad_y,
+         |  CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     // Mirrors Curation.trainSplit: content-hash buckets, 80/10/10.
     "x20_train_split" ->

@@ -102,6 +102,34 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize planning over decoded dimensions: letterbox-fit every image/
+    * video to `target`×`target` preserving aspect ratio — the geometry a
+    * real resize kernel would execute, computed as a narrow projection
+    * (integer `div` only, so the oracle is bit-exact with no float
+    * rounding concerns). Emits scaled dims, padding, and the output
+    * byte estimate (RGB). Dimensions derive from the same deterministic
+    * fake-decode checksum as [[decodeFeatures]]/[[frameSample]]. */
+  def resizePlan(spark: SparkSession, sfDir: String, target: Int = 224): DataFrame = {
+    import graft.functions.TextFunctions.polyHash
+    Tables.documents(spark, sfDir)
+      .filter(mediaTypeOf(col("doc_id")) =!= "audio")
+      .select(col("doc_id"), mediaTypeOf(col("doc_id")).as("media_type"),
+        polyHash(col("text")).as("checksum"))
+      .withColumn("width", (lit(16) + col("checksum") % 624).cast("int"))
+      .withColumn("height",
+        (lit(16) + expr("(checksum div 624) % 464")).cast("int"))
+      .withColumn("fit", greatest(col("width"), col("height")))
+      .withColumn("out_w", expr(s"int((width * $target) div fit)"))
+      .withColumn("out_h", expr(s"int((height * $target) div fit)"))
+      .select(
+        col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        (lit(target) - col("out_w")).as("pad_x"),
+        (lit(target) - col("out_h")).as("pad_y"),
+        (col("out_w").cast("long") * col("out_h") * 3L).as("out_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** The decode/feature-extract stage: `mapPartitions` so a real decoder
     * would amortize codec init per partition (the Scala analogue of a
     * pandas-batch UDF). Deterministic fake decode ⇒ rows-only check. */

@@ -163,4 +163,18 @@ class OperatorsSpec extends SparkSpec {
     assert(j.filter(col("width") < 16 || col("height") < 16).count() === 0)
     assert(j.filter(col("media_type") =!= "video" && col("n_frames") =!= 1).count() === 0)
   }
+
+  test("resize plan: aspect preserved, longest side hits target, pads non-negative") {
+    val r = Multimodal.resizePlan(spark, Sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("out_w") > 224 || col("out_h") > 224).count() === 0)
+    // the longest side always scales to exactly the target
+    assert(r.filter(greatest(col("out_w"), col("out_h")) =!= 224).count() === 0)
+    assert(r.filter(col("pad_x") < 0 || col("pad_y") < 0).count() === 0)
+    // aspect ratio preserved within integer truncation: out_w/out_h within
+    // one truncation step of width/height
+    assert(r.filter(abs(col("out_w") * col("height") - col("out_h") * col("width"))
+      > greatest(col("width"), col("height"))).count() === 0)
+    assert(r.filter(col("media_type") === "audio").count() === 0)
+  }
 }

@@ -26,7 +26,13 @@ object Bench {
     // JIT warmup of interpreted expression paths and this host's sporadic
     // multi-second hypervisor scheduling stalls (observed 60s+ idle-wait
     // outliers on otherwise-4s queries, uncorrelated with plan shape).
-    // Optional args restrict the run to the named queries (iteration aid).
+    // Optional args restrict the run to the named queries (iteration aid);
+    // unknown names fail fast instead of silently measuring nothing.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
@@ -35,8 +41,12 @@ object Bench {
         val t0 = System.nanoTime()
         try { run(fn) } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // Drop operator-level persist() caches THROUGH the CacheManager:
+        // a raw-RDD unpersist would leave the plan→cache mapping behind,
+        // making the next run's identical persist() a no-op that then
+        // recomputes uncached — every timed run must pay (and measure)
+        // its own cache population.
+        spark.catalog.clearCache()
         dt
       }
       val runs = Seq(one(), one())

@@ -114,9 +114,12 @@ object GraftConfig {
       dialTimeoutSec: Int = 30, maxExecutionTimeSec: Int = 60,
       compression: String = "lz4") {
 
-    /** The client settings as sink options — what
-      * `graft.sinks.BatchInsertSinkProvider` consumes, so the `ch://` URL's
-      * connection semantics round-trip into the actual write path. */
+    /** The client settings as sink options for
+      * `graft.sinks.BatchInsertSinkProvider` (see its usage example):
+      * pass via `.options(conn.writerOptions)` and the `ch://` URL's
+      * compression/timeout semantics apply to that sink's write path.
+      * (`Service`'s default pipeline streams parquet via foreachBatch and
+      * does not consume these.) */
     def writerOptions: Map[String, String] = Map(
       "compression" -> compression,
       "maxExecutionTimeSec" -> maxExecutionTimeSec.toString,

@@ -41,10 +41,18 @@ final class GraftLogger(format: String, level: String,
     if (isEnabled(lvl)) {
       val time = LocalDateTime.now().format(TimeFmt)
       if (json) {
-        val fields = Seq(
-          "time" -> time, "level" -> lvl.toUpperCase, "msg" -> msg) ++
-          attrs.map { case (k, v) => k -> String.valueOf(v) }
-        out.println(fields.map { case (k, v) => s"${q(k)}:${q(v)}" }
+        // numbers and booleans stay unquoted, like slog's JSON handler
+        def jv(v: Any): String = v match {
+          case n @ (_: Int | _: Long | _: Short | _: Byte | _: Boolean) =>
+            n.toString
+          case d: Double if java.lang.Double.isFinite(d) => d.toString
+          case f: Float if java.lang.Float.isFinite(f) => f.toString
+          case other => q(String.valueOf(other))
+        }
+        val head = Seq("time" -> q(time), "level" -> q(lvl.toUpperCase),
+          "msg" -> q(msg))
+        val rest = attrs.map { case (k, v) => k -> jv(v) }
+        out.println((head ++ rest).map { case (k, v) => s"${q(k)}:$v" }
           .mkString("{", ",", "}"))
       } else {
         val kv = attrs.map { case (k, v) => s" $k=$v" }.mkString
@@ -77,7 +85,9 @@ object GraftLogger {
 
   private val TimeFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
-  /** `parseLogLevel` (`logger.go:104-117`): unknown levels mean info. */
+  /** `parseLogLevel` (`logger.go:104-117`): unknown levels mean info.
+    * Case-sensitive ON PURPOSE — the reference's switch matches exact
+    * lowercase strings, so `"WARN"` falls to the default (info) there too. */
   private[logging] def rank(level: String): Int = level match {
     case "debug" => 0
     case "warn" => 2
@@ -97,16 +107,8 @@ object GraftLogger {
     case _ => ansi(32, "INFO")
   }
 
-  /** Minimal JSON string quoting for the JSON handler's flat records. */
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  /** JSON string quoting for the JSON handler's flat records. */
+  private def q(s: String): String = graft.util.JsonText.quote(s)
 
   /** `Init` (`logger.go:18-33`): build the configured logger. */
   def init(cfg: GraftConfig, out: PrintStream = System.out): GraftLogger =

@@ -17,11 +17,18 @@ import graft.queries.Tables
   *    join — the shuffle key is the shingle);
   *  - SimHash: 16-bit signature + banded Hamming join.
   *
-  * Scale note: each operator is deliberately ONE DAG (no persist /
-  * checkpoint barriers): recomputing the cheap shingle projection on both
-  * join sides costs less than materialization, keeps the plan fully
-  * pipelined, and leaves Catalyst free to reorder. On a cluster-scale
-  * corpus the shingle table would be a bucketed temp table instead.
+  * Scale note: the expensive derived relations that BOTH sides of a
+  * self-join read — minhash band signatures, simhash signatures, the cut
+  * inverted index — are persisted (MEMORY_AND_DISK) before the join.
+  * When the join resolves as broadcast the two sides cannot share a
+  * ReusedExchange, so without materialization the whole signature
+  * pipeline runs once per side; on a cluster these tables are the
+  * signatures-as-bucketed-temp-table pattern. The caches live until the
+  * session drops them — batch drivers that run many operators in one
+  * session (graft.Verify, graft.Bench) call `spark.catalog.clearCache()`
+  * between queries. Cheap projections (the raw shingle table feeding the
+  * Jaccard verify) stay unpersisted: recomputing them costs less than
+  * caching corpus-sized arrays.
   *
   * Embedding-cosine near-dup lives in [[Similarity]].
   */
@@ -40,9 +47,17 @@ object Dedup {
   private[graft] val MaxShingleDf = 32
 
   /** (doc_id, sh) with non-empty shingle sets, from an arbitrary
-    * (doc_id, text) relation — the testable core. */
+    * (doc_id, text) relation — the testable core.
+    *
+    * The raw shingle projection is persisted BEFORE any consumer: the
+    * shingle builder is an interpreted higher-order function, and without
+    * a materialization barrier Catalyst's project-collapse inlines it
+    * into every consumer (`size`, the filter, `explode`, both self-join
+    * sides) — measured 3-5 evaluations per document. Cached, it runs
+    * exactly once per document; everything downstream reads the array. */
   private[graft] def shingleTableFrom(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("sh")) > 0)
 
   /** [[shingleTableFrom]] over the `documents` table. The scan is

@@ -35,7 +35,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    `LZ4BlockOutputStream` (the codec Spark ships) as `.jsonl.lz4`.
   *  - `maxExecutionTimeSec` (default 60, `connection.go:55-57`): the
   *    server-side query ceiling becomes a writer-side ceiling — a task
-  *    whose write exceeds it aborts the epoch instead of hanging.
+  *    whose writer lifetime exceeds it aborts the epoch at the next
+  *    block-flush boundary (the same contract as the reference, where an
+  *    over-limit INSERT fails and the unacked batch replays; size epochs
+  *    under the ceiling, or raise it, for legitimately long writes).
   *  - ping-on-open (`connection.go:69-72`): the write path is probed when
   *    the write is built, so an unreachable/unwritable target fails the
   *    query at start, not at first epoch commit.
@@ -169,8 +172,10 @@ final class BlockWriter(path: String, batchSize: Int, compression: String,
   private val buffer = new ArrayBuffer[String](batchSize)
   private val startNanos = System.nanoTime()
 
-  /** max_execution_time (connection.go:55-57), enforced at each block
-    * flush and at commit — a wedged write aborts instead of hanging. */
+  /** max_execution_time (connection.go:55-57), checked at each block
+    * flush and at commit (an in-thread check cannot interrupt a write
+    * blocked inside the OS — the guarantee is bounded EPOCHS, not
+    * bounded syscalls). */
   private def checkDeadline(): Unit = {
     val elapsedSec = (System.nanoTime() - startNanos) / 1e9
     if (elapsedSec > maxExecutionTimeSec)
@@ -179,19 +184,7 @@ final class BlockWriter(path: String, batchSize: Int, compression: String,
         f"$elapsedSec%.1fs writing block $published")
   }
 
-  private def esc(s: String): String = {
-    val b = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"' => b.append("\\\"")
-      case '\\' => b.append("\\\\")
-      case '\n' => b.append("\\n")
-      case '\r' => b.append("\\r")
-      case '\t' => b.append("\\t")
-      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-      case c => b.append(c)
-    }
-    b.toString
-  }
+  private def esc(s: String): String = graft.util.JsonText.escape(s)
 
   private def jsonLine(row: InternalRow): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>

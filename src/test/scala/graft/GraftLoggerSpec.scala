@@ -28,7 +28,7 @@ class GraftLoggerSpec extends AnyFunSuite {
     assert(out.trim.startsWith("{") && out.trim.endsWith("}"))
     assert(out.contains("\"level\":\"INFO\""))
     assert(out.contains("\"msg\":\"batch sent\""))
-    assert(out.contains("\"rows\":\"1000\""))
+    assert(out.contains("\"rows\":1000")) // numeric attrs unquoted, like slog
     assert(out.linesIterator.size === 1)
   }
 

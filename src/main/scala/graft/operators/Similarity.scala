@@ -77,14 +77,19 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("sig"), col("u").as("qu"))
     val cs = e.select(col("vec_id").as("neighbor_id"), col("sig"),
       col("u").as("nu"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+    // partial top-k per partition (bounded heap), not a per-query window:
+    // a bucket is corpus/2^planes at scale — far too big for one task
+    val topk = udaf(new TopKByScore(3), ExpressionEncoder[Neighbor]())
     broadcast(qs).join(cs, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qu"), col("nu")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("sig", "query_id", "neighbor_id", "cos", "rank")
+      .groupBy("sig", "query_id")
+      .agg(topk(col("cos"), col("neighbor_id"), lit(0)).as("nbs"))
+      .select(col("sig"), col("query_id"),
+        posexplode(col("nbs")).as(Seq("pos", "nb")))
+      .select(col("sig"), col("query_id"),
+        col("nb.neighbor_id").as("neighbor_id"), col("nb.cos").as("cos"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -111,14 +116,20 @@ object Similarity {
     val probes = ranked.filter(col("crn") <= NumProbes && col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"),
         col("u").as("qu"))
-    val byQuery = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+    // partial top-k per partition across the probed cells (a cell is
+    // corpus/K at scale — never funnel it into one task per query); the
+    // neighbor's cell rides in the heap payload (cid < NumCells fits int)
+    val topk = udaf(new TopKByScore(3), ExpressionEncoder[Neighbor]())
     broadcast(probes).join(assign, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qu"), col("nu")))
-      .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("query_id", "neighbor_id", "cell", "cos", "rank")
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("neighbor_id"), col("cell").cast("int")).as("nbs"))
+      .select(col("query_id"), posexplode(col("nbs")).as(Seq("pos", "nb")))
+      .select(col("query_id"),
+        col("nb.neighbor_id").as("neighbor_id"),
+        col("nb.label").cast("long").as("cell"), col("nb.cos").as("cos"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
 

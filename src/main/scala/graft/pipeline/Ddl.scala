@@ -57,6 +57,22 @@ object Ddl {
       spark.sql(s"MSCK REPAIR TABLE $name")
     }
 
+  /** Bucketed catalog tables: the co-located-join layout for keys that
+    * are joined constantly at scale (the MergeTree ORDER BY analogue for
+    * Spark). Two tables bucketed by the same key into the same bucket
+    * count join WITHOUT a shuffle on either side — at 100 TB that is the
+    * difference between a co-located merge and re-shuffling both corpora.
+    * Idempotent like [[ensureTables]].
+    *
+    * Bucketed writes must go through `insertInto`/`saveAsTable` (path
+    * writes can't record bucket spec in the catalog). */
+  def ensureBucketed(spark: SparkSession, name: String, schema: StructType,
+      bucketKey: String, buckets: Int): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name (${schema.toDDL})
+         |USING parquet
+         |CLUSTERED BY ($bucketKey) INTO $buckets BUCKETS""".stripMargin)
+
   /** Write through the CATALOG (not a bare path): month-partitioned,
     * clustered within partitions like [[Views.writePartitioned]], with
     * dynamic partition overwrite so re-running a month's load replaces

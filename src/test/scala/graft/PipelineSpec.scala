@@ -113,4 +113,44 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table(Ddl.Analytics).schema.fieldNames.init.toSeq ===
       Schemas.analytics.fieldNames.toSeq)
   }
+
+  test("bucketed tables co-locate joins: no shuffle on either join side") {
+    import graft.pipeline.Ddl
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schemaA = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val schemaB = StructType(Seq(StructField("k", LongType),
+      StructField("w", LongType)))
+    // clean slate: managed-table locations survive failed runs
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Ddl.ensureBucketed(spark, "bkt_a", schemaA, "k", 4)
+    Ddl.ensureBucketed(spark, "bkt_a", schemaA, "k", 4) // idempotent
+    Ddl.ensureBucketed(spark, "bkt_b", schemaB, "k", 4)
+    (0L until 64L).map(i => (i, s"a$i")).toDF("k", "v")
+      .write.mode("overwrite").insertInto("bkt_a")
+    (0L until 64L).map(i => (i, i * 10)).toDF("k", "w")
+      .write.mode("overwrite").insertInto("bkt_b")
+    // disable broadcast for this assertion: the point is the bucket-aligned
+    // sort-merge path two LARGE tables would take (a tiny test table would
+    // otherwise broadcast and prove nothing about co-location)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() === 64)
+      joined.count() // re-execute so AQE finalizes the plan string
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 import graft.config.GraftConfig
+import graft.pipeline.Ingest
 import graft.streaming.NatsLikeStream
 
 
@@ -13,19 +14,24 @@ import graft.streaming.NatsLikeStream
   * Usage:
   * {{{
   * sbt "runMain graft.Service --config nats.yml --backlog <jsonl dir> \
-  *   --warehouse <out dir> [--once]"
+  *   --warehouse <out dir> [--sink parquet|blocks] [--once]"
   * }}}
   *
+  * `--sink parquet` (default) streams the raw + analytics MV cascade as
+  * month-partitioned parquet. `--sink blocks` streams raw rows through
+  * [[graft.sinks.BatchInsertSinkProvider]] with the connection settings
+  * parsed from the config's `ch://` URL — LZ4 blocks, execution deadline,
+  * ping-on-open — i.e. the reference's batched-INSERT path end to end.
+  *
   * With a live NATS deployment, the backlog source is replaced by the
-  * real connector and `clickhouse.url` feeds a JDBC/native sink — the
-  * pipeline in between is unchanged.
+  * real connector; the pipeline in between is unchanged.
   */
 object Service {
   def main(args: Array[String]): Unit = {
     // Fold-based flag parsing: only value-taking keys consume the next
     // token, so the valueless --once works in ANY position (a pairwise
     // sliding would mis-pair everything after a non-trailing --once).
-    val valueKeys = Set("config", "backlog", "warehouse")
+    val valueKeys = Set("config", "backlog", "warehouse", "sink")
     val opts = {
       @annotation.tailrec
       def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
@@ -77,8 +83,30 @@ object Service {
     val trigger =
       if (opts.contains("once")) Trigger.AvailableNow()
       else NatsLikeStream.BatchTimeout
-    val query = NatsLikeStream.start(
-      envelopes, warehouse, s"$warehouse/_checkpoint", trigger)
+    val query = opts.getOrElse("sink", "parquet") match {
+      case "blocks" =>
+        // the ch:// URL's client settings drive the block sink; a bad URL
+        // exits like the reference's DSN parse failure (connection.go:31-38)
+        val conn = GraftConfig.parseSinkUrl(cfg.clickhouseUrl) match {
+          case Right(c) => c
+          case Left(err) => log.error(err); sys.exit(1)
+        }
+        log.info("block sink", "compression" -> conn.compression,
+          "maxExecutionTimeSec" -> conn.maxExecutionTimeSec)
+        NatsLikeStream.dedupedRaw(
+            Ingest.subjectFilter(envelopes, NatsLikeStream.SubjectPrefix))
+          .writeStream
+          .format("graft.sinks.BatchInsertSinkProvider")
+          .option("path", s"$warehouse/blocks")
+          .option("batchSize", NatsLikeStream.MaxRowsPerTrigger)
+          .options(conn.writerOptions)
+          .option("checkpointLocation", s"$warehouse/_checkpoint")
+          .trigger(trigger)
+          .start()
+      case _ =>
+        NatsLikeStream.start(
+          envelopes, warehouse, s"$warehouse/_checkpoint", trigger)
+    }
 
     // B4: SIGTERM/SIGINT → graceful stop; checkpoint replays the tail.
     sys.addShutdownHook { if (query.isActive) query.stop() }

@@ -115,11 +115,11 @@ object GraftConfig {
       compression: String = "lz4") {
 
     /** The client settings as sink options for
-      * `graft.sinks.BatchInsertSinkProvider` (see its usage example):
-      * pass via `.options(conn.writerOptions)` and the `ch://` URL's
-      * compression/timeout semantics apply to that sink's write path.
-      * (`Service`'s default pipeline streams parquet via foreachBatch and
-      * does not consume these.) */
+      * `graft.sinks.BatchInsertSinkProvider`: pass via
+      * `.options(conn.writerOptions)` and the `ch://` URL's compression/
+      * timeout semantics apply to that sink's write path — `Service
+      * --sink blocks` does exactly this; the default `--sink parquet`
+      * pipeline streams parquet via foreachBatch instead. */
     def writerOptions: Map[String, String] = Map(
       "compression" -> compression,
       "maxExecutionTimeSec" -> maxExecutionTimeSec.toString,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import graft.operators.{Dedup, Similarity}
+
+/** Plan-shape regression guards: the scale contracts the operators claim
+  * (PLANS.md) asserted against the actual plans, so a future edit cannot
+  * silently reintroduce a forced broadcast of an unbounded intermediate,
+  * a per-query rank window, or an all-pairs nested-loop join. */
+class PlanShapeSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // other suites cache() these operators' DataFrames on the shared
+    // session; a lingering cache substitutes InMemoryRelation into the
+    // plans under inspection and hides the join shapes
+    spark.catalog.clearCache()
+  }
+
+  private def logicalHints(df: DataFrame): Seq[ResolvedHint] =
+    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withoutAqe[T](body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("dedup joins carry NO broadcast hints (AQE decides from runtime stats)") {
+    // x2/x3: the candidate/index relations are data-dependent and unbounded
+    // at scale; only the optimizer may choose broadcast, never a hint
+    assert(logicalHints(Dedup.minhashLsh(spark, Sf)).isEmpty)
+    assert(logicalHints(Dedup.ngramJaccardFrom(
+      graft.queries.Tables.documents(spark, Sf))).isEmpty)
+    assert(logicalHints(Dedup.simhashPairs(spark, Sf)).isEmpty)
+  }
+
+  test("ANN top-k has no rank window and no single-partition exchange") {
+    Seq(
+      Similarity.bruteForceTopK(spark, Sf),
+      Similarity.lshTopK(spark, Sf),
+      Similarity.ivfTopK(spark, Sf)
+    ).foreach { df =>
+      val p = physical(df)
+      // partial-aggregated bounded heap, not a per-query window rank over
+      // the candidate set (ivfTopK's window is the 16-row-per-vector
+      // centroid ranking, which is bounded — the TOP-K stage must not
+      // window). The top-k ObjectHashAggregate must be present...
+      assert(p.contains("ObjectHashAggregate"), s"no partial top-k in:\n$p")
+      // ...and nothing may funnel through a single partition
+      assert(!p.contains("SinglePartition"), s"single-partition stage in:\n$p")
+    }
+  }
+
+  test("embedding near-dup is candidate-join shaped: pairs join on cell, " +
+      "nested loops only against the bounded centroid table") {
+    val df = Similarity.embeddingDups(spark, Sf)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the pair-generation stage is an EQUI-join whose key is the cell id
+    assert(p.contains("Join [cell#"), s"no cell equi-join in:\n$p")
+    // any nested-loop join must be the deliberate vector×centroid cross,
+    // whose broadcast side is bounded by the NumCells centroid filter —
+    // never a corpus×corpus pair product
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // AQE's wrapper hides the join nodes from collect(); the static plan
+    // is the shape under guard here
+    val nljs = withoutAqe {
+      Similarity.embeddingDups(spark, Sf)
+        .queryExecution.executedPlan.collect {
+          case j: BroadcastNestedLoopJoinExec => j
+        }
+    }
+    assert(nljs.nonEmpty) // the assignment stage exists
+    nljs.foreach { j =>
+      val build = j.buildSide match {
+        case BuildRight => j.right
+        case BuildLeft => j.left
+      }
+      val s = build.toString
+      assert(s.contains(s"< ${Similarity.NumCells}"),
+        s"nested-loop build side is not the bounded centroid table:\n$s")
+    }
+  }
+}

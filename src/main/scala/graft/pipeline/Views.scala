@@ -29,18 +29,28 @@ object Views {
     val segNames = Seq(
       "client_code", "project_code", "user_id", "session_id",
       "message_from", "message_to", "message_type", "message_context")
-    raw.select(
-      Seq(
-        col("timestamp"), col("subject"), col("chat_id"),
-        col("metadata"), col("data"),
-        jsonString(col("data"), "text").as("message_text"),
-        jsonString(col("data"), "meta").as("message_meta"),
-        jsonString(col("data"), "id").as("message_id"),
-        jsonEpochTimestamp(col("data"), "timestamp").as("message_timestamp")
-      ) ++ segNames.zipWithIndex.map { case (name, i) =>
-        subjectSegment(col("subject"), i + 1).as(name)
-      }: _*
-    )
+    // json_tuple parses the payload ONCE for all four keys —
+    // get_json_object would re-parse it per key on the hottest projection
+    // in the pipeline (values and null semantics are identical; the
+    // ClickHouse '' / epoch-0 defaults wrap the raw extracts below)
+    raw
+      .select(col("*"),
+        json_tuple(col("data"), "text", "meta", "id", "timestamp")
+          .as(Seq("_jx_text", "_jx_meta", "_jx_id", "_jx_ts")))
+      .select(
+        Seq(
+          col("timestamp"), col("subject"), col("chat_id"),
+          col("metadata"), col("data"),
+          coalesce(col("_jx_text"), lit("")).as("message_text"),
+          coalesce(col("_jx_meta"), lit("")).as("message_meta"),
+          coalesce(col("_jx_id"), lit("")).as("message_id"),
+          timestamp_seconds(
+            coalesce(col("_jx_ts").try_cast("long"), lit(0L)))
+            .as("message_timestamp")
+        ) ++ segNames.zipWithIndex.map { case (name, i) =>
+          subjectSegment(col("subject"), i + 1).as(name)
+        }: _*
+      )
   }
 
   require(Schemas.analyticsDerived.size == 12)

@@ -73,14 +73,20 @@ object RefParity {
     * timestamps (missing → 0 → 1970-01-01). */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val env = envelopes(spark, sfDir)
-    env.select(
-      col("streamSeq").as("sequence"),
-      jsonString(col("data"), "text").as("x_text"),
-      jsonString(col("data"), "meta").as("x_meta"),
-      jsonString(col("data"), "missing").as("x_missing"),
-      jsonUInt(col("data"), "k").as("x_k"),
-      jsonEpochTimestamp(col("data"), "timestamp").as("x_ts")
-    ).orderBy("sequence")
+    // one json_tuple parse for all five keys (see Views.deriveAnalytics)
+    env
+      .select(col("streamSeq").as("sequence"),
+        json_tuple(col("data"), "text", "meta", "missing", "k", "timestamp")
+          .as(Seq("_jx_text", "_jx_meta", "_jx_missing", "_jx_k", "_jx_ts")))
+      .select(
+        col("sequence"),
+        coalesce(col("_jx_text"), lit("")).as("x_text"),
+        coalesce(col("_jx_meta"), lit("")).as("x_meta"),
+        coalesce(col("_jx_missing"), lit("")).as("x_missing"),
+        coalesce(col("_jx_k").try_cast("long"), lit(0L)).as("x_k"),
+        timestamp_seconds(
+          coalesce(col("_jx_ts").try_cast("long"), lit(0L))).as("x_ts")
+      ).orderBy("sequence")
   }
 
   /** R4 (Q4): the full 17-column analytics MV derivation over the

@@ -49,21 +49,31 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
-  /** Model JSON-string escaper equivalent to the one in Verify.q and the
-    * sink's BlockWriter.esc: output must parse back to the input. */
-  property("json escaping round-trips through a strict parser") =
-    forAll(Gen.asciiStr) { s =>
-      def esc(x: String): String = x.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
+  /** The SHARED escaper (graft.util.JsonText — used by the sink blocks,
+    * logger records, and the oracle dump): output must parse back to the
+    * input through a strict parser. */
+  property("JsonText escaping round-trips through a strict parser") =
+    forAll(Gen.oneOf(Gen.asciiStr, Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString))) { s =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      mapper.readTree("{\"v\":\"" + esc(s) + "\"}").get("v").asText() == s
+      mapper.readTree("{\"v\":" + graft.util.JsonText.quote(s) + "}")
+        .get("v").asText() == s
+    }
+
+  /** Valid-unicode strings (no lone surrogates — Spark stores UTF-8, so
+    * malformed UTF-16 cannot round-trip into an expression input at all). */
+  private val validUnicodeStr: Gen[String] =
+    Gen.listOf(Gen.choose(0, 0x10FFFF)
+        .suchThat(cp => cp < 0xD800 || cp > 0xDFFF))
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  /** The codegen'd PolyHash expression's eval path against the plain
+    * Scala model fold — exact for every representable string (both walk
+    * UTF-16 code units, surrogate pairs included). */
+  property("PolyHash expression == model fold for arbitrary strings") =
+    forAll(Gen.oneOf(Gen.asciiStr, validUnicodeStr)) { s =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val model = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+      graft.expressions.PolyHash(Literal(s)).eval(null) == model
     }
 
   private val neighbors: Gen[List[graft.functions.Neighbor]] =

@@ -69,22 +69,31 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism))
 
   /** Exact dedup via content digest, plus a relaxed prefix-key variant
-    * (first 5 tokens) — both as window functions over the hash partition,
-    * so every doc keeps its group representative and group size. */
+    * (first 5 tokens) — every doc keeps its group representative and
+    * group size.
+    *
+    * Group stats come from partial-aggregated groupBys joined back, NOT
+    * hash-partition windows: a window must buffer each hash group in one
+    * task (a billion-copy boilerplate document would spill or die), while
+    * the aggregate reduces map-side and the join re-partitions on the
+    * same hash key. The narrow (doc_id, hashes) projection is persisted
+    * once — three consumers would otherwise re-md5 the corpus each. */
   def exact(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-      .withColumn("text_hash", md5(col("text")))
-      .withColumn("prefix_hash",
-        md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))))
-    val byText = Window.partitionBy("text_hash")
-    val byPrefix = Window.partitionBy("prefix_hash")
-    d.select(
-      col("doc_id"), col("text_hash"),
-      min(col("doc_id")).over(byText).as("exact_rep"),
-      count(lit(1)).over(byText).as("exact_group_size"),
-      col("prefix_hash"),
-      min(col("doc_id")).over(byPrefix).as("prefix_rep"),
-      count(lit(1)).over(byPrefix).as("prefix_group_size"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("text_hash"),
+        md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("prefix_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byText = d.groupBy("text_hash").agg(
+      min(col("doc_id")).as("exact_rep"),
+      count(lit(1)).as("exact_group_size"))
+    val byPrefix = d.groupBy("prefix_hash").agg(
+      min(col("doc_id")).as("prefix_rep"),
+      count(lit(1)).as("prefix_group_size"))
+    d.join(byText, "text_hash").join(byPrefix, "prefix_hash")
+      .select("doc_id", "text_hash", "exact_rep", "exact_group_size",
+        "prefix_hash", "prefix_rep", "prefix_group_size")
       .orderBy("doc_id")
   }
 

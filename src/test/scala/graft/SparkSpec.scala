@@ -24,4 +24,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     super.beforeAll()
     spark.sparkContext.setLogLevel("ERROR")
   }
+
+  override def afterAll(): Unit = {
+    // suites share one session: drop this suite's cache()/persist() entries
+    // so later suites inspect clean plans and memory
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 }

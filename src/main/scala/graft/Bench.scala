@@ -17,15 +17,6 @@ object Bench {
     // while writing nothing.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // Warm the JVM/codegen/scan paths so the first measured query isn't
-    // billed for session initialization.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try { run(fn) } catch { case _: Throwable => () }
-    }
-    // Report min of two runs per query: steady-state cost, de-noised from
-    // JIT warmup of interpreted expression paths and this host's sporadic
-    // multi-second hypervisor scheduling stalls (observed 60s+ idle-wait
-    // outliers on otherwise-4s queries, uncorrelated with plan shape).
     // Optional args restrict the run to the named queries (iteration aid);
     // unknown names fail fast instead of silently measuring nothing.
     val unknown = args.filterNot(SparkEntry.queries.contains)
@@ -36,6 +27,16 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
+    // Warm the JVM/codegen/scan paths on one of the queries actually under
+    // measurement, so the first timed query isn't billed for session init.
+    selected.headOption.foreach { case (_, fn) =>
+      try { run(fn) } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    // Report min of two runs per query: steady-state cost, de-noised from
+    // JIT warmup of interpreted expression paths and this host's sporadic
+    // multi-second hypervisor scheduling stalls (observed 60s+ idle-wait
+    // outliers on otherwise-4s queries, uncorrelated with plan shape).
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def one(): Double = {
         val t0 = System.nanoTime()

@@ -133,12 +133,9 @@ object GraftConfig {
         // Unbounded digit runs overflow toInt; out-of-range ports are a
         // parse error (Left), not an exception — the reference exits with
         // a parse error on a bad DSN.
-        Try(port.toInt).toEither.left.map(_ => "").flatMap {
-          case p if p >= 1 && p <= 65535 => Right(p)
-          case _ => Left("")
-        } match {
-          case Right(p) => Right(SinkConn(user, Option(pass).getOrElse(""), host, p))
-          case Left(_) => Left(s"failed to parse ClickHouse URL: $url")
+        Try(port.toInt).toOption.filter(p => p >= 1 && p <= 65535) match {
+          case Some(p) => Right(SinkConn(user, Option(pass).getOrElse(""), host, p))
+          case None => Left(s"failed to parse ClickHouse URL: $url")
         }
       case _ => Left(s"failed to parse ClickHouse URL: $url")
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -57,7 +58,7 @@ object Dedup {
     * exactly once per document; everything downstream reads the array. */
   private[graft] def shingleTableFrom(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("sh")) > 0)
 
   /** [[shingleTableFrom]] over the `documents` table. The scan is
@@ -84,7 +85,7 @@ object Dedup {
         col("doc_id"),
         md5(col("text")).as("text_hash"),
         md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("prefix_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val byText = d.groupBy("text_hash").agg(
       min(col("doc_id")).as("exact_rep"),
       count(lit(1)).as("exact_group_size"))
@@ -122,7 +123,7 @@ object Dedup {
     val mins = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = mins.select(col("doc_id"), explode(array(
         (0 until NumMinhashes).map(b =>
           struct(lit(b).as("band"), col(s"h$b").as("h"))): _*)).as("bh"))
@@ -189,7 +190,7 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= MaxShingleDf)
       .select("doc_id", "n", "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cut.as("a")
       .join(cut.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -232,7 +233,7 @@ object Dedup {
     // Same materialization rationale as minhashLsh: O(N)-small signature
     // table, expensive to build, read by both sides of the banded join.
     val sig = simhash(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 4) & 15"))

@@ -28,13 +28,20 @@ object Similarity {
 
   /** (vec_id, label, u=unit vector) — norm computed once per row. The
     * scan is repartitioned first: locally `embeddings` is one parquet
-    * split (at scale, input splits parallelize this for free). */
+    * split (at scale, input splits parallelize this for free).
+    *
+    * Persisted for the same reason as the shingle table in [[Dedup]]:
+    * `unit` is an interpreted HOF and every operator here references this
+    * relation 2-4 times (queries, candidates, fetch sides) — without the
+    * materialization barrier, project-collapse re-normalizes the corpus
+    * once per reference. */
   private def normalized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("label"),
         unit(col("embedding"), col("nrm")).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Brute-force cosine top-k for a small query set: broadcast the
     * (bounded, 10-row) query side against the corpus scan — one corpus
@@ -67,12 +74,14 @@ object Similarity {
     * executor handles a bucket slice without a cross join. The signature
     * is computed on the raw vector (matching the oracle's rounding). */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted like [[normalized]] — referenced by both join sides
     val e = Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("sig", lshSignature(col("embedding"), Planes, Dim))
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("sig"),
         unit(col("embedding"), col("nrm")).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("sig"), col("u").as("qu"))
     val cs = e.select(col("vec_id").as("neighbor_id"), col("sig"),

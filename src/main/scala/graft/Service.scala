@@ -100,12 +100,18 @@ object Service {
           .option("path", s"$warehouse/blocks")
           .option("batchSize", NatsLikeStream.MaxRowsPerTrigger)
           .options(conn.writerOptions)
-          .option("checkpointLocation", s"$warehouse/_checkpoint")
+          // own checkpoint: the parquet pipeline's offsets/state are a
+          // DIFFERENT query graph — sharing its checkpoint would skip
+          // already-committed offsets (blocks silently never written)
+          .option("checkpointLocation", s"$warehouse/_checkpoint_blocks")
           .trigger(trigger)
           .start()
-      case _ =>
+      case "parquet" =>
         NatsLikeStream.start(
           envelopes, warehouse, s"$warehouse/_checkpoint", trigger)
+      case other =>
+        log.error(s"unknown --sink '$other' (expected parquet|blocks)")
+        sys.exit(2)
     }
 
     // B4: SIGTERM/SIGINT → graceful stop; checkpoint replays the tail.

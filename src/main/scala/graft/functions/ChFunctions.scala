@@ -31,18 +31,33 @@ object ChFunctions {
   /** `JSONExtractString(data, key)`: `''` on missing key, malformed JSON,
     * or mistyped value (reference `init.sql:109-111`). */
   def jsonString(data: Column, key: String): Column =
-    coalesce(get_json_object(data, s"$$.$key"), lit(""))
+    chString(get_json_object(data, s"$$.$key"))
+
+  /** The `JSONExtractString` default applied to an ALREADY-extracted
+    * nullable value (e.g. a `json_tuple` output): null → `''`. The single
+    * home of the ClickHouse string-default semantics. */
+  def chString(extracted: Column): Column = coalesce(extracted, lit(""))
+
+  /** The `JSONExtractUInt`→`DateTime` default applied to an
+    * already-extracted nullable value: non-numeric/missing → 0 → epoch
+    * 1970-01-01 (reference `init.sql:112`, `init.sql:84`). */
+  def chEpochTimestamp(extracted: Column): Column =
+    timestamp_seconds(coalesce(extracted.try_cast("long"), lit(0L)))
+
+  /** The `JSONExtractUInt` numeric default for an already-extracted
+    * nullable value: non-numeric/missing → 0. */
+  def chUInt(extracted: Column): Column =
+    coalesce(extracted.try_cast("long"), lit(0L))
 
   /** `JSONExtractUInt(data, 'timestamp')` implicitly cast to `DateTime`:
     * missing/non-numeric → 0 → epoch 1970-01-01 (reference `init.sql:112`,
     * target column type `init.sql:84`). */
   def jsonEpochTimestamp(data: Column, key: String): Column =
-    timestamp_seconds(
-      coalesce(get_json_object(data, s"$$.$key").try_cast("long"), lit(0L)))
+    chEpochTimestamp(get_json_object(data, s"$$.$key"))
 
   /** `JSONExtractUInt` as a plain number (0 default). */
   def jsonUInt(data: Column, key: String): Column =
-    coalesce(get_json_object(data, s"$$.$key").try_cast("long"), lit(0L))
+    chUInt(get_json_object(data, s"$$.$key"))
 
   /** ClickHouse `DateTime` is second-precision; truncate at the ingest
     * boundary (reference `init.sql:10`). */

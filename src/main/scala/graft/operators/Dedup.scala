@@ -92,7 +92,14 @@ object Dedup {
     val byPrefix = d.groupBy("prefix_hash").agg(
       min(col("doc_id")).as("prefix_rep"),
       count(lit(1)).as("prefix_group_size"))
-    d.join(byText, "text_hash").join(byPrefix, "prefix_hash")
+    // null-SAFE join keys: a null text hashes to a null key, which groupBy
+    // keeps as its own group but a plain inner join would drop — and
+    // "every doc keeps its representative" must hold on corpora with null
+    // text too (the window formulation this replaces grouped nulls)
+    d.join(byText, d("text_hash") <=> byText("text_hash"))
+      .drop(byText("text_hash"))
+      .join(byPrefix, d("prefix_hash") <=> byPrefix("prefix_hash"))
+      .drop(byPrefix("prefix_hash"))
       .select("doc_id", "text_hash", "exact_rep", "exact_group_size",
         "prefix_hash", "prefix_rep", "prefix_group_size")
       .orderBy("doc_id")

@@ -41,12 +41,10 @@ object Views {
         Seq(
           col("timestamp"), col("subject"), col("chat_id"),
           col("metadata"), col("data"),
-          coalesce(col("_jx_text"), lit("")).as("message_text"),
-          coalesce(col("_jx_meta"), lit("")).as("message_meta"),
-          coalesce(col("_jx_id"), lit("")).as("message_id"),
-          timestamp_seconds(
-            coalesce(col("_jx_ts").try_cast("long"), lit(0L)))
-            .as("message_timestamp")
+          chString(col("_jx_text")).as("message_text"),
+          chString(col("_jx_meta")).as("message_meta"),
+          chString(col("_jx_id")).as("message_id"),
+          chEpochTimestamp(col("_jx_ts")).as("message_timestamp")
         ) ++ segNames.zipWithIndex.map { case (name, i) =>
           subjectSegment(col("subject"), i + 1).as(name)
         }: _*

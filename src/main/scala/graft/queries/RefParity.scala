@@ -80,12 +80,11 @@ object RefParity {
           .as(Seq("_jx_text", "_jx_meta", "_jx_missing", "_jx_k", "_jx_ts")))
       .select(
         col("sequence"),
-        coalesce(col("_jx_text"), lit("")).as("x_text"),
-        coalesce(col("_jx_meta"), lit("")).as("x_meta"),
-        coalesce(col("_jx_missing"), lit("")).as("x_missing"),
-        coalesce(col("_jx_k").try_cast("long"), lit(0L)).as("x_k"),
-        timestamp_seconds(
-          coalesce(col("_jx_ts").try_cast("long"), lit(0L))).as("x_ts")
+        chString(col("_jx_text")).as("x_text"),
+        chString(col("_jx_meta")).as("x_meta"),
+        chString(col("_jx_missing")).as("x_missing"),
+        chUInt(col("_jx_k")).as("x_k"),
+        chEpochTimestamp(col("_jx_ts")).as("x_ts")
       ).orderBy("sequence")
   }
 

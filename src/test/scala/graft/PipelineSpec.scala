@@ -147,7 +147,8 @@ class PipelineSpec extends SparkSpec {
     try {
       val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
       assert(joined.count() === 64)
-      joined.count() // re-execute so AQE finalizes the plan string
+      // the assertion reads the static plan (bucketed scans are decided
+      // at planning time, before any adaptive re-optimization)
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
       assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")

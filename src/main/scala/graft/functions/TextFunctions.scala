@@ -36,8 +36,16 @@ object TextFunctions {
 
   /** Word n-gram shingles (default 3): the unit set for Jaccard/MinHash
     * near-dup detection. Distinct, so shingle multiplicity doesn't bias
-    * similarity. */
-  def shingles(text: Column, n: Int = 3): Column = {
+    * similarity. Codegen'd ([[graft.expressions.WordShingles]]);
+    * [[shinglesHof]] is the reference HOF pipeline it must match. */
+  def shingles(text: Column, n: Int = 3): Column =
+    GraftSql.column(graft.expressions.WordShingles(
+      GraftSql.expression(text), n))
+
+  /** Reference higher-order-function form of [[shingles]] (kept for the
+    * identity spec; evaluates an interpreted lambda per shingle — do not
+    * use on corpus-scale paths). */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
     val grams = transform(sequence(lit(1), size(t) - lit(n - 1)),
       i => concat_ws(" ",

@@ -16,6 +16,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.toSeq === inputs.map(modelPolyHash))
   }
 
+  test("codegen WordShingles is identical to the HOF pipeline on real docs and edge cases") {
+    import spark.implicits._
+    // real corpus: element-for-element identical arrays
+    val d = graft.queries.Tables.documents(spark, Sf)
+      .select(shingles(col("text")).as("fast"), shinglesHof(col("text")).as("ref"))
+    assert(d.filter(not(col("fast") <=> col("ref"))).count() === 0)
+    assert(d.count() === 500)
+    // edge cases: consecutive/trailing spaces (empty tokens), short docs,
+    // repeats collapsing with first-occurrence order
+    val edge = Seq("", " ", "a", "a b", "a  b c", "a b c ", "x y z x y z")
+      .toDF("t")
+      .select(shingles(col("t")).as("fast"), shinglesHof(col("t")).as("ref"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
   test("codegen PolyHash is bit-identical to the interpreted HOF fold on real docs") {
     val d = graft.queries.Tables.documents(spark, Sf)
       .select(polyHash(col("text")).as("fast"), polyHashHof(col("text")).as("ref"))

@@ -31,7 +31,7 @@ object Bench {
     // measurement, so the first timed query isn't billed for session init.
     selected.headOption.foreach { case (_, fn) =>
       try { run(fn) } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      util.OperatorCaches.releaseAll()
     }
     // Report min of two runs per query: steady-state cost, de-noised from
     // JIT warmup of interpreted expression paths and this host's sporadic
@@ -42,12 +42,13 @@ object Bench {
         val t0 = System.nanoTime()
         try { run(fn) } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Drop operator-level persist() caches THROUGH the CacheManager:
-        // a raw-RDD unpersist would leave the plan→cache mapping behind,
-        // making the next run's identical persist() a no-op that then
-        // recomputes uncached — every timed run must pay (and measure)
-        // its own cache population.
-        spark.catalog.clearCache()
+        // Drop operator-level persist() caches THROUGH the CacheManager
+        // (Dataset.unpersist clears the plan→cache mapping; a raw-RDD
+        // unpersist would leave it behind, making the next run's
+        // identical persist() a no-op that then recomputes uncached) —
+        // every timed run must pay (and measure) its own cache
+        // population. Scoped release via the registry, not clearCache.
+        util.OperatorCaches.releaseAll()
         dt
       }
       val runs = Seq(one(), one())

@@ -21,9 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally
-        // release any operator-level persist() so 48 queries don't
-        // accumulate cached signature tables in one session
-        spark.catalog.clearCache()
+        // release the operator-level persists so 50+ queries don't
+        // accumulate cached signature tables in one session (scoped to
+        // graft-registered caches — a clearCache() would also drop any
+        // caller-owned caches in an embedding session)
+        graft.util.OperatorCaches.releaseAll()
     }
     // JSON escape (graft.util.JsonText): a tab or CR in builder-authored
     // SQL would otherwise make the driver's json.load fail and silently

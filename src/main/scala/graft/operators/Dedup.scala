@@ -1,11 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.queries.Tables
+import graft.util.OperatorCaches
 
 /** Deduplication operators over the `documents` table — the four standard
   * levels of a training-data pipeline, each shaped for 100 TB:
@@ -18,18 +18,21 @@ import graft.queries.Tables
   *    join — the shuffle key is the shingle);
   *  - SimHash: 16-bit signature + banded Hamming join.
   *
-  * Scale note: the expensive derived relations that BOTH sides of a
-  * self-join read — minhash band signatures, simhash signatures, the cut
-  * inverted index — are persisted (MEMORY_AND_DISK) before the join.
-  * When the join resolves as broadcast the two sides cannot share a
+  * Scale note: two kinds of relation are persisted (MEMORY_AND_DISK)
+  * here. (1) Derived relations that BOTH sides of a self-join read —
+  * minhash band signatures, simhash signatures, the cut inverted index:
+  * when the join resolves as broadcast the two sides cannot share a
   * ReusedExchange, so without materialization the whole signature
   * pipeline runs once per side; on a cluster these tables are the
-  * signatures-as-bucketed-temp-table pattern. The caches live until the
-  * session drops them — batch drivers that run many operators in one
-  * session (graft.Verify, graft.Bench) call `spark.catalog.clearCache()`
-  * between queries. Cheap projections (the raw shingle table feeding the
-  * Jaccard verify) stay unpersisted: recomputing them costs less than
-  * caching corpus-sized arrays.
+  * signatures-as-bucketed-temp-table pattern. (2) The raw (doc_id,
+  * shingles) projection itself: the shingle builder is an interpreted
+  * HOF that Catalyst's project-collapse would otherwise inline into every
+  * consumer (measured 3-5 evaluations per document — see
+  * [[shingleTableFrom]]). All persists go through
+  * [[graft.util.OperatorCaches]], so callers release them per-batch with
+  * `OperatorCaches.releaseAll()` instead of a session-wide
+  * `clearCache()` — the in-repo drivers (graft.Verify, graft.Bench) do
+  * exactly that between queries.
   *
   * Embedding-cosine near-dup lives in [[Similarity]].
   */
@@ -57,8 +60,8 @@ object Dedup {
     * sides) — measured 3-5 evaluations per document. Cached, it runs
     * exactly once per document; everything downstream reads the array. */
   private[graft] def shingleTableFrom(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    OperatorCaches.persist(
+        docs.select(col("doc_id"), shingles(col("text")).as("sh")))
       .filter(size(col("sh")) > 0)
 
   /** [[shingleTableFrom]] over the `documents` table. The scan is
@@ -80,12 +83,11 @@ object Dedup {
     * same hash key. The narrow (doc_id, hashes) projection is persisted
     * once — three consumers would otherwise re-md5 the corpus each. */
   def exact(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    val d = OperatorCaches.persist(Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
         md5(col("text")).as("text_hash"),
-        md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("prefix_hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("prefix_hash")))
     val byText = d.groupBy("text_hash").agg(
       min(col("doc_id")).as("exact_rep"),
       count(lit(1)).as("exact_group_size"))
@@ -127,10 +129,10 @@ object Dedup {
     // share a ReusedExchange, so without materialization the whole
     // signature pipeline runs twice. Persist is the same answer a cluster
     // deployment uses (signatures as a materialized/bucketed temp table).
-    val mins = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mins = OperatorCaches.persist(
+      sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*))
     val bands = mins.select(col("doc_id"), explode(array(
         (0 until NumMinhashes).map(b =>
           struct(lit(b).as("band"), col(s"h$b").as("h"))): _*)).as("bh"))
@@ -193,11 +195,10 @@ object Dedup {
     // resolution of the join would otherwise recompute the shingle
     // explode + DF window on each side. (At cluster scale this is the
     // inverted index itself — the thing you'd keep as a bucketed table.)
-    val cut = ex
+    val cut = OperatorCaches.persist(ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= MaxShingleDf)
-      .select("doc_id", "n", "s")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select("doc_id", "n", "s"))
     cut.as("a")
       .join(cut.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -239,8 +240,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // Same materialization rationale as minhashLsh: O(N)-small signature
     // table, expensive to build, read by both sides of the banded join.
-    val sig = simhash(spark, sfDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = OperatorCaches.persist(simhash(spark, sfDir))
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 4) & 15"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Neighbor, TopKByScore}
 import graft.functions.VectorFunctions._
 import graft.queries.Tables
+import graft.util.OperatorCaches
 
 /** Similarity search over the `embeddings` table (`array<float>`, dim 64).
   *
@@ -36,12 +37,11 @@ object Similarity {
     * materialization barrier, project-collapse re-normalizes the corpus
     * once per reference. */
   private def normalized(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    OperatorCaches.persist(Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("label"),
-        unit(col("embedding"), col("nrm")).as("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        unit(col("embedding"), col("nrm")).as("u")))
 
   /** Brute-force cosine top-k for a small query set: broadcast the
     * (bounded, 10-row) query side against the corpus scan — one corpus
@@ -75,13 +75,12 @@ object Similarity {
     * is computed on the raw vector (matching the oracle's rounding). */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     // persisted like [[normalized]] — referenced by both join sides
-    val e = Tables.embeddings(spark, sfDir)
+    val e = OperatorCaches.persist(Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("sig", lshSignature(col("embedding"), Planes, Dim))
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("sig"),
-        unit(col("embedding"), col("nrm")).as("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        unit(col("embedding"), col("nrm")).as("u")))
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("sig"), col("u").as("qu"))
     val cs = e.select(col("vec_id").as("neighbor_id"), col("sig"),

@@ -38,21 +38,35 @@ object Ddl {
   private def withMonthField(s: StructType): StructType =
     StructType(s.fields :+ StructField("month", StringType, nullable = true))
 
+  /** SQL string-literal escape for the LOCATION clause: backslash-escape
+    * the two characters Spark's default (non-`escapedStringLiterals`)
+    * parser treats specially, so a path containing a quote round-trips
+    * instead of breaking the bootstrap DDL. */
+  private[pipeline] def sqlString(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Run the bootstrap; safe to call any number of times (IF NOT EXISTS).
     * Existing month directories at the locations are adopted via partition
     * recovery (re-run after out-of-catalog appends, e.g. a streaming
     * backfill, to surface new partitions — a real deployment writes
-    * through [[insertPartitioned]] instead). */
+    * through [[insertPartitioned]] instead).
+    *
+    * The warehouse may live on any Hadoop filesystem (`hdfs://`,
+    * `s3a://`, local paths alike): directories are created through the
+    * `FileSystem` API resolved from the session's Hadoop conf, never
+    * `java.nio` (local-only). */
   def ensureTables(spark: SparkSession, warehouse: String): Unit =
     tables.foreach { case (name, schema, sub) =>
       // MSCK scans the location; make sure it exists on first bootstrap
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(warehouse, sub))
+      val loc = new org.apache.hadoop.fs.Path(warehouse, sub)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(loc)
+      val qualified = fs.makeQualified(loc).toString
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $name (${withMonthField(schema).toDDL})
            |USING parquet
            |PARTITIONED BY (month)
-           |LOCATION '$warehouse/$sub'""".stripMargin)
+           |LOCATION '${sqlString(qualified)}'""".stripMargin)
       // adopt pre-existing partition directories (MSCK), also idempotent
       spark.sql(s"MSCK REPAIR TABLE $name")
     }

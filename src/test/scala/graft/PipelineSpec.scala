@@ -87,7 +87,9 @@ class PipelineSpec extends SparkSpec {
 
   test("Q9 idempotent DDL: bootstrap re-runs safely; catalog writes round-trip") {
     import graft.pipeline.Ddl
-    val wh = java.nio.file.Files.createTempDirectory("graft_ddl_wh").toString
+    // the quote in the warehouse name exercises the LOCATION literal
+    // escaping (a raw interpolation would fail the bootstrap parse)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ddl'wh").toString
     Ddl.ensureTables(spark, wh)
     Ddl.ensureTables(spark, wh) // init.sql re-run: IF NOT EXISTS, no error
     assert(Ddl.tables.forall { case (name, _, _) =>

@@ -37,26 +37,39 @@ object Bench {
     // JIT warmup of interpreted expression paths and this host's sporadic
     // multi-second hypervisor scheduling stalls (observed 60s+ idle-wait
     // outliers on otherwise-4s queries, uncorrelated with plan shape).
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def one(): Double = {
-        val t0 = System.nanoTime()
-        try { run(fn) } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Drop operator-level persist() caches THROUGH the CacheManager
-        // (Dataset.unpersist clears the plan→cache mapping; a raw-RDD
-        // unpersist would leave it behind, making the next run's
-        // identical persist() a no-op that then recomputes uncached) —
-        // every timed run must pay (and measure) its own cache
-        // population. Scoped release via the registry, not clearCache.
-        util.OperatorCaches.releaseAll()
-        dt
+    def one(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { run(fn) } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop operator-level persist() caches THROUGH the CacheManager
+      // (Dataset.unpersist clears the plan→cache mapping; a raw-RDD
+      // unpersist would leave it behind, making the next run's
+      // identical persist() a no-op that then recomputes uncached) —
+      // every timed run must pay (and measure) its own cache
+      // population. Scoped release via the registry, not clearCache.
+      util.OperatorCaches.releaseAll()
+      dt
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, Seq(one(fn), one(fn)).min)
+    }
+    // Deferred outlier retries: this host's hypervisor-steal bursts span
+    // ~1 min — long enough to poison BOTH back-to-back runs of whichever
+    // query they land on (and a third consecutive run too, observed on
+    // x2 in the round-2 driver bench: 23 s recorded vs 1.9-3.3 s solo).
+    // So queries still over the threshold retry AFTER the whole battery
+    // has run, minutes later, when the burst has almost surely passed;
+    // up to two retries, stopping at the first clean reading. min-of-N
+    // semantics are unchanged — only the Nth run's timing decorrelates.
+    val results = firstPass.map { case (name, fn, best2) =>
+      var best = best2
+      var retries = 0
+      while (best > 5.0 && retries < 2) {
+        best = math.min(best, one(fn))
+        retries += 1
       }
-      val runs = Seq(one(), one())
-      // Queries still slow after two runs get a third: on this host a
-      // single multi-second hypervisor stall can poison both runs of a
-      // heavy query, and min-of-3 separates steady-state cost from steal.
-      val all = if (runs.min > 5.0) runs :+ one() else runs
-      name -> all.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

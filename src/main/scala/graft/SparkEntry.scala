@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Quantization, Similarity, TemporalJoins, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -48,6 +48,7 @@ object SparkEntry {
     "q17_pivot" -> (Relational.pivotAgg _),
     "q18_percentiles" -> (Relational.percentiles _),
     "q19_salted_agg" -> (Relational.saltedAgg _),
+    "q20_corr_subquery" -> (Relational.corrSubquery _),
     // — LLM-pipeline extensions (SURVEY §7.2 step 5 / north star) —
     "x1_dedup_exact" -> (Dedup.exact _),
     "x2_minhash_lsh" -> (Dedup.minhashLsh _),
@@ -73,7 +74,10 @@ object SparkEntry {
     "x20_train_split" -> (Curation.trainSplit _),
     "x21_length_filter" -> (Curation.lengthFilter _),
     "x22_mixture_weights" -> (Curation.mixtureWeights _),
-    "x23_curated_corpus" -> (Curation.curatedCorpus _)
+    "x23_curated_corpus" -> (Curation.curatedCorpus _),
+    "x25_repetition" -> (TextAnalysis.repetition _),
+    "x26_pack_sequences" -> (Curation.packSequences _),
+    "x27_int8_quant" -> (Quantization.int8Stats _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -771,6 +775,102 @@ object SparkEntry {
          |FROM reps r JOIN kept k ON k.doc_id = r.doc_id
          |            JOIN folds f ON f.doc_id = r.doc_id
          |ORDER BY r.doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.repetition: dup n-gram fractions with
+    // MULTIPLICITY (no distinct before counting), top-token share.
+    "x25_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(t) < 2 THEN [] ELSE list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1]) END AS g2,
+        |    CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS g3
+        |  FROM d),
+        |top AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c FROM
+        |      (SELECT doc_id, unnest(t) AS w FROM d) q GROUP BY 1, 2) q2
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT g.doc_id, n_tokens,
+        |    CAST(len(g2) AS BIGINT) AS n_2grams,
+        |    CAST(len(list_distinct(g2)) AS BIGINT) AS uniq_2grams,
+        |    CAST(len(g3) AS BIGINT) AS n_3grams,
+        |    CAST(len(list_distinct(g3)) AS BIGINT) AS uniq_3grams,
+        |    top_c
+        |  FROM g JOIN top ON top.doc_id = g.doc_id),
+        |f AS (
+        |  SELECT doc_id, n_tokens, n_2grams, uniq_2grams,
+        |    CASE WHEN n_2grams = 0 THEN 0.0
+        |      ELSE CAST(n_2grams - uniq_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+        |    END AS dup_2gram_frac,
+        |    n_3grams, uniq_3grams,
+        |    CASE WHEN n_3grams = 0 THEN 0.0
+        |      ELSE CAST(n_3grams - uniq_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE)
+        |    END AS dup_3gram_frac,
+        |    top_c AS top_token_count,
+        |    CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac
+        |  FROM s)
+        |SELECT *, (dup_2gram_frac < 0.20 AND dup_3gram_frac < 0.15
+        |  AND top_token_frac < 0.20) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.packSequences: sharded running-token packing.
+    "x26_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    doc_id % ${graft.operators.Curation.PackShards} AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  cum_before // ${graft.operators.Curation.PackBudget} AS seq_in_shard,
+         |  cum_before % ${graft.operators.Curation.PackBudget} AS offset_in_seq,
+         |  (cum_before % ${graft.operators.Curation.PackBudget}) + n_tokens
+         |    > ${graft.operators.Curation.PackBudget} AS crosses_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Quantization.int8Stats: max-abs int8, floor(x+0.5) rounding
+    // (engine-portable; round() half-convention differs across engines).
+    "x27_int8_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT *, CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs / 127.0 END AS scale
+        |  FROM m),
+        |qq AS (
+        |  SELECT vec_id, max_abs, scale,
+        |    list_transform(embedding, x ->
+        |      floor(CAST(x AS DOUBLE) / scale + 0.5)) AS q,
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE) -
+        |      floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)) AS err
+        |  FROM s)
+        |SELECT vec_id, max_abs, scale,
+        |  list_max(err) AS max_err,
+        |  list_reduce([CAST(0 AS DOUBLE)] || err, (a, b) -> a + b) / 64.0 AS mean_err,
+        |  CAST(len(list_filter(q, v -> abs(v) > 127)) AS BIGINT) AS n_clipped
+        |FROM qq ORDER BY vec_id""".stripMargin,
+
+    // Mirrors Relational.corrSubquery (same ANSI text modulo view names).
+    "q20_corr_subquery" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
+        |        AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |""".stripMargin,
 
     "q15_moving_avg" ->
       """WITH daily AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ChFunctions.dsum
 import graft.functions.TextFunctions._
@@ -92,6 +93,43 @@ object Curation {
       .select("source", "n_docs", "total_tokens", "stop_tokens",
         "stop_ratio", "weight")
       .orderBy("source")
+  }
+
+  /** Token budget of one packed training sequence ([[packSequences]]). */
+  val PackBudget = 2048L
+
+  /** Shard count for parallel packing ([[packSequences]]); production
+    * sets this ∝ cluster size. */
+  val PackShards = 8L
+
+  /** x26: sequence-packing planner — assigns every document a position
+    * in a fixed-token-budget training sequence (the step that turns a
+    * curated corpus into equal-length training rows). Documents pack
+    * contiguously in doc_id order via a running token count; a doc whose
+    * span crosses a budget boundary is flagged (the trainer's
+    * split-or-pad decision).
+    *
+    * Packing is SHARDED, not global: a single corpus-wide running sum
+    * would serialize into one task (the classic global-window scale
+    * bug). Each of [[PackShards]] hash shards packs independently —
+    * the window partitions by shard, so 100 TB packs with shard-level
+    * parallelism and the plan has exactly one shuffle (by shard). A
+    * sequence is globally identified by (shard, seq_in_shard). */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_in_shard", expr(s"cum_before div $PackBudget"))
+      .withColumn("offset_in_seq", pmod(col("cum_before"), lit(PackBudget)))
+      .withColumn("crosses_boundary",
+        col("offset_in_seq") + col("n_tokens") > lit(PackBudget))
+      .select("doc_id", "shard", "n_tokens", "seq_in_shard",
+        "offset_in_seq", "crosses_boundary")
+      .orderBy("doc_id")
   }
 
   /** x23: the end-to-end curated corpus — the composition a real pipeline

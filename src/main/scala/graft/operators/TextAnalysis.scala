@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.queries.Tables
@@ -85,6 +85,61 @@ object TextAnalysis {
         expr("aggregate(transform(rtoks, t -> length(t)), 0L, (a, x) -> a + x)")
           .as("total_token_chars"))
       .orderBy("doc_id")
+
+  /** x25: Gopher-style repetition statistics — the standard quality
+    * signal for machine-generated/boilerplate text: the fraction of
+    * word 2-/3-grams that are duplicates within the document, and the
+    * most-frequent-token share. N-gram lists keep MULTIPLICITY (an
+    * `array_distinct` would hide exactly the repetition being measured).
+    *
+    * Shape for scale: the n-gram legs are narrow per-row projections;
+    * the top-token leg is explode → two partial-aggregated groupBys on
+    * (doc_id, w) then (doc_id) — the shuffle key is the doc, so a
+    * billion-doc corpus spreads evenly (token skew inside one doc stays
+    * inside one group and is bounded by document length). */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionFrom(docs(spark, sfDir))
+
+  /** [[repetition]] over an arbitrary (doc_id, text) relation. */
+  private[graft] def repetitionFrom(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.withColumn("toks", tokens(col("text")))
+    def grams(n: Int) = {
+      val t = col("toks")
+      val g = transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(t, (i + lit(j)).cast("int"))): _*))
+      // sequence(1, k) is descending for k < 1 → short docs need the guard
+      when(size(t) < n, array().cast("array<string>")).otherwise(g)
+    }
+    val base = d
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        size(array_distinct(col("g2"))).cast("long").as("uniq_2grams"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        size(array_distinct(col("g3"))).cast("long").as("uniq_3grams"))
+    val top = d.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    def dupFrac(n: Column, uniq: Column) =
+      when(n === 0, 0.0)
+        .otherwise((n - uniq).cast("double") / n.cast("double"))
+    base.join(top, "doc_id")
+      .withColumn("dup_2gram_frac", dupFrac(col("n_2grams"), col("uniq_2grams")))
+      .withColumn("dup_3gram_frac", dupFrac(col("n_3grams"), col("uniq_3grams")))
+      .withColumn("top_token_frac",
+        col("top_c").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep",
+        col("dup_2gram_frac") < 0.20 && col("dup_3gram_frac") < 0.15 &&
+          col("top_token_frac") < 0.20)
+      .select(col("doc_id"), col("n_tokens"), col("n_2grams"),
+        col("uniq_2grams"), col("dup_2gram_frac"), col("n_3grams"),
+        col("uniq_3grams"), col("dup_3gram_frac"),
+        col("top_c").as("top_token_count"), col("top_token_frac"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
 
   /** Content fingerprints: rolling polynomial hash of the raw and the
     * whitespace-normalized text, plus the first MinHash — three sharding/

@@ -336,6 +336,31 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q20: TPC-H Q17-flavor correlated scalar subquery, written as
+    * literal SQL so Catalyst's subquery machinery is the thing under
+    * test: `RewriteCorrelatedScalarSubquery` decorrelates the per-part
+    * average into ONE aggregate over lineitem joined back on
+    * `l_partkey` — never a per-row re-scan (the naive reading would be
+    * O(rows × parts)). The accumulation runs through the same
+    * DECIMAL(25,6) trick as everything else so the per-part average is
+    * partitioning-independent on both engines. */
+  def corrSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("q20_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("q20_part")
+    spark.sql(
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_rows
+        |FROM q20_lineitem l JOIN q20_part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
+        |        AS DOUBLE) / COUNT(*))
+        |    FROM q20_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |""".stripMargin)
+  }
+
   /** Sketch aggregation: HyperLogLog++ approximate distincts per group —
     * the 100 TB substitute for exact COUNT(DISTINCT) when the key domain
     * is huge. No DuckDB oracle (different sketch) → rows-only check. */

@@ -184,4 +184,71 @@ class OperatorsSpec extends SparkSpec {
       > greatest(col("width"), col("height"))).count() === 0)
     assert(r.filter(col("media_type") === "audio").count() === 0)
   }
+
+  test("repetition: known corpus yields exact dup fractions; keep flag fires") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a a a"),            // 3×"a a" 2-grams (1 uniq), top token 4/4
+      (2L, "s t u v w x y z"),    // all distinct → dup 0, top 1/8 → keep
+      (3L, "p q p q p q"))        // "p q"/"q p" alternate → heavy dup
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionFrom(corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("dup_2gram_frac") === 2.0 / 3.0)
+    assert(r(1L).getAs[Double]("top_token_frac") === 1.0)
+    assert(!r(1L).getAs[Boolean]("keep"))
+    assert(r(2L).getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(r(2L).getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(r(2L).getAs[Boolean]("keep"))
+    // doc 3: 5 2-grams ("p q"×3, "q p"×2) → 2 uniq → dup 3/5
+    assert(r(3L).getAs[Double]("dup_2gram_frac") === 3.0 / 5.0)
+    assert(!r(3L).getAs[Boolean]("keep"))
+  }
+
+  test("pack sequences: offsets bounded, packing contiguous per shard") {
+    import graft.operators.Curation
+    val p = Curation.packSequences(spark, Sf).cache()
+    assert(p.count() === 500)
+    assert(p.filter(col("offset_in_seq") < 0 ||
+      col("offset_in_seq") >= Curation.PackBudget).count() === 0)
+    assert(p.filter(col("crosses_boundary") =!=
+      (col("offset_in_seq") + col("n_tokens") > Curation.PackBudget))
+      .count() === 0)
+    // seq_in_shard is non-decreasing in doc_id within a shard, and the
+    // running count reconstructs: cum = seq*budget + offset must equal the
+    // sum of earlier docs' tokens in the shard
+    val rows = p.orderBy("shard", "doc_id").collect()
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.foreach { r =>
+        assert(r.getAs[Long]("seq_in_shard") * Curation.PackBudget +
+          r.getAs[Long]("offset_in_seq") === cum)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("int8 quantization: error bounded by scale/2, nothing clips") {
+    import graft.operators.Quantization
+    val q = Quantization.int8Stats(spark, Sf).cache()
+    assert(q.count() === 500)
+    assert(q.filter(col("n_clipped") =!= 0).count() === 0)
+    // max-abs symmetric quantization: |err| <= scale/2 everywhere
+    assert(q.filter(col("max_err") > col("scale") / 2 + 1e-12).count() === 0)
+    assert(q.filter(col("mean_err") > col("max_err")).count() === 0)
+    assert(q.filter(col("scale") <= 0).count() === 0)
+  }
+
+  test("correlated subquery decorrelates: one aggregate, no per-row rescan") {
+    val df = graft.queries.Relational.corrSubquery(spark, Sf)
+    val row = df.collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Long]("n_rows") > 0)
+    // Catalyst must rewrite the scalar subquery into a join against ONE
+    // aggregated lineitem scan — the physical plan may not contain a
+    // live subquery expression per input row
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"),
+      "correlated scalar subquery was not decorrelated")
+  }
 }

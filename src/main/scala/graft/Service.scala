@@ -74,6 +74,10 @@ object Service {
     // Q9: the reference's init.sql bootstrap — idempotent CREATE TABLE IF
     // NOT EXISTS over the warehouse layout, re-run on every start.
     graft.pipeline.Ddl.ensureTables(spark, warehouse)
+    // SQL surface: graft_polyhash / graft_shingles / graft_vec_dot for
+    // plain-SQL users of the catalog tables (same list a cluster gets
+    // via spark.sql.extensions=graft.GraftExtensions)
+    GraftFunctions.register(spark)
 
     val envelopes = spark.readStream
       .format("graft.sources.ReplayStreamProvider")

@@ -62,10 +62,15 @@ object TextFunctions {
     array_min(transform(shingleArr,
       s => md5(concat(lit(s"s$seed:"), s))))
 
-  /** 16-bit SimHash built on [[polyHash]] of each token — see
-    * `graft.operators.Dedup.simhash` for the aggregation (it needs a
-    * groupBy, not a scalar). */
+  /** 16-bit SimHash built on [[polyHash]] of each token. */
   val SimhashBits = 16
+
+  /** One-pass codegen'd SimHash ([[graft.expressions.SimHash16]]) —
+    * value-identical to exploding tokens and sign-summing [[polyHash]]
+    * bits in a groupBy (`Dedup.simhashViaAgg`, the identity-spec
+    * reference), but a narrow projection: no explode, no shuffle. */
+  def simhash16(text: Column): Column =
+    GraftSql.column(graft.expressions.SimHash16(GraftSql.expression(text)))
 
   /** ClickHouse-free stopword list used by quality scoring. */
   val Stopwords: Seq[String] =

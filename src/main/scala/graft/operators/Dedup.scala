@@ -214,9 +214,22 @@ object Dedup {
   }
 
   /** 16-bit SimHash per document: token-hash each word with the portable
-    * polynomial hash, sum ±1 per bit position, pack the sign bits — one
-    * groupBy with 16 partial-aggregated sums (no per-bit row explosion). */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    * polynomial hash, sum ±1 per bit position, pack the sign bits — all
+    * in the ONE-pass codegen'd [[graft.functions.TextFunctions.simhash16]]
+    * expression, so the signature build is a narrow projection (no
+    * explode, no shuffle; the explode+groupBy formulation it replaced
+    * shuffled one row per corpus TOKEN into the aggregation). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), simhash16(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Reference formulation of [[simhash]] for the bit-identity spec:
+    * explode tokens → per-token polyhash → 16 partial-aggregated sign
+    * sums → pack. Value-identical by construction; do not use on corpus
+    * paths (one aggregation row per token). */
+  private[graft] def simhashViaAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val bitSums = (0 until SimhashBits).map(b =>
       sum(expr(s"2 * (shiftright(h, $b) & 1) - 1")).as(s"s$b"))
     val pack = (0 until SimhashBits)

@@ -34,6 +34,12 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") > 3).count() === 0)
   }
 
+  test("one-pass SimHash16 matches the explode+agg reference over the corpus") {
+    val fast = Dedup.simhash(spark, Sf).collect().map(_.toSeq).toSeq
+    val ref = Dedup.simhashViaAgg(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(fast === ref)
+  }
+
   test("brute-force ANN: k results per query, cosine within [-1,1], ranked") {
     val r = Similarity.bruteForceTopK(spark, Sf).cache()
     assert(r.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)

@@ -66,4 +66,28 @@ class TextFunctionsSpec extends SparkSpec {
     val r2 = df.select(minhash(col("sh"), 0)).collect()
     assert(r(0).getString(0) === r2(0).getString(0))
   }
+
+  test("SimHash16 matches the split-semantics scala model on edge tokens") {
+    import spark.implicits._
+    // split(' ') semantics: empty text = 1 empty token; n spaces = n+1
+    // tokens; trailing space adds an empty token
+    val texts = Seq("", " ", "a  b ", "single", "the quick brown fox")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), simhash16(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def poly(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 1000000007L)
+    def model(t: String): Long = {
+      val cnt = new Array[Int](16)
+      t.split(" ", -1).foreach { w =>
+        val h = poly(w)
+        (0 until 16).foreach(b => cnt(b) += (((h >> b) & 1L) * 2 - 1).toInt)
+      }
+      (0 until 16).filter(cnt(_) > 0).map(1L << _).sum
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === model(t), s"text '$t'")
+    }
+  }
 }

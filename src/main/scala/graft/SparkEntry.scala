@@ -77,7 +77,8 @@ object SparkEntry {
     "x23_curated_corpus" -> (Curation.curatedCorpus _),
     "x25_repetition" -> (TextAnalysis.repetition _),
     "x26_pack_sequences" -> (Curation.packSequences _),
-    "x27_int8_quant" -> (Quantization.int8Stats _)
+    "x27_int8_quant" -> (Quantization.int8Stats _),
+    "x28_dup_clusters" -> (Dedup.dupClusters _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -857,6 +858,24 @@ object SparkEntry {
         |  list_reduce([CAST(0 AS DOUBLE)] || err, (a, b) -> a + b) / 64.0 AS mean_err,
         |  CAST(len(list_filter(q, v -> abs(v) > 127)) AS BIGINT) AS n_clipped
         |FROM qq ORDER BY vec_id""".stripMargin,
+
+    // Mirrors Dedup.dupClusters: min-label connected components over the
+    // Hamming<=ClusterHamming simhash graph. The recursive CTE computes
+    // every reachable label per node; MIN over it is the same unique
+    // fixpoint the Spark side's label propagation converges to.
+    "x28_dup_clusters" -> (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", edges AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.operators.Dedup.ClusterHamming}),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.src AS node, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+         |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_rep, s.cluster_size
+         |FROM lab l JOIN sz s USING (cluster_rep) ORDER BY doc_id""".stripMargin),
 
     // Mirrors Relational.corrSubquery (same ANSI text modulo view names).
     "q20_corr_subquery" ->

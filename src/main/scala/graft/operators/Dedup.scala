@@ -245,6 +245,116 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Hamming threshold for [[dupClusters]] — tighter than the ≤3 pair
+    * REPORT ([[simhashPairs]]): clustering merges transitively, so the
+    * edge predicate must mean "near-identical", not "related" (on a
+    * self-similar corpus a ≤3 graph collapses into one giant component). */
+  val ClusterHamming = 1
+
+  /** Iteration cap for [[dupClusters]] label propagation; convergence
+    * takes O(cluster diameter) passes, and near-identity clusters are
+    * shallow — the cap is a runaway guard, not a tuning knob. */
+  private val MaxLabelIters = 50
+
+  /** x28: near-duplicate CLUSTERS — the transitive closure every dedup
+    * pipeline needs between "pair list" and "keep one representative":
+    * connected components over the Hamming ≤ [[ClusterHamming]] SimHash
+    * graph, labeled by min doc_id, with cluster sizes.
+    *
+    * Scale shape — CONTRACT, then iterate, then expand:
+    *
+    *  1. contract: docs with equal signatures are one super-node, so the
+    *     component graph lives in 16-bit signature space — AT MOST 65536
+    *     nodes no matter the corpus size. Each super-node carries the min
+    *     doc_id among its members.
+    *  2. iterate: min-label propagation with pointer jumping (each round
+    *     a node takes the min of its own label, its banded-Hamming
+    *     neighbors' labels, and its label's label — the map-reduce CC
+    *     shape, O(log diameter) rounds) over the BOUNDED sig graph. The
+    *     driver-side convergence loop is legitimate here: per-round data
+    *     is ≤65536 rows regardless of corpus, and only the changed
+    *     counter reaches the driver. Round states go through eager
+    *     `localCheckpoint`, not `persist`: each round references the
+    *     previous state three times, so without lineage truncation the
+    *     logical plan TRIPLES per round — analysis alone went
+    *     exponential (minutes of planning by round ~10) while the cached
+    *     data stayed tiny.
+    *  3. expand: one broadcast-sized join maps every doc's signature to
+    *     its component label; sizes come from a doc-keyed partial agg.
+    *
+    * The fixpoint (min reachable doc_id per node) is unique regardless
+    * of execution order — the recursive-CTE oracle checks it
+    * hash-exactly. */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // one-pass signatures (same expression as x4/x5), kept doc→sig
+    val docSig = OperatorCaches.persist(
+      Tables.documents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), simhash16(col("text")).as("sig")))
+    // contraction: distinct signatures, each carrying its min doc_id
+    val sigs = OperatorCaches.persist(
+      docSig.groupBy("sig").agg(min("doc_id").as("rep")))
+    // sig-graph edges via the same nibble banding as simhashPairs
+    // (recall-complete for Hamming ≤ 3 ⊇ ClusterHamming)
+    val banded = sigs.select(col("sig"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(sig, c * 4) & 15"))
+    val ea = banded.select(col("sig").as("sig_a"), col("c"), col("chunk"))
+    val eb = banded.select(col("sig").as("sig_b"), col("c"), col("chunk"))
+    val sigPairs = ea.join(eb, Seq("c", "chunk"))
+      .filter(col("sig_a") < col("sig_b") &&
+        expr("bit_count(sig_a ^ sig_b)") <= ClusterHamming)
+      .select("sig_a", "sig_b").distinct()
+    val adj = OperatorCaches.persist(
+      sigPairs.select(col("sig_a").as("src"), col("sig_b").as("dst"))
+        .union(sigPairs.select(col("sig_b").as("src"), col("sig_a").as("dst"))))
+    // propagate MIN SIG as the component label (labels live in node
+    // space, so the pointer-jump hop is one self-join); the min DOC id
+    // per component is recovered once, after convergence
+    var labels = sigs.select(col("sig").as("node"), col("sig").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < MaxLabelIters) {
+      val viaNbr = adj.join(labels, adj("dst") === labels("node"))
+        .select(col("src").as("node"), col("label"))
+      // pointer jumping: label(label(node)) — shortcut established
+      // chains (one tiny self-join; a second hop was measured to cost
+      // more in per-round join/planning overhead than it saved in
+      // rounds on this bounded state)
+      val hop1 = labels.select(col("node"), col("label").as("mid"))
+        .join(labels.select(col("node").as("mid"), col("label").as("ll")),
+          "mid")
+        .select(col("node"), col("ll").as("label"))
+      val next = labels.union(viaNbr).union(hop1)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // convergence probe every other round: each probe is a driver
+      // action, and with quadratic shortcutting an extra round of work
+      // costs less than a per-round count job
+      iters += 1
+      changed =
+        if (iters % 2 == 0 || iters >= MaxLabelIters) next
+          .join(labels.select(col("node"), col("label").as("prev")), "node")
+          .filter(col("label") =!= col("prev")).count()
+        else 1L
+      labels = next
+    }
+    // expand: component id (min sig) → min doc rep, then doc → cluster
+    val comps = labels
+      .join(sigs, labels("node") === sigs("sig"))
+      .groupBy("label").agg(min("rep").as("cluster_rep"))
+    val perDoc = docSig
+      .join(labels, docSig("sig") === labels("node"))
+      .join(comps, "label")
+      .select(col("doc_id"), col("cluster_rep"))
+    val sizes = perDoc.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    perDoc.join(sizes, "cluster_rep")
+      .select("doc_id", "cluster_rep", "cluster_size")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs via BANDED Hamming join: the 16-bit signature
     * splits into 4 nibbles; a pair is a candidate iff some nibble matches
     * exactly (pigeonhole: Hamming ≤ 3 ⇒ ≥1 untouched nibble, so recall is

@@ -34,6 +34,26 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") > 3).count() === 0)
   }
 
+  test("dup clusters: valid partition, min reps, edges stay intra-cluster") {
+    val cl = Dedup.dupClusters(spark, Sf).cache()
+    assert(cl.count() === 500)
+    // representative is the cluster's min doc_id and belongs to it
+    assert(cl.filter(col("cluster_rep") > col("doc_id")).count() === 0)
+    val reps = cl.groupBy("cluster_rep").agg(
+      min(col("doc_id")).as("min_id"), count(lit(1)).as("n"))
+    assert(reps.filter(col("cluster_rep") =!= col("min_id")).count() === 0)
+    // sizes are consistent with actual membership counts
+    assert(cl.join(reps, "cluster_rep")
+      .filter(col("cluster_size") =!= col("n")).count() === 0)
+    // every qualifying pair is intra-cluster (closure actually closed)
+    val pairs = Dedup.simhashPairs(spark, Sf)
+      .filter(col("hamming") <= Dedup.ClusterHamming)
+    val la = cl.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ca"))
+    val lb = cl.select(col("doc_id").as("doc_b"), col("cluster_rep").as("cb"))
+    assert(pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") =!= col("cb")).count() === 0)
+  }
+
   test("one-pass SimHash16 matches the explode+agg reference over the corpus") {
     val fast = Dedup.simhash(spark, Sf).collect().map(_.toSeq).toSeq
     val ref = Dedup.simhashViaAgg(spark, Sf).collect().map(_.toSeq).toSeq

@@ -2,7 +2,11 @@
 """Local stand-in for the driver's correctness gate: compare each
 graft.Verify parquet output against its DuckDB oracle, strictly
 (sorted column names, exact values). Usage:
-  python3 tools/check.py <sfDir> <verifyOutDir>
+  python3 tools/check.py <sfDir> <verifyOutDir> [--skip name[,name...]]
+
+--skip marks queries rows-only for this run (useful at sf0.1, where
+x28_dup_clusters' recursive-CTE oracle is quadratic in component size
+and runs for minutes; the driver's gate at sf0.01 checks it in ~4 s).
 """
 import json, sys, math
 import duckdb
@@ -10,12 +14,13 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    oracle = {k: v for k, v in oracle.items() if k not in skip}
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
@@ -78,4 +83,10 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    skip = ()
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = tuple(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], skip))

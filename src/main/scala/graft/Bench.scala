@@ -52,20 +52,25 @@ object Bench {
       dt
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, Seq(one(fn), one(fn)).min)
+      (name, fn, Seq(one(fn), one(fn)).min, System.nanoTime())
     }
     // Deferred outlier retries: this host's hypervisor-steal bursts span
     // ~1 min — long enough to poison BOTH back-to-back runs of whichever
     // query they land on (and a third consecutive run too, observed on
     // x2 in the round-2 driver bench: 23 s recorded vs 1.9-3.3 s solo).
-    // So queries still over the threshold retry AFTER the whole battery
-    // has run, minutes later, when the burst has almost surely passed;
-    // up to two retries, stopping at the first clean reading. min-of-N
-    // semantics are unchanged — only the Nth run's timing decorrelates.
-    val results = firstPass.map { case (name, fn, best2) =>
+    // Queries still over the threshold retry AFTER the whole battery has
+    // run; if the outlier was measured moments ago (it was late in the
+    // battery and nothing else needs retrying), wait out the remainder
+    // of a 25 s window first so the retry is ALWAYS decorrelated from
+    // the burst that poisoned the measurement. Up to two retries,
+    // stopping at the first clean reading; min-of-N semantics are
+    // unchanged — only the Nth run's timing moves.
+    val results = firstPass.map { case (name, fn, best2, measuredAt) =>
       var best = best2
       var retries = 0
       while (best > 5.0 && retries < 2) {
+        val elapsed = (System.nanoTime() - measuredAt) / 1e9
+        if (elapsed < 25.0) Thread.sleep(((25.0 - elapsed) * 1000).toLong)
         best = math.min(best, one(fn))
         retries += 1
       }

@@ -62,7 +62,7 @@ object GraftFunctions {
 
   private def badArgs(name: String, want: String, got: Seq[Expression]) =
     new IllegalArgumentException(
-      s"$name expects $want, got ${got.length} argument(s)")
+      s"$name expects $want, got (${got.map(_.sql).mkString(", ")})")
 
   /** Register the functions into a live session's registry (idempotent —
     * re-registration replaces the same entries). */

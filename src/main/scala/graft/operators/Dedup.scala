@@ -222,6 +222,11 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
+      // null text has no tokens to hash: DROP the row, matching both the
+      // explode+agg reference (explode of a null array emits nothing)
+      // and the oracle (unnest of string_split(NULL)); the expression
+      // alone would null-propagate and KEEP a (doc_id, null) row
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), simhash16(col("text")).as("simhash"))
       .orderBy("doc_id")
 
@@ -286,14 +291,18 @@ object Dedup {
     * of execution order — the recursive-CTE oracle checks it
     * hash-exactly. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // one-pass signatures (same expression as x4/x5), kept doc→sig
+    // one-pass signatures (same expression as x4/x5), kept doc→sig;
+    // null-text docs get a null sig and are carried as singleton
+    // clusters at the end (they have no content to be near-dup OF —
+    // grouping them by their shared null sig would wrongly merge them)
     val docSig = OperatorCaches.persist(
       Tables.documents(spark, sfDir)
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), simhash16(col("text")).as("sig")))
+    val withSig = docSig.filter(col("sig").isNotNull)
     // contraction: distinct signatures, each carrying its min doc_id
     val sigs = OperatorCaches.persist(
-      docSig.groupBy("sig").agg(min("doc_id").as("rep")))
+      withSig.groupBy("sig").agg(min("doc_id").as("rep")))
     // sig-graph edges via the same nibble banding as simhashPairs
     // (recall-complete for Hamming ≤ 3 ⊇ ClusterHamming)
     val banded = sigs.select(col("sig"),
@@ -344,15 +353,18 @@ object Dedup {
     val comps = labels
       .join(sigs, labels("node") === sigs("sig"))
       .groupBy("label").agg(min("rep").as("cluster_rep"))
-    val perDoc = docSig
-      .join(labels, docSig("sig") === labels("node"))
+    val perDoc = withSig
+      .join(labels, withSig("sig") === labels("node"))
       .join(comps, "label")
       .select(col("doc_id"), col("cluster_rep"))
     val sizes = perDoc.groupBy("cluster_rep")
       .agg(count(lit(1)).as("cluster_size"))
-    perDoc.join(sizes, "cluster_rep")
+    val clustered = perDoc.join(sizes, "cluster_rep")
       .select("doc_id", "cluster_rep", "cluster_size")
-      .orderBy("doc_id")
+    val nullSingletons = docSig.filter(col("sig").isNull)
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"),
+        lit(1L).as("cluster_size"))
+    clustered.unionByName(nullSingletons).orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs via BANDED Hamming join: the 16-bit signature

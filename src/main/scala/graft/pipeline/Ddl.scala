@@ -57,8 +57,14 @@ object Ddl {
     * `java.nio` (local-only). */
   def ensureTables(spark: SparkSession, warehouse: String): Unit =
     tables.foreach { case (name, schema, sub) =>
-      // MSCK scans the location; make sure it exists on first bootstrap
-      val loc = new org.apache.hadoop.fs.Path(warehouse, sub)
+      // MSCK scans the location; make sure it exists on first bootstrap.
+      // A bare local path goes through File.toURI so characters that are
+      // URI metacharacters in Hadoop's Path parser ('%', etc.) survive;
+      // anything with an explicit scheme is already a URI.
+      val base =
+        if (warehouse.contains("://")) new org.apache.hadoop.fs.Path(warehouse)
+        else new org.apache.hadoop.fs.Path(new java.io.File(warehouse).toURI)
+      val loc = new org.apache.hadoop.fs.Path(base, sub)
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       fs.mkdirs(loc)
       val qualified = fs.makeQualified(loc).toString

@@ -85,20 +85,14 @@ object GraftProperties extends Properties("graft") {
     Gen.listOf(Gen.oneOf(Gen.const(" "), Gen.alphaNumChar.map(_.toString)))
       .map(_.mkString))
 
-  /** One-pass SimHash16 against the compositional model: split(' ') with
-    * empty tokens kept, per-token polyhash, ±1 sign sums, sign-bit pack. */
+  /** One-pass SimHash16 against the compositional model (shared with the
+    * unit spec — [[graft.SimHashModel]]): split(' ') with empty tokens
+    * kept, per-token polyhash, ±1 sign sums, sign-bit pack. */
   property("SimHash16 expression == split+polyhash model for arbitrary strings") =
     forAll(spaceyStr) { s =>
       import org.apache.spark.sql.catalyst.expressions.Literal
-      def poly(w: String): Long =
-        w.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
-      val cnt = new Array[Int](16)
-      s.split(" ", -1).foreach { w =>
-        val h = poly(w)
-        (0 until 16).foreach(b => cnt(b) += (((h >> b) & 1L) * 2 - 1).toInt)
-      }
-      val model = (0 until 16).filter(cnt(_) > 0).map(1L << _).sum
-      graft.expressions.SimHash16(Literal(s)).eval(null) == model
+      graft.expressions.SimHash16(Literal(s)).eval(null) ==
+        graft.SimHashModel.simhash(s)
     }
 
   private val neighbors: Gen[List[graft.functions.Neighbor]] =

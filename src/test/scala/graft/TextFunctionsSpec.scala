@@ -76,18 +76,13 @@ class TextFunctionsSpec extends SparkSpec {
       .toDF("id", "text")
       .select(col("id"), simhash16(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def poly(s: String): Long =
-      s.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 1000000007L)
-    def model(t: String): Long = {
-      val cnt = new Array[Int](16)
-      t.split(" ", -1).foreach { w =>
-        val h = poly(w)
-        (0 until 16).foreach(b => cnt(b) += (((h >> b) & 1L) * 2 - 1).toInt)
-      }
-      (0 until 16).filter(cnt(_) > 0).map(1L << _).sum
-    }
     texts.zipWithIndex.foreach { case (t, i) =>
-      assert(got(i.toLong) === model(t), s"text '$t'")
+      assert(got(i.toLong) === SimHashModel.simhash(t), s"text '$t'")
     }
+    // null text null-propagates through the expression (operators add
+    // their own drop-or-singleton semantics on top)
+    val nullRow = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .select(simhash16(col("text"))).collect()
+    assert(nullRow(0).isNullAt(0))
   }
 }

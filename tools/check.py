@@ -87,6 +87,10 @@ if __name__ == "__main__":
     skip = ()
     if "--skip" in args:
         i = args.index("--skip")
+        if i + 1 >= len(args):
+            sys.exit(f"usage: {__doc__}")
         skip = tuple(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
+    if len(args) != 2:
+        sys.exit(f"usage: {__doc__}")
     sys.exit(main(args[0], args[1], skip))

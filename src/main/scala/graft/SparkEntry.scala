@@ -78,7 +78,8 @@ object SparkEntry {
     "x25_repetition" -> (TextAnalysis.repetition _),
     "x26_pack_sequences" -> (Curation.packSequences _),
     "x27_int8_quant" -> (Quantization.int8Stats _),
-    "x28_dup_clusters" -> (Dedup.dupClusters _)
+    "x28_dup_clusters" -> (Dedup.dupClusters _),
+    "x29_decontaminate" -> (Curation.decontaminate _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -876,6 +877,27 @@ object SparkEntry {
          |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_rep, s.cluster_size
          |FROM lab l JOIN sz s USING (cluster_rep) ORDER BY doc_id""".stripMargin),
+
+    // Mirrors Curation.decontaminate: distinct eval-set shingles joined
+    // against train-doc shingle streams, per-doc overlap count + flag.
+    "x29_decontaminate" -> (shingleCte +
+      s""", ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |bench AS (SELECT DISTINCT s FROM ex
+         |  WHERE doc_id < ${graft.operators.Curation.BenchmarkDocs}),
+         |tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM sh
+         |  WHERE len(sh) > 0 AND doc_id >= ${graft.operators.Curation.BenchmarkDocs}),
+         |ov AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM ex e JOIN bench b ON e.s = b.s
+         |  WHERE e.doc_id >= ${graft.operators.Curation.BenchmarkDocs}
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT t.doc_id, t.n_shingles, COALESCE(ov.n_shared, 0) AS n_shared,
+         |    CAST(COALESCE(ov.n_shared, 0) AS DOUBLE)
+         |      / CAST(t.n_shingles AS DOUBLE) AS overlap_frac
+         |  FROM tr t LEFT JOIN ov ON ov.doc_id = t.doc_id)
+         |SELECT *, overlap_frac >= ${graft.operators.Curation.ContaminationFrac}
+         |  AS contaminated
+         |FROM f ORDER BY doc_id""".stripMargin),
 
     // Mirrors Relational.corrSubquery (same ANSI text modulo view names).
     "q20_corr_subquery" ->

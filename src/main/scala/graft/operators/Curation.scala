@@ -132,6 +132,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Eval-set boundary for [[decontaminate]]: docs below this id stand
+    * in for the benchmark/eval corpus (in production this is the actual
+    * benchmark suite — a corpus ORDERS of magnitude smaller than train). */
+  val BenchmarkDocs = 25L
+
+  /** Contamination threshold: fraction of a doc's shingles that appear
+    * anywhere in the eval set. */
+  val ContaminationFrac = 0.10
+
+  /** x29: train/eval DECONTAMINATION — the overlap check every serious
+    * training pipeline runs so benchmark text doesn't leak into the
+    * training mix: for each candidate doc, how many of its word 3-gram
+    * shingles occur anywhere in the eval set, and a contaminated flag at
+    * [[ContaminationFrac]] overlap.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT shingle set —
+    * bounded by benchmark size, not corpus size — so the join runs as a
+    * broadcast against the train-side shingle stream (unhinted; AQE
+    * picks broadcast from the measured size). One pass over the corpus,
+    * no wide shuffle: the only exchange is the per-doc count. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleTableFrom(docs(spark, sfDir))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val benchShingles = ex.filter(col("doc_id") < BenchmarkDocs)
+      .select("s").distinct()
+    val train = sh.filter(col("doc_id") >= BenchmarkDocs)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+    val shared = ex.filter(col("doc_id") >= BenchmarkDocs)
+      .join(benchShingles, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("overlap_frac") >= ContaminationFrac)
+      .select("doc_id", "n_shingles", "n_shared", "overlap_frac",
+        "contaminated")
+      .orderBy("doc_id")
+  }
+
   /** x23: the end-to-end curated corpus — the composition a real pipeline
     * ships: exact-dedup winners ([[Dedup.exact]] group representatives)
     * ∩ length-filter survivors ([[lengthFilter]]), each carrying its fold

@@ -265,6 +265,22 @@ class OperatorsSpec extends SparkSpec {
     assert(q.filter(col("scale") <= 0).count() === 0)
   }
 
+  test("decontamination: eval docs excluded, counts bounded, flag consistent") {
+    import graft.operators.Curation
+    val d = Curation.decontaminate(spark, Sf).cache()
+    assert(d.count() > 0)
+    assert(d.filter(col("doc_id") < Curation.BenchmarkDocs).count() === 0)
+    assert(d.filter(col("n_shared") > col("n_shingles")).count() === 0)
+    assert(d.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1)
+      .count() === 0)
+    assert(d.filter(col("contaminated") =!=
+      (col("overlap_frac") >= Curation.ContaminationFrac)).count() === 0)
+    // the deliberately self-similar corpus must show SOME contamination
+    // and SOME clean docs, or the operator proves nothing
+    assert(d.filter(col("contaminated")).count() > 0)
+    assert(d.filter(!col("contaminated")).count() > 0)
+  }
+
   test("correlated subquery decorrelates: one aggregate, no per-row rescan") {
     val df = graft.queries.Relational.corrSubquery(spark, Sf)
     val row = df.collect()

@@ -65,10 +65,15 @@ object Bench {
     // the burst that poisoned the measurement. Up to two retries,
     // stopping at the first clean reading; min-of-N semantics are
     // unchanged — only the Nth run's timing moves.
+    // Threshold sits above the slowest legitimate steady state (x28's
+    // iterative connected components, ~5 s) so a healthy battery never
+    // burns retries, while every other query's clean reading is ≤3 s —
+    // still far under it when steal-inflated runs need re-measuring.
+    val SlowSec = 6.0
     val results = firstPass.map { case (name, fn, best2, measuredAt) =>
       var best = best2
       var retries = 0
-      while (best > 5.0 && retries < 2) {
+      while (best > SlowSec && retries < 2) {
         val elapsed = (System.nanoTime() - measuredAt) / 1e9
         if (elapsed < 25.0) Thread.sleep(((25.0 - elapsed) * 1000).toLong)
         best = math.min(best, one(fn))

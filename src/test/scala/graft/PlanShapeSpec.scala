@@ -57,6 +57,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-3 operators: no corpus hints, sharded packing window, map-only quant") {
+    import graft.operators.{Curation, Quantization, TextAnalysis}
+    // x25/x29: doc-keyed joins stay unhinted — the per-doc stats / overlap
+    // relations are corpus-sized; only AQE may choose broadcast
+    assert(logicalHints(TextAnalysis.repetition(spark, Sf)).isEmpty)
+    assert(logicalHints(Curation.decontaminate(spark, Sf)).isEmpty)
+    // x26: the running-sum window partitions by the hash shard — a global
+    // (unpartitioned) window would serialize the corpus into one task
+    val packPlan = physical(Curation.packSequences(spark, Sf))
+    assert(packPlan.contains("partitionspec=[shard#") ||
+      packPlan.contains("[shard#"), s"window not shard-partitioned:\n$packPlan")
+    assert(!packPlan.contains("SinglePartition"),
+      s"single-partition stage in:\n$packPlan")
+    // x27: pure map stage — the only exchange is the output ordering
+    val quantPlan = withoutAqe {
+      Quantization.int8Stats(spark, Sf).queryExecution.executedPlan
+    }
+    val exchanges = quantPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // repartition crutch + final sort, nothing else (no groupBy/join)
+    assert(exchanges.size <= 2, s"unexpected exchanges in:\n$quantPlan")
+    assert(!quantPlan.toString.contains("HashAggregate"),
+      s"aggregation crept into the map stage:\n$quantPlan")
+  }
+
   test("embedding near-dup is candidate-join shaped: pairs join on cell, " +
       "nested loops only against the bounded centroid table") {
     val df = Similarity.embeddingDups(spark, Sf)

@@ -42,18 +42,22 @@ object TextFunctions {
     GraftSql.column(graft.expressions.WordShingles(
       GraftSql.expression(text), n))
 
-  /** Reference higher-order-function form of [[shingles]] (kept for the
-    * identity spec; evaluates an interpreted lambda per shingle — do not
-    * use on corpus-scale paths). */
-  def shinglesHof(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  /** Word n-grams WITH multiplicity over a token-array column — the
+    * building block shared by [[shinglesHof]] (which distincts it) and
+    * repetition analysis (which must NOT: multiplicity is the signal). */
+  def ngramsFromTokens(t: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(t) - lit(n - 1)),
       i => concat_ws(" ",
         (0 until n).map(j => element_at(t, (i + lit(j)).cast("int"))): _*))
     // sequence(1, k) is descending for k < 1, so short docs need the guard.
-    array_distinct(
-      when(size(t) < n, array().cast("array<string>")).otherwise(grams))
+    when(size(t) < n, array().cast("array<string>")).otherwise(grams)
   }
+
+  /** Reference higher-order-function form of [[shingles]] (kept for the
+    * identity spec; evaluates an interpreted lambda per shingle — do not
+    * use on corpus-scale paths). */
+  def shinglesHof(text: Column, n: Int = 3): Column =
+    array_distinct(ngramsFromTokens(tokens(text), n))
 
   /** One MinHash value: lexicographic min of seeded md5 digests of the
     * shingle set. Hex-string min is engine-portable (no 64-bit unsigned

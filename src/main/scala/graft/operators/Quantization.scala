@@ -20,8 +20,8 @@ import graft.queries.Tables
   */
 object Quantization {
 
-  /** Embedding dimensionality (matches [[Similarity.Dim]]). */
-  val Dim = 64
+  /** Embedding dimensionality (shared with [[Similarity]]). */
+  val Dim: Int = Similarity.Dim
 
   /** x27: per-vector int8 quantization statistics: the scale, the worst
     * and mean absolute reconstruction error, and a clipped-code count
@@ -38,8 +38,8 @@ object Quantization {
       .withColumn("q",
         expr("transform(embedding, x -> floor(cast(x as double) / scale + 0.5d))"))
       .withColumn("err",
-        expr("transform(embedding, x -> " +
-          "abs(cast(x as double) - floor(cast(x as double) / scale + 0.5d) * scale))"))
+        expr("zip_with(embedding, q, (x, qi) -> " +
+          "abs(cast(x as double) - qi * scale))"))
       .select(col("vec_id"), col("max_abs"), col("scale"),
         expr("array_max(err)").as("max_err"),
         expr(s"aggregate(err, cast(0 as double), (a, x) -> a + x) / ${Dim}.0d")

@@ -103,17 +103,16 @@ object TextAnalysis {
   /** [[repetition]] over an arbitrary (doc_id, text) relation. */
   private[graft] def repetitionFrom(docsDf: DataFrame): DataFrame = {
     val d = docsDf.withColumn("toks", tokens(col("text")))
-    def grams(n: Int) = {
-      val t = col("toks")
-      val g = transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => concat_ws(" ",
-          (0 until n).map(j => element_at(t, (i + lit(j)).cast("int"))): _*))
-      // sequence(1, k) is descending for k < 1 → short docs need the guard
-      when(size(t) < n, array().cast("array<string>")).otherwise(g)
-    }
-    val base = d
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        grams(2).as("g2"), grams(3).as("g3"))
+    // The n-gram projection persists BEFORE its consumers for the same
+    // reason as Dedup's shingle table: the builders are interpreted HOFs
+    // and project-collapse would otherwise inline each into both its
+    // size() and its array_distinct() consumer — double evaluation per
+    // document per n.
+    val gramTable = graft.util.OperatorCaches.persist(
+      d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        ngramsFromTokens(col("toks"), 2).as("g2"),
+        ngramsFromTokens(col("toks"), 3).as("g3")))
+    val base = gramTable
       .select(col("doc_id"), col("n_tokens"),
         size(col("g2")).cast("long").as("n_2grams"),
         size(array_distinct(col("g2"))).cast("long").as("uniq_2grams"),

@@ -49,6 +49,7 @@ object SparkEntry {
     "q18_percentiles" -> (Relational.percentiles _),
     "q19_salted_agg" -> (Relational.saltedAgg _),
     "q20_corr_subquery" -> (Relational.corrSubquery _),
+    "q21_grouping_sets" -> (Relational.groupingSets _),
     // — LLM-pipeline extensions (SURVEY §7.2 step 5 / north star) —
     "x1_dedup_exact" -> (Dedup.exact _),
     "x2_minhash_lsh" -> (Dedup.minhashLsh _),
@@ -911,6 +912,21 @@ object SparkEntry {
         |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
         |        AS DOUBLE) / COUNT(*))
         |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |""".stripMargin,
+
+    // Mirrors Relational.groupingSets (same ANSI text modulo view names).
+    "q21_grouping_sets" ->
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal
+        |FROM customer c
+        |JOIN nation n ON c_nationkey = n_nationkey
+        |JOIN region r ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY g_region, g_nation,
+        |  r_name NULLS FIRST, n_name NULLS FIRST
         |""".stripMargin,
 
     "q15_moving_avg" ->

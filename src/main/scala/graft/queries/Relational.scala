@@ -361,6 +361,32 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** q21: GROUPING SETS with `grouping()` flags — the general form of
+    * q11's rollup (an arbitrary set list, here region×nation, region,
+    * grand total). Spark expands the sets with a single Expand operator
+    * over one scan: each input row fans out once per set BEFORE the
+    * partial aggregation, so the shuffle still carries only group
+    * buffers — the 100 TB cost is one scan plus a 3× map-side expand,
+    * never three scans. Dimension joins broadcast. */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("q21_customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("q21_nation")
+    Tables.region(spark, sfDir).createOrReplaceTempView("q21_region")
+    spark.sql(
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal
+        |FROM q21_customer c
+        |JOIN q21_nation n ON c_nationkey = n_nationkey
+        |JOIN q21_region r ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY g_region, g_nation,
+        |  r_name NULLS FIRST, n_name NULLS FIRST
+        |""".stripMargin)
+  }
+
   /** Sketch aggregation: HyperLogLog++ approximate distincts per group —
     * the 100 TB substitute for exact COUNT(DISTINCT) when the key domain
     * is huge. No DuckDB oracle (different sketch) → rows-only check. */

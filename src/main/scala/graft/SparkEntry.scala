@@ -841,7 +841,7 @@ object SparkEntry {
     // Mirrors Quantization.int8Stats: max-abs int8, floor(x+0.5) rounding
     // (engine-portable; round() half-convention differs across engines).
     "x27_int8_quant" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
         |  FROM embeddings),
@@ -857,7 +857,8 @@ object SparkEntry {
         |  FROM s)
         |SELECT vec_id, max_abs, scale,
         |  list_max(err) AS max_err,
-        |  list_reduce([CAST(0 AS DOUBLE)] || err, (a, b) -> a + b) / 64.0 AS mean_err,
+        |  list_reduce([CAST(0 AS DOUBLE)] || err, (a, b) -> a + b)
+        |    / ${graft.operators.Quantization.Dim}.0 AS mean_err,
         |  CAST(len(list_filter(q, v -> abs(v) > 127)) AS BIGINT) AS n_clipped
         |FROM qq ORDER BY vec_id""".stripMargin,
 

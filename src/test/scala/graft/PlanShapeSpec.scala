@@ -64,12 +64,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(logicalHints(TextAnalysis.repetition(spark, Sf)).isEmpty)
     assert(logicalHints(Curation.decontaminate(spark, Sf)).isEmpty)
     // x26: the running-sum window partitions by the hash shard — a global
-    // (unpartitioned) window would serialize the corpus into one task
-    val packPlan = physical(Curation.packSequences(spark, Sf))
-    assert(packPlan.contains("partitionspec=[shard#") ||
-      packPlan.contains("[shard#"), s"window not shard-partitioned:\n$packPlan")
-    assert(!packPlan.contains("SinglePartition"),
-      s"single-partition stage in:\n$packPlan")
+    // (unpartitioned) window would serialize the corpus into one task.
+    // Assert on the WindowExec's actual partitionSpec, not a string match.
+    val winSpecs = withoutAqe {
+      Curation.packSequences(spark, Sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec
+      }
+    }
+    assert(winSpecs.nonEmpty, "no WindowExec in the packing plan")
+    winSpecs.foreach { spec =>
+      assert(spec.exists(_.toString.contains("shard")),
+        s"window not shard-partitioned: $spec")
+    }
+    assert(!physical(Curation.packSequences(spark, Sf))
+      .contains("SinglePartition"), "single-partition stage in packing plan")
     // x27: pure map stage — the only exchange is the output ordering
     val quantPlan = withoutAqe {
       Quantization.int8Stats(spark, Sf).queryExecution.executedPlan

@@ -287,9 +287,9 @@ object Dedup {
     *  3. expand: one broadcast-sized join maps every doc's signature to
     *     its component label; sizes come from a doc-keyed partial agg.
     *
-    * The fixpoint (min reachable doc_id per node) is unique regardless
-    * of execution order — the recursive-CTE oracle checks it
-    * hash-exactly. */
+    * The fixpoint (min reachable SIGNATURE per node, converted to the
+    * component's min doc id after convergence) is unique regardless of
+    * execution order — the recursive-CTE oracle checks it hash-exactly. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // one-pass signatures (same expression as x4/x5), kept doc→sig;
     // null-text docs get a null sig and are carried as singleton

@@ -67,6 +67,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0).getString(0) === r2(0).getString(0))
   }
 
+  test("ngramsFromTokens == sliding-window model (multiplicity kept)") {
+    import spark.implicits._
+    val cases = Seq("a b a b a", "x", "", "p q r s", "w w w")
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        ngramsFromTokens(split(col("text"), " "), 2).as("g2"),
+        ngramsFromTokens(split(col("text"), " "), 3).as("g3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      def model(n: Int) = {
+        val toks = t.split(" ", -1).toSeq
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      assert(got(i.toLong)._1 === model(2), s"2-grams of '$t'")
+      assert(got(i.toLong)._2 === model(3), s"3-grams of '$t'")
+    }
+  }
+
   test("SimHash16 matches the split-semantics scala model on edge tokens") {
     import spark.implicits._
     // split(' ') semantics: empty text = 1 empty token; n spaces = n+1

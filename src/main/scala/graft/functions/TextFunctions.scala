@@ -66,15 +66,24 @@ object TextFunctions {
     array_min(transform(shingleArr,
       s => md5(concat(lit(s"s$seed:"), s))))
 
-  /** 16-bit SimHash built on [[polyHash]] of each token. */
-  val SimhashBits = 16
+  /** 64-bit SimHash: four seeded 16-bit simhashes concatenated (seed
+    * char `'0'+s` prepended to each token feeds bits 16s..16s+15 —
+    * see [[graft.expressions.SimHash64]]). */
+  val SimhashBits = 64
 
-  /** One-pass codegen'd SimHash ([[graft.expressions.SimHash16]]) —
-    * value-identical to exploding tokens and sign-summing [[polyHash]]
-    * bits in a groupBy (`Dedup.simhashViaAgg`, the identity-spec
-    * reference), but a narrow projection: no explode, no shuffle. */
-  def simhash16(text: Column): Column =
-    GraftSql.column(graft.expressions.SimHash16(GraftSql.expression(text)))
+  /** Bits contributed per seeded hash ([[SimhashBits]] / [[SimhashSeeds]]). */
+  val SimhashBitsPerSeed = 16
+
+  /** Number of seeded polynomial hashes feeding the signature. */
+  val SimhashSeeds = 4
+
+  /** One-pass codegen'd SimHash ([[graft.expressions.SimHash64]]) —
+    * value-identical to exploding tokens and sign-summing seeded
+    * [[polyHash]] bits in a groupBy (`Dedup.simhashViaAgg`, the
+    * identity-spec reference), but a narrow projection: no explode, no
+    * shuffle. */
+  def simhash64(text: Column): Column =
+    GraftSql.column(graft.expressions.SimHash64(GraftSql.expression(text)))
 
   /** ClickHouse-free stopword list used by quality scoring. */
   val Stopwords: Seq[String] =

@@ -16,7 +16,7 @@ import graft.util.OperatorCaches
   *    verify on candidates only;
   *  - n-gram Jaccard: inverted-index join on shingles (never a cross
   *    join — the shuffle key is the shingle);
-  *  - SimHash: 16-bit signature + banded Hamming join.
+  *  - SimHash: 64-bit signature + banded Hamming join (4×16-bit bands).
   *
   * Scale note: two kinds of relation are persisted (MEMORY_AND_DISK)
   * here. (1) Derived relations that BOTH sides of a self-join read —
@@ -88,20 +88,23 @@ object Dedup {
         col("doc_id"),
         md5(col("text")).as("text_hash"),
         md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("prefix_hash")))
-    val byText = d.groupBy("text_hash").agg(
+    // The aggregate sides rename their group keys (k_text/k_prefix): the
+    // join predicates below are then resolvable by NAME, instead of
+    // leaning on dataset-id disambiguation of `text_hash == text_hash`
+    // (which resolves correctly but warns "trivially true predicate" on
+    // every run)
+    val byText = d.groupBy(col("text_hash").as("k_text")).agg(
       min(col("doc_id")).as("exact_rep"),
       count(lit(1)).as("exact_group_size"))
-    val byPrefix = d.groupBy("prefix_hash").agg(
+    val byPrefix = d.groupBy(col("prefix_hash").as("k_prefix")).agg(
       min(col("doc_id")).as("prefix_rep"),
       count(lit(1)).as("prefix_group_size"))
     // null-SAFE join keys: a null text hashes to a null key, which groupBy
     // keeps as its own group but a plain inner join would drop — and
     // "every doc keeps its representative" must hold on corpora with null
     // text too (the window formulation this replaces grouped nulls)
-    d.join(byText, d("text_hash") <=> byText("text_hash"))
-      .drop(byText("text_hash"))
-      .join(byPrefix, d("prefix_hash") <=> byPrefix("prefix_hash"))
-      .drop(byPrefix("prefix_hash"))
+    d.join(byText, col("text_hash") <=> col("k_text")).drop("k_text")
+      .join(byPrefix, col("prefix_hash") <=> col("k_prefix")).drop("k_prefix")
       .select("doc_id", "text_hash", "exact_rep", "exact_group_size",
         "prefix_hash", "prefix_rep", "prefix_group_size")
       .orderBy("doc_id")
@@ -171,10 +174,15 @@ object Dedup {
     * Scale shape, in order:
     *  - the set size `n` is computed BEFORE the explode and carried
     *    through it, so no corpus-sized `sizes` join exists at all;
-    *  - stop-shingles (document frequency > [[MaxShingleDf]]) are cut via
-    *    a window count over the shingle partition — the same shuffle key
-    *    the self-join needs, so the exchange is reused — bounding every
-    *    join key's candidate fan-out to MaxShingleDf²/2;
+    *  - stop-shingles (document frequency > [[MaxShingleDf]]) are cut by
+    *    a partial-aggregated `groupBy(shingle).count()` joined back on
+    *    the shingle — NOT a `Window.partitionBy(shingle)` count, which
+    *    must buffer the hottest shingle's ENTIRE occurrence list in one
+    *    task before the filter can drop it (a boilerplate phrase in 10M
+    *    documents = 10M rows through one spilling window task). The
+    *    aggregate shrinks the hot key map-side to per-partition partials,
+    *    and the occurrence rows then STREAM through the join; the join
+    *    bounds every surviving key's candidate fan-out to MaxShingleDf²/2;
     *  - the self-join and the (doc_a, doc_b) groupBy are the only other
     *    shuffles.
     *
@@ -191,13 +199,18 @@ object Dedup {
     val ex = shingleTableFrom(docs)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s"))
+    // Stop-shingle DF table: partial-aggregated, filtered BEFORE the
+    // join-back so only keep-able shingles ship. Unhinted — its
+    // cardinality is the distinct-shingle count (corpus-sized), so only
+    // AQE may choose broadcast.
+    val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
     // Materialized once: both self-join sides read it, and a broadcast
     // resolution of the join would otherwise recompute the shingle
-    // explode + DF window on each side. (At cluster scale this is the
+    // explode + DF cut on each side. (At cluster scale this is the
     // inverted index itself — the thing you'd keep as a bucketed table.)
     val cut = OperatorCaches.persist(ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= MaxShingleDf)
+      .join(dfCounts, "s")
       .select("doc_id", "n", "s"))
     cut.as("a")
       .join(cut.as("b"), col("a.s") === col("b.s") &&
@@ -213,9 +226,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit SimHash per document: token-hash each word with the portable
-    * polynomial hash, sum ±1 per bit position, pack the sign bits — all
-    * in the ONE-pass codegen'd [[graft.functions.TextFunctions.simhash16]]
+  /** 64-bit SimHash per document: four seeded polynomial token hashes
+    * contribute 16 sign-summed bits each (see
+    * [[graft.expressions.SimHash64]] for the seeding construction) — all
+    * in the ONE-pass codegen'd [[graft.functions.TextFunctions.simhash64]]
     * expression, so the signature build is a narrow projection (no
     * explode, no shuffle; the explode+groupBy formulation it replaced
     * shuffled one row per corpus TOKEN into the aggregation). */
@@ -227,23 +241,30 @@ object Dedup {
       // and the oracle (unnest of string_split(NULL)); the expression
       // alone would null-propagate and KEEP a (doc_id, null) row
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), simhash16(col("text")).as("simhash"))
+      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   /** Reference formulation of [[simhash]] for the bit-identity spec:
-    * explode tokens → per-token polyhash → 16 partial-aggregated sign
-    * sums → pack. Value-identical by construction; do not use on corpus
-    * paths (one aggregation row per token). */
+    * explode tokens → four seeded per-token polyhashes (seed char
+    * prepended, the same rolling-hash identity the expression uses) → 64
+    * partial-aggregated sign sums → pack. Value-identical by
+    * construction; do not use on corpus paths (one aggregation row per
+    * token). */
   private[graft] def simhashViaAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val bitSums = (0 until SimhashBits).map(b =>
-      sum(expr(s"2 * (shiftright(h, $b) & 1) - 1")).as(s"s$b"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      val s = b / SimhashBitsPerSeed
+      val k = b % SimhashBitsPerSeed
+      sum(expr(s"2 * (shiftright(h$s, $k) & 1) - 1")).as(s"s$b")
+    }
     val pack = (0 until SimhashBits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
+    val seeded = (0 until SimhashSeeds).map(s =>
+      polyHash(concat(lit(('0' + s).toChar.toString), col("w"))).as(s"h$s"))
     Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .withColumn("h", polyHash(col("w")))
+      .select(col("doc_id") +: seeded: _*)
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), pack.as("simhash"))
@@ -367,18 +388,24 @@ object Dedup {
     clustered.unionByName(nullSingletons).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs via BANDED Hamming join: the 16-bit signature
-    * splits into 4 nibbles; a pair is a candidate iff some nibble matches
-    * exactly (pigeonhole: Hamming ≤ 3 ⇒ ≥1 untouched nibble, so recall is
-    * total for the ≤3 threshold) — then the true Hamming distance filters.
-    * Never an O(N²) cross join. */
+  /** SimHash near-dup pairs via BANDED Hamming join: the 64-bit signature
+    * splits into 4 16-bit chunks; a pair is a candidate iff some chunk
+    * matches exactly (pigeonhole: Hamming ≤ 3 ⇒ ≥1 untouched chunk, so
+    * recall is total for the ≤3 threshold) — then the true Hamming
+    * distance filters. Never an O(N²) cross join.
+    *
+    * 64/4×16 is the standard SimHash parameterization: with 2^16 values
+    * per band, a band bucket holds N/65536 docs in expectation (vs
+    * N/16 for the 16-bit/nibble scheme this replaces, whose Hamming ≤ 3
+    * ball covered so much of the 2^16 signature space that ~28% of ALL
+    * pairs qualified at 500 docs — no discriminating power at scale). */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // Same materialization rationale as minhashLsh: O(N)-small signature
     // table, expensive to build, read by both sides of the banded join.
     val sig = OperatorCaches.persist(simhash(spark, sfDir))
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(simhash, c * 4) & 15"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 16) & 65535"))
     val a = banded.select(col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"), col("c"), col("chunk"))
     val b = banded.select(col("doc_id").as("doc_b"),

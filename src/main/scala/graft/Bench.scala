@@ -31,7 +31,7 @@ object Bench {
     // measurement, so the first timed query isn't billed for session init.
     selected.headOption.foreach { case (_, fn) =>
       try { run(fn) } catch { case _: Throwable => () }
-      util.OperatorCaches.releaseAll()
+      util.OperatorCaches.release(spark)
     }
     // Report min of two runs per query: steady-state cost, de-noised from
     // JIT warmup of interpreted expression paths and this host's sporadic
@@ -48,7 +48,7 @@ object Bench {
       // identical persist() a no-op that then recomputes uncached) —
       // every timed run must pay (and measure) its own cache
       // population. Scoped release via the registry, not clearCache.
-      util.OperatorCaches.releaseAll()
+      util.OperatorCaches.release(spark)
       dt
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -70,13 +70,19 @@ object Bench {
     // burns retries, while every other query's clean reading is ≤3 s —
     // still far under it when steal-inflated runs need re-measuring.
     val SlowSec = 6.0
-    val results = firstPass.map { case (name, fn, best2, measuredAt) =>
+    val results = firstPass.map { case (name, fn, best2, firstAt) =>
       var best = best2
+      var measuredAt = firstAt
       var retries = 0
       while (best > SlowSec && retries < 2) {
         val elapsed = (System.nanoTime() - measuredAt) / 1e9
         if (elapsed < 25.0) Thread.sleep(((25.0 - elapsed) * 1000).toLong)
         best = math.min(best, one(fn))
+        // refresh: the SECOND retry's decorrelation window must be
+        // measured from the first retry, not from the original battery
+        // pass — otherwise back-to-back retries land inside the same
+        // steal burst the wait was meant to skip
+        measuredAt = System.nanoTime()
         retries += 1
       }
       name -> best

@@ -160,18 +160,47 @@ object SparkEntry {
        |  FROM nrm_t)
        |""".stripMargin
 
-  /** DuckDB fragment: 16-bit SimHash per document — mirrors
-    * [[graft.operators.Dedup.simhash]]. */
+  /** DuckDB fragment: 64-bit SimHash per document — mirrors
+    * [[graft.operators.Dedup.simhash]] / [[graft.expressions.SimHash64]]:
+    * four seeded 16-bit simhashes concatenated. Seed s ∈ 0..3 prepends
+    * `chr(48+s)` to the token before the rolling polyhash; bit 16s+k of
+    * the signature is the sign of the ±1 sum over bit k of that seeded
+    * hash. Bit 63 is the BIGINT sign bit and DuckDB overflow-checks
+    * `1 << 63`, so that bit adds the min-long literal instead; the SUM
+    * (over distinct bit positions) is then exactly the signature's
+    * two's-complement value. */
   private val simhashCte: String =
     s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |h AS (SELECT doc_id, ${polyhashSql("w")} AS h FROM w),
-       |bits AS (SELECT doc_id, h, unnest(range(0, 16)) AS b FROM h),
-       |d AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
-       |      FROM bits GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, s, chr(CAST(48 + s AS INTEGER)) || w AS w
+       |       FROM w CROSS JOIN (SELECT unnest(range(0, 4)) AS s) seeds),
+       |h AS (SELECT doc_id, s, ${polyhashSql("w")} AS h FROM sw),
+       |bits AS (SELECT doc_id, s * 16 + k AS b,
+       |         SUM(2 * ((h >> k) & 1) - 1) AS sgn
+       |         FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+       |         GROUP BY 1, 2),
        |sig AS (
        |  SELECT doc_id,
-       |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM d GROUP BY 1)
+       |    CAST(SUM(CASE WHEN sgn <= 0 THEN 0
+       |      WHEN b = 63 THEN -9223372036854775807 - 1
+       |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1)
+       |""".stripMargin
+
+  /** DuckDB fragment for x28's CLUSTER signature: the seed-'0' 16-bit
+    * simhash, which by the seeding construction equals bits 0..15 of
+    * [[simhashCte]]'s 64-bit value — mirrors
+    * `Dedup.ClusterSigMask`-sliced `simhash64`. Written RECURSIVE so the
+    * x28 oracle can append its recursive reachability CTE directly. */
+  private val simhash16Cte: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${polyhashSql("'0' || w")} AS h FROM w),
+       |bits AS (SELECT doc_id, k, SUM(2 * ((h >> k) & 1) - 1) AS sgn
+       |         FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+       |         GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1)
        |""".stripMargin
 
   private val stopList: String =
@@ -863,10 +892,12 @@ object SparkEntry {
         |FROM qq ORDER BY vec_id""".stripMargin,
 
     // Mirrors Dedup.dupClusters: min-label connected components over the
-    // Hamming<=ClusterHamming simhash graph. The recursive CTE computes
-    // every reachable label per node; MIN over it is the same unique
-    // fixpoint the Spark side's label propagation converges to.
-    "x28_dup_clusters" -> (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    // Hamming<=ClusterHamming graph of 16-bit CLUSTER signatures
+    // (simhash16Cte = the seed-'0' slice of the 64-bit simhash, exactly
+    // what the Spark side masks out). The recursive CTE computes every
+    // reachable label per node; MIN over it is the same unique fixpoint
+    // the Spark side's label propagation converges to.
+    "x28_dup_clusters" -> (simhash16Cte +
       s""", edges AS (
          |  SELECT a.doc_id AS src, b.doc_id AS dst
          |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id

@@ -22,10 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally
         // release the operator-level persists so 50+ queries don't
-        // accumulate cached signature tables in one session (scoped to
-        // graft-registered caches — a clearCache() would also drop any
-        // caller-owned caches in an embedding session)
-        graft.util.OperatorCaches.releaseAll()
+        // accumulate cached signature tables in one session — scoped to
+        // THIS session's graft-registered caches (releaseAll would also
+        // drop another live session's registered caches, and clearCache
+        // any caller-owned ones, in an embedding process)
+        graft.util.OperatorCaches.release(spark)
     }
     // JSON escape (graft.util.JsonText): a tab or CR in builder-authored
     // SQL would otherwise make the driver's json.load fail and silently

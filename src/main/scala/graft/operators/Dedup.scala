@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.queries.Tables
@@ -277,6 +276,19 @@ object Dedup {
     * self-similar corpus a ≤3 graph collapses into one giant component). */
   val ClusterHamming = 1
 
+  /** Width of [[dupClusters]]' CLUSTER signature: bits 0..15 of the
+    * 64-bit simhash — by the seeding construction exactly the seed-'0'
+    * 16-bit simhash (see [[graft.expressions.SimHash64]]). Clustering
+    * deliberately stays on a 16-bit signature while pair REPORTING
+    * ([[simhashPairs]]) uses all 64 bits: the contraction argument below
+    * ("at most 2^16 super-nodes regardless of corpus size") is what makes
+    * the driver-side convergence loop legitimate at 100 TB, and a 64-bit
+    * space would void it. A Hamming ≤ [[ClusterHamming]] pair on the full
+    * 64-bit signature is always intra-cluster here (the differing bit is
+    * either inside the slice — an edge — or outside it — same
+    * super-node), so the coarser signature only ever merges MORE. */
+  val ClusterSigMask = 0xffffL
+
   /** Iteration cap for [[dupClusters]] label propagation; convergence
     * takes O(cluster diameter) passes, and near-identity clusters are
     * shallow — the cap is a runaway guard, not a tuning knob. */
@@ -289,7 +301,8 @@ object Dedup {
     *
     * Scale shape — CONTRACT, then iterate, then expand:
     *
-    *  1. contract: docs with equal signatures are one super-node, so the
+    *  1. contract: docs with equal CLUSTER signatures ([[ClusterSigMask]]
+    *     slice of the 64-bit simhash) are one super-node, so the
     *     component graph lives in 16-bit signature space — AT MOST 65536
     *     nodes no matter the corpus size. Each super-node carries the min
     *     doc_id among its members.
@@ -304,7 +317,15 @@ object Dedup {
     *     previous state three times, so without lineage truncation the
     *     logical plan TRIPLES per round — analysis alone went
     *     exponential (minutes of planning by round ~10) while the cached
-    *     data stayed tiny.
+    *     data stayed tiny. Fault-tolerance tradeoff, deliberate:
+    *     `localCheckpoint` truncates lineage WITHOUT a reliable copy, so
+    *     losing an executor mid-loop fails the JOB (not just a task) and
+    *     the caller re-runs the query. That is the right trade for a
+    *     ≤65536-row state: a reliable `checkpoint` would pay an HDFS
+    *     round-trip per round, and the whole loop costs seconds to
+    *     re-run. A deployment that can't accept query-level retry swaps
+    *     in `spark.sparkContext.setCheckpointDir` + `checkpoint(true)`
+    *     — one line, same semantics.
     *  3. expand: one broadcast-sized join maps every doc's signature to
     *     its component label; sizes come from a doc-keyed partial agg.
     *
@@ -312,14 +333,16 @@ object Dedup {
     * component's min doc id after convergence) is unique regardless of
     * execution order — the recursive-CTE oracle checks it hash-exactly. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // one-pass signatures (same expression as x4/x5), kept doc→sig;
+    // one-pass signatures (same expression as x4/x5) sliced to the
+    // 16-bit CLUSTER signature ([[ClusterSigMask]]), kept doc→sig;
     // null-text docs get a null sig and are carried as singleton
     // clusters at the end (they have no content to be near-dup OF —
     // grouping them by their shared null sig would wrongly merge them)
     val docSig = OperatorCaches.persist(
       Tables.documents(spark, sfDir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), simhash16(col("text")).as("sig")))
+        .select(col("doc_id"),
+          simhash64(col("text")).bitwiseAND(lit(ClusterSigMask)).as("sig")))
     val withSig = docSig.filter(col("sig").isNotNull)
     // contraction: distinct signatures, each carrying its min doc_id
     val sigs = OperatorCaches.persist(

@@ -85,13 +85,14 @@ object GraftProperties extends Properties("graft") {
     Gen.listOf(Gen.oneOf(Gen.const(" "), Gen.alphaNumChar.map(_.toString)))
       .map(_.mkString))
 
-  /** One-pass SimHash16 against the compositional model (shared with the
+  /** One-pass SimHash64 against the compositional model (shared with the
     * unit spec — [[graft.SimHashModel]]): split(' ') with empty tokens
-    * kept, per-token polyhash, ±1 sign sums, sign-bit pack. */
-  property("SimHash16 expression == split+polyhash model for arbitrary strings") =
+    * kept, four seeded per-token polyhashes, ±1 sign sums, 16-bit packs
+    * concatenated. */
+  property("SimHash64 expression == split+polyhash model for arbitrary strings") =
     forAll(spaceyStr) { s =>
       import org.apache.spark.sql.catalyst.expressions.Literal
-      graft.expressions.SimHash16(Literal(s)).eval(null) ==
+      graft.expressions.SimHash64(Literal(s)).eval(null) ==
         graft.SimHashModel.simhash(s)
     }
 

@@ -27,9 +27,13 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh03.subsetOf(exact))
   }
 
-  test("simhash: 16-bit signatures; banded pairs have hamming <= 3") {
-    val sig = Dedup.simhash(spark, Sf)
-    assert(sig.filter(col("simhash") < 0 || col("simhash") > 0xffffL).count() === 0)
+  test("simhash: 64-bit signatures discriminate; banded pairs have hamming <= 3") {
+    val sig = Dedup.simhash(spark, Sf).cache()
+    // the 16-bit variant this replaced saturated (28% of all pairs
+    // within Hamming<=3 at 500 docs); in 64-bit space signatures must be
+    // near-unique — only genuine near-dups may collide
+    val n = sig.count()
+    assert(sig.select("simhash").distinct().count() >= n / 2)
     val pairs = Dedup.simhashPairs(spark, Sf)
     assert(pairs.filter(col("hamming") > 3).count() === 0)
   }
@@ -54,7 +58,7 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("ca") =!= col("cb")).count() === 0)
   }
 
-  test("one-pass SimHash16 matches the explode+agg reference over the corpus") {
+  test("one-pass SimHash64 matches the explode+agg reference over the corpus") {
     val fast = Dedup.simhash(spark, Sf).collect().map(_.toSeq).toSeq
     val ref = Dedup.simhashViaAgg(spark, Sf).collect().map(_.toSeq).toSeq
     assert(fast === ref)

@@ -88,14 +88,14 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
-  test("SimHash16 matches the split-semantics scala model on edge tokens") {
+  test("SimHash64 matches the split-semantics scala model on edge tokens") {
     import spark.implicits._
     // split(' ') semantics: empty text = 1 empty token; n spaces = n+1
     // tokens; trailing space adds an empty token
     val texts = Seq("", " ", "a  b ", "single", "the quick brown fox")
     val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
-      .select(col("id"), simhash16(col("text")).as("sig"))
+      .select(col("id"), simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
       assert(got(i.toLong) === SimHashModel.simhash(t), s"text '$t'")
@@ -103,7 +103,7 @@ class TextFunctionsSpec extends SparkSpec {
     // null text null-propagates through the expression (operators add
     // their own drop-or-singleton semantics on top)
     val nullRow = Seq((0L, Option.empty[String])).toDF("id", "text")
-      .select(simhash16(col("text"))).collect()
+      .select(simhash64(col("text"))).collect()
     assert(nullRow(0).isNullAt(0))
   }
 }

@@ -4,15 +4,77 @@ graft.Verify parquet output against its DuckDB oracle, strictly
 (sorted column names, exact values). Usage:
   python3 tools/check.py <sfDir> <verifyOutDir> [--skip name[,name...]]
 
---skip marks queries rows-only for this run (useful at sf0.1, where
-x28_dup_clusters' recursive-CTE oracle is quadratic in component size
-and runs for minutes; the driver's gate at sf0.01 checks it in ~4 s).
+--skip marks queries rows-only for this run.
+
+x28_dup_clusters is checked against a LINEAR union-find oracle below
+instead of its recursive-CTE SQL (which is quadratic in component size
+— minutes at sf0.1, while the union-find is sub-second at any sf), so
+no sf needs to skip it. The SQL stays in oracle_sql.json for the
+driver's independent gate.
 """
 import json, sys, math
+from collections import Counter
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# keep in sync with graft.operators.Dedup.ClusterHamming; the single-bit
+# probe loop below relies on it being 1
+CLUSTER_HAMMING = 1
+
+
+def x28_expected(con):
+    """Union-find oracle for x28_dup_clusters, mirroring Dedup.dupClusters:
+    seed-'0' 16-bit simhash per doc (= bits 0..15 of the 64-bit
+    signature), connected components over Hamming<=1 edges in 16-bit
+    signature space (probed by single-bit flips: <=65536*16 probes
+    total, linear — vs the recursive CTE's quadratic reachability),
+    min-doc labels, membership sizes, null-text docs as singletons."""
+    assert CLUSTER_HAMMING == 1, "probe loop assumes single-bit edges"
+    poly = ("list_reduce([CAST(0 AS BIGINT)] || "
+            "list_transform(string_split('0' || w, ''), "
+            "c -> CAST(ascii(c) AS BIGINT)), "
+            "(a, b) -> (a * 31 + b) % 1000000007)")
+    sig_sql = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc_id, {poly} AS h FROM w),
+    bits AS (SELECT doc_id, k, SUM(2 * ((h >> k) & 1) - 1) AS sgn
+             FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS k) ks
+             GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS sig
+    FROM bits GROUP BY 1"""
+    sigs = dict(con.execute(sig_sql).fetchall())
+    null_docs = [d for (d,) in con.execute(
+        "SELECT doc_id FROM documents WHERE text IS NULL").fetchall()]
+
+    parent = {s: s for s in set(sigs.values())}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s in list(parent):
+        for b in range(16):
+            t = s ^ (1 << b)
+            if t in parent:
+                ra, rb = find(s), find(t)
+                if ra != rb:
+                    parent[ra] = rb
+    comp_min = {}
+    for d, s in sigs.items():
+        r = find(s)
+        comp_min[r] = min(comp_min.get(r, d), d)
+    rows = [(d, comp_min[find(s)]) for d, s in sigs.items()]
+    rows += [(d, d) for d in null_docs]
+    sz = Counter(rep for _, rep in rows)
+    import pandas as pd
+    return (pd.DataFrame(
+        [(d, rep, sz[rep]) for d, rep in rows],
+        columns=["doc_id", "cluster_rep", "cluster_size"])
+        .astype("int64").sort_values("doc_id").reset_index(drop=True))
 
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
@@ -34,7 +96,8 @@ def main(sf_dir, out_dir, skip=()):
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-            want = con.execute(oracle[name]).df()
+            want = (x28_expected(con) if name == "x28_dup_clusters"
+                    else con.execute(oracle[name]).df())
         except Exception as e:
             print(f"{'ERROR':>9}  {name}: {e}")
             n_fail += 1

@@ -28,6 +28,12 @@ object SparkEntry {
     "r4_analytics_derive" -> (RefParity.analyticsDerive _),
     "r5_union_streams" -> (RefParity.unionStreams _),
     "r6_month_partitions" -> (RefParity.monthPartitions _),
+    // batch flavor of the streaming windowed aggregation (same plan,
+    // exact distinct + honest column name for the DuckDB compare)
+    "r7_windowed_counts" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.NatsLikeStream.windowedCounts(
+          RefParity.envelopes(s, dir), exactDistinct = true)
+        .orderBy("hour_start", "stream")),
     // — relational battery (SURVEY §2.6 / §7.2 step 4) —
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q2_filter_agg" -> (Relational.filterAgg _),
@@ -262,6 +268,18 @@ object SparkEntry {
       """SELECT strftime("timestamp", '%Y%m') AS month, COUNT(*) AS n_rows,
         |  MIN("timestamp") AS min_ts, MAX("timestamp") AS max_ts
         |FROM raw GROUP BY 1 ORDER BY month""".stripMargin),
+
+    // Mirrors NatsLikeStream.windowedCounts(exactDistinct = true): hour
+    // tumbling windows are epoch-aligned, so window.start ==
+    // date_trunc('hour'); stream = first two dot-segments (every
+    // synthesized subject has >= 3).
+    "r7_windowed_counts" -> (envCte +
+      """SELECT date_trunc('hour', meta_ts) AS hour_start,
+        |  string_split(subject, '.')[1] || '.' || string_split(subject, '.')[2]
+        |    AS stream,
+        |  COUNT(*) AS n_msgs,
+        |  COUNT(DISTINCT seq) AS n_seqs
+        |FROM env GROUP BY 1, 2 ORDER BY hour_start, stream""".stripMargin),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -77,6 +77,67 @@ object Ddl {
       spark.sql(s"MSCK REPAIR TABLE $name")
     }
 
+  /** Reference MV names (`init.sql:49,62,100`), surfaced as Spark views. */
+  val SupprtMv = "nats_data_stream_supprt_mv"
+  val CrmabcMv = "nats_data_stream_crmabc_mv"
+  val AllStreamsMv = "nats_data_all_streams_mv"
+  val AnalyticsMv = "analitics_data_mv"
+
+  /** Q2–Q4 as a SQL-FACING surface: the reference's MV cascade
+    * (`init.sql:49-58`, `:62-71`, `:100-121`) registered as catalog
+    * views, so any SQL client (spark.sql, a Thrift/JDBC endpoint) can
+    * query the same derivations [[Views.allStreams]] /
+    * [[Views.deriveAnalytics]] compute — without touching Scala:
+    *
+    *  - `<stream>_mv`: the two pass-through projections (Q2);
+    *  - `nats_data_all_streams_mv`: their UNION ALL — the implicit
+    *    union the shared `TO nats_data_all_streams` target creates (Q3);
+    *  - `analitics_data_mv`: the 16-column analytics derivation (Q4),
+    *    with the ClickHouse `''` / epoch-0 defaults
+    *    ([[graft.functions.ChFunctions]] semantics, in SQL).
+    *
+    * ClickHouse MVs are insert-time triggers writing into their target
+    * tables; Spark views are query-time. Same rows either way — these
+    * views ARE the MV SELECTs over live stream tables, so they serve
+    * the cascade's results even before (or without) a streaming job
+    * materializing the physical `nats_data_all_streams` /
+    * `analitics_data` tables through [[graft.streaming.NatsLikeStream]].
+    *
+    * Requires the stream tables to exist (run [[ensureTables]] first —
+    * Spark analyzes a view's query at CREATE time). CREATE OR REPLACE,
+    * so re-bootstrapping is idempotent like everything else here. */
+  def ensureViews(spark: SparkSession): Unit = {
+    val rawCols = Schemas.raw.fieldNames.map(n => s"`$n`").mkString(", ")
+    spark.sql(s"""CREATE OR REPLACE VIEW $SupprtMv AS
+                 |SELECT $rawCols FROM $StreamSupprt""".stripMargin)
+    spark.sql(s"""CREATE OR REPLACE VIEW $CrmabcMv AS
+                 |SELECT $rawCols FROM $StreamCrmabc""".stripMargin)
+    spark.sql(s"""CREATE OR REPLACE VIEW $AllStreamsMv AS
+                 |SELECT $rawCols FROM $SupprtMv
+                 |UNION ALL
+                 |SELECT $rawCols FROM $CrmabcMv""".stripMargin)
+    // the analytics MV SELECT (init.sql:104-121): json_tuple parses the
+    // payload once for all four keys (the exact plan Views.deriveAnalytics
+    // builds), '' / epoch-0 ClickHouse defaults, 1-indexed '' -padded
+    // subject segments; `sequence` is dropped (the target table has none)
+    val segs = Schemas.analyticsDerived.drop(4).zipWithIndex.map {
+      case (n, i) =>
+        s"coalesce(try_element_at(split(subject, '\\\\.'), ${i + 1}), '') AS $n"
+    }
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $AnalyticsMv AS
+         |SELECT `timestamp`, subject, chat_id, metadata, data,
+         |  coalesce(jx_text, '') AS message_text,
+         |  coalesce(jx_meta, '') AS message_meta,
+         |  coalesce(jx_id, '') AS message_id,
+         |  timestamp_seconds(coalesce(try_cast(jx_ts AS LONG), 0L))
+         |    AS message_timestamp,
+         |  ${segs.mkString(",\n  ")}
+         |FROM $AllStreamsMv
+         |LATERAL VIEW json_tuple(data, 'text', 'meta', 'id', 'timestamp') jx
+         |  AS jx_text, jx_meta, jx_id, jx_ts""".stripMargin)
+  }
+
   /** Bucketed catalog tables: the co-located-join layout for keys that
     * are joined constantly at scale (the MergeTree ORDER BY analogue for
     * Spark). Two tables bucketed by the same key into the same bucket

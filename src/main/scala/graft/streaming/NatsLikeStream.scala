@@ -106,9 +106,21 @@ object NatsLikeStream {
   /** Streaming event-time tumbling window + watermark over the envelope
     * stream — the windowed continuous aggregation the reference lacks
     * (SURVEY §2.6), expressed so late data beyond the watermark is dropped
-    * and state is bounded. Works identically in batch mode for oracles. */
-  def windowedCounts(envelopes: DataFrame, watermark: String = "10 minutes")
-      : DataFrame =
+    * and state is bounded. Works identically in batch mode for oracles.
+    *
+    * `exactDistinct = false` (streaming default): the distinct-sequence
+    * count is an HLL sketch (`approx_count_distinct`) in a column named
+    * `approx_seqs` — mergeable state, the only distinct-count that's
+    * sane inside unbounded streaming aggregation. `exactDistinct = true`
+    * (the batch/oracle flavor, `r7_windowed_counts`): an exact
+    * `count_distinct` named `n_seqs`, value-comparable against an ANSI
+    * `COUNT(DISTINCT …)` oracle. Same grouping, same windows — only the
+    * distinct aggregate (and its honest name) changes. */
+  def windowedCounts(envelopes: DataFrame, watermark: String = "10 minutes",
+      exactDistinct: Boolean = false): DataFrame = {
+    val (distinctAgg, distinctName) =
+      if (exactDistinct) (count_distinct(col("streamSeq")), "n_seqs")
+      else (approx_count_distinct(col("streamSeq")), "approx_seqs")
     envelopes
       .withWatermark("metaTimestamp", watermark)
       // group on the window STRUCT (not .start): the event-time watermark
@@ -117,10 +129,10 @@ object NatsLikeStream {
       .groupBy(
         window(col("metaTimestamp"), "1 hour").as("win"),
         substring_index(col("subject"), ".", 2).as("stream"))
-      .agg(count(lit(1)).as("n_msgs"),
-        approx_count_distinct(col("streamSeq")).as("approx_seqs"))
+      .agg(count(lit(1)).as("n_msgs"), distinctAgg.as(distinctName))
       .select(col("win.start").as("hour_start"), col("stream"),
-        col("n_msgs"), col("approx_seqs"))
+        col("n_msgs"), col(distinctName))
+  }
 
   /** Custom stateful operator via `flatMapGroupsWithState` (the tool the
     * built-in aggregations can't replace): per-stream sequence-gap

@@ -116,6 +116,35 @@ class PipelineSpec extends SparkSpec {
       Schemas.analytics.fieldNames.toSeq)
   }
 
+  test("ensureViews: SQL MV cascade resolves and matches Views.* (Q2-Q4)") {
+    import graft.pipeline.Ddl
+    val wh = java.nio.file.Files.createTempDirectory("graft_mv_wh").toString
+    Ddl.ensureTables(spark, wh)
+    val raw = Ingest.envelopeToRaw(envelopes)
+    val supprt = Ingest.subjectFilter(raw, "globex.supprt")
+    val crmabc = Ingest.subjectFilter(raw, "globex.crmabc")
+    Ddl.insertPartitioned(supprt, Ddl.StreamSupprt, Seq("timestamp", "sequence"))
+    Ddl.insertPartitioned(crmabc, Ddl.StreamCrmabc, Seq("timestamp", "sequence"))
+    Ddl.ensureViews(spark)
+    Ddl.ensureViews(spark) // CREATE OR REPLACE: idempotent re-bootstrap
+    // Q2: pass-through views project exactly the raw columns
+    assert(spark.table(Ddl.SupprtMv).schema.fieldNames.toSeq ===
+      Schemas.raw.fieldNames.toSeq)
+    assert(spark.table(Ddl.SupprtMv).count() === 2)
+    assert(spark.table(Ddl.CrmabcMv).count() === 1)
+    // Q3: the union view serves every stream row exactly once
+    val uv = spark.table(Ddl.AllStreamsMv)
+    assert(uv.schema.fieldNames.toSeq === Schemas.raw.fieldNames.toSeq)
+    val expectUnion = Views.allStreams(Seq(supprt, crmabc))
+    assert(uv.orderBy("sequence").collect().toSeq ===
+      expectUnion.orderBy("sequence").collect().toSeq)
+    // Q4: the SQL analytics view row-for-row equals the Scala derivation
+    val av = spark.table(Ddl.AnalyticsMv)
+    assert(av.schema.fieldNames.toSeq === Schemas.analytics.fieldNames.toSeq)
+    assert(av.orderBy("subject").collect().toSeq ===
+      Views.deriveAnalytics(expectUnion).orderBy("subject").collect().toSeq)
+  }
+
   test("bucketed tables co-locate joins: no shuffle on either join side") {
     import graft.pipeline.Ddl
     import org.apache.spark.sql.types._

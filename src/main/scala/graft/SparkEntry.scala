@@ -555,16 +555,18 @@ object SparkEntry {
          |SELECT sig, query_id, neighbor_id, cos, rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
-    // Mirrors Similarity.embeddingDups: multi-probe IVF candidates (top-2
-    // cells of 16) + exact cosine verify on the deduped pair set.
+    // Mirrors Similarity.embeddingDups: multi-probe IVF candidates
+    // (top-DupProbes cells of 16) + exact cosine verify on the deduped
+    // pair set.
     "x8_embedding_dups" -> (unitCte +
-      s""", cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < 16),
+      s""", cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < ${graft.operators.Similarity.NumCells}),
          |ranked AS (
          |  SELECT v.vec_id, v.u, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${dotUnitSql("v.u", "c.cu")} DESC, c.cid) AS crn
          |  FROM unit_t v, cents c),
-         |cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn <= 2),
+         |cells AS (SELECT vec_id, cid AS cell FROM ranked
+         |  WHERE crn <= ${graft.operators.Similarity.DupProbes}),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |p AS (

@@ -144,17 +144,27 @@ object Similarity {
   val NumCells = 16
   private val NumProbes = 2
 
+  /** Probe count for [[embeddingDups]] — deliberately deeper than
+    * [[NumProbes]] (a top-k QUERY can tolerate a missed neighbor; a
+    * DEDUP pass that misses a near-duplicate ships it to training).
+    * Measured recall at the 0.35 threshold on the test corpora:
+    * 2 probes ≈ 0.51–0.54, 3 ≈ 0.78–0.81, 4 ≈ 0.93 — 3 clears the
+    * spec's 0.6 floor with margin at ~2.25× the candidate volume of 2
+    * (probes²·N²/cells); a production corpus buys recall back cheaper
+    * by raising [[NumCells]] with trained centroids. */
+  val DupProbes = 3
+
   /** Embedding-cosine near-duplicate pairs via IVF candidate generation +
     * exact verify — never an all-pairs join. Every vector is assigned to
-    * its [[NumProbes]] nearest Voronoi cells (multi-probe raises recall
+    * its [[DupProbes]] nearest Voronoi cells (multi-probe raises recall
     * across cell boundaries); candidate pairs are pairs sharing a cell
     * (the cell id is the shuffle key), deduped, then verified with ONE
     * codegen'd dot per pair over unit vectors. Precision is exact;
     * recall is approximate (pairs whose probe sets are disjoint are
-    * missed — measured ~0.52 on the test corpora at the 0.35 threshold)
-    * and tunable via probes/cells. Candidate volume is Σ cellsize² ≈
-    * probes²·N²/cells instead of N²/2 — the bucketed-not-all-pairs
-    * contract at 100 TB, where cells are also the partition key. */
+    * missed — see [[DupProbes]] for the measured curve) and tunable via
+    * probes/cells. Candidate volume is Σ cellsize² ≈ probes²·N²/cells
+    * instead of N²/2 — the bucketed-not-all-pairs contract at 100 TB,
+    * where cells are also the partition key. */
   def embeddingDups(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normalized(spark, sfDir)
     val cents = e.filter(col("vec_id") < NumCells)
@@ -164,7 +174,7 @@ object Similarity {
     val cells = e.join(broadcast(cents))
       .withColumn("cdot", dot(col("u"), col("cu")))
       .withColumn("crn", row_number().over(byVec))
-      .filter(col("crn") <= NumProbes)
+      .filter(col("crn") <= DupProbes)
       .select(col("vec_id"), col("cid").as("cell"))
     val a = cells.select(col("vec_id").as("id_a"), col("cell"))
     val b = cells.select(col("vec_id").as("id_b"), col("cell"))

@@ -139,13 +139,14 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.filter(col("true_cos").isNull).count() === 0)
     assert(joined.filter(col("cos") =!= col("true_cos")).count() === 0)
     // recall FLOOR: x8 is approximate by contract (multi-probe IVF misses
-    // pairs with disjoint probe sets — measured ~0.52 recall on this
-    // corpus at the 0.35 threshold). The floor catches a regression that
-    // silently drops most true pairs while precision stays perfect.
+    // pairs with disjoint probe sets — measured ~0.78-0.81 recall at
+    // DupProbes=3 on the test corpora at the 0.35 threshold). The floor
+    // catches a regression that silently drops most true pairs while
+    // precision stays perfect.
     val (found, total) = (dups.count().toDouble, truth.count().toDouble)
     assert(total > 0)
-    assert(found >= 0.4 * total,
-      s"x8 recall ${found / total} fell below the 0.4 floor")
+    assert(found >= 0.6 * total,
+      s"x8 recall ${found / total} fell below the 0.6 floor")
   }
 
   test("q16 HLL estimates within tolerance of exact distinct counts (sf0.01)") {

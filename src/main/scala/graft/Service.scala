@@ -14,7 +14,7 @@ import graft.streaming.NatsLikeStream
   * Usage:
   * {{{
   * sbt "runMain graft.Service --config nats.yml --backlog <jsonl dir> \
-  *   --warehouse <out dir> [--sink parquet|blocks] [--once]"
+  *   --warehouse <out dir> [--sink parquet|blocks|http] [--once] [--capture]"
   * }}}
   *
   * `--sink parquet` (default) streams the raw + analytics MV cascade as
@@ -22,15 +22,24 @@ import graft.streaming.NatsLikeStream
   * [[graft.sinks.BatchInsertSinkProvider]] with the connection settings
   * parsed from the config's `ch://` URL — LZ4 blocks, execution deadline,
   * ping-on-open — i.e. the reference's batched-INSERT path end to end.
+  * `--sink http` is the same sink pointed at a LIVE ClickHouse HTTP
+  * endpoint: the config's `ch://` DSN selects the real wire path
+  * (`INSERT … FORMAT JSONEachRow` POSTs, lz4 Content-Encoding, /ping
+  * probe — point the DSN's port at the HTTP interface, 8123).
   *
-  * With a live NATS deployment, the backlog source is replaced by the
-  * real connector; the pipeline in between is unchanged.
+  * `--capture` makes the config's `nats://` URL a REAL dial: drain the
+  * subscription ([[graft.sources.NatsCapture]] — socket handshake,
+  * queue-grouped SUB, JetStream-metadata extraction, ack-after-write)
+  * into the backlog directory the DSv2 source replays; once under
+  * `--once`, a daemon re-dial loop otherwise. Without the flag the
+  * backlog directory alone feeds the stream (replay mode).
   */
 object Service {
   def main(args: Array[String]): Unit = {
     // Fold-based flag parsing: only value-taking keys consume the next
-    // token, so the valueless --once works in ANY position (a pairwise
-    // sliding would mis-pair everything after a non-trailing --once).
+    // token, so the valueless --once/--capture work in ANY position (a
+    // pairwise sliding would mis-pair everything after a non-trailing
+    // valueless flag).
     val valueKeys = Set("config", "backlog", "warehouse", "sink")
     val opts = {
       @annotation.tailrec
@@ -39,6 +48,7 @@ object Service {
           case k :: v :: tail if k.startsWith("--") && valueKeys(k.drop(2)) =>
             loop(tail, acc + (k.drop(2) -> v))
           case "--once" :: tail => loop(tail, acc + ("once" -> "true"))
+          case "--capture" :: tail => loop(tail, acc + ("capture" -> "true"))
           case _ :: tail => loop(tail, acc)
           case Nil => acc
         }
@@ -72,12 +82,40 @@ object Service {
     spark.sparkContext.setLogLevel("WARN")
 
     // Q9: the reference's init.sql bootstrap — idempotent CREATE TABLE IF
-    // NOT EXISTS over the warehouse layout, re-run on every start.
+    // NOT EXISTS over the warehouse layout plus the Q2-Q4 MV cascade as
+    // SQL-facing views, re-run on every start (init.sql:8-121).
     graft.pipeline.Ddl.ensureTables(spark, warehouse)
+    graft.pipeline.Ddl.ensureViews(spark)
     // SQL surface: graft_polyhash / graft_shingles / graft_vec_dot for
     // plain-SQL users of the catalog tables (same list a cluster gets
     // via spark.sql.extensions=graft.GraftExtensions)
     GraftFunctions.register(spark)
+
+    // S1 real dial path (--capture): the config's nats:// URL drains the
+    // broker into the backlog the DSv2 source replays. Once under --once
+    // (fail-fast on a dead broker, like the reference's ConnectNATS);
+    // a daemon re-dial loop with backoff in continuous mode.
+    if (opts.contains("capture")) {
+      val subject = cfg.subjects.headOption.getOrElse("globex.>")
+      if (opts.contains("once")) {
+        val n = graft.sources.NatsCapture.capture(cfg.natsUrl, subject, backlog)
+        log.info("nats capture", "url" -> cfg.natsUrl, "rows" -> n)
+      } else {
+        val t = new Thread(() => while (true) {
+          try {
+            val n = graft.sources.NatsCapture
+              .capture(cfg.natsUrl, subject, backlog, maxWaitMs = 5000)
+            if (n > 0) log.info("nats capture", "rows" -> n)
+          } catch {
+            case e: Exception =>
+              log.error(s"nats capture failed, retrying: ${e.getMessage}")
+              Thread.sleep(5000)
+          }
+        }, "nats-capture")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
 
     val envelopes = spark.readStream
       .format("graft.sources.ReplayStreamProvider")
@@ -88,16 +126,17 @@ object Service {
       if (opts.contains("once")) Trigger.AvailableNow()
       else NatsLikeStream.BatchTimeout
     val query = opts.getOrElse("sink", "parquet") match {
-      case "blocks" =>
+      case mode @ ("blocks" | "http") =>
         // the ch:// URL's client settings drive the block sink; a bad URL
         // exits like the reference's DSN parse failure (connection.go:31-38)
         val conn = GraftConfig.parseSinkUrl(cfg.clickhouseUrl) match {
           case Right(c) => c
           case Left(err) => log.error(err); sys.exit(1)
         }
-        log.info("block sink", "compression" -> conn.compression,
+        log.info("block sink", "mode" -> mode,
+          "compression" -> conn.compression,
           "maxExecutionTimeSec" -> conn.maxExecutionTimeSec)
-        NatsLikeStream.dedupedRaw(
+        val base = NatsLikeStream.dedupedRaw(
             Ingest.subjectFilter(envelopes, NatsLikeStream.SubjectPrefix))
           .writeStream
           .format("graft.sinks.BatchInsertSinkProvider")
@@ -109,12 +148,17 @@ object Service {
           // already-committed offsets (blocks silently never written)
           .option("checkpointLocation", s"$warehouse/_checkpoint_blocks")
           .trigger(trigger)
-          .start()
+        // http: the DSN selects the REAL wire path — blocks POST to the
+        // ClickHouse HTTP interface instead of staging as local files
+        (if (mode == "http")
+          base.option("url", cfg.clickhouseUrl)
+            .option("table", graft.pipeline.Ddl.AllStreams)
+        else base).start()
       case "parquet" =>
         NatsLikeStream.start(
           envelopes, warehouse, s"$warehouse/_checkpoint", trigger)
       case other =>
-        log.error(s"unknown --sink '$other' (expected parquet|blocks)")
+        log.error(s"unknown --sink '$other' (expected parquet|blocks|http)")
         sys.exit(2)
     }
 

@@ -44,14 +44,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    query at start, not at first epoch commit.
   *
   * Rows serialize as JSON lines (schema-driven; string/long/int/double/
-  * boolean/timestamp/binary). A production build swaps the serializer for
-  * the native wire protocol and nothing else changes.
+  * boolean/timestamp/binary).
+  *
+  * TWO wire paths, selected by options:
+  *
+  *  - default (no `url`): blocks land as LZ4-framed local files via
+  *    stage-then-rename — the file-backed stand-in.
+  *  - `url` = a `ch://user:pass@host:port` DSN (+ `table`): each block
+  *    is POSTed over the PUBLIC ClickHouse HTTP interface as
+  *    `INSERT INTO <table> FORMAT JSONEachRow` — a real wire path a
+  *    real ClickHouse accepts (point the DSN at the HTTP port, 8123).
+  *    Credentials ride as `X-ClickHouse-User`/`X-ClickHouse-Key`
+  *    headers, `max_execution_time` as a query setting (the server-side
+  *    ceiling `connection.go:55-57` configures), and `compression=lz4`
+  *    frames each body (`Content-Encoding: lz4`, which the HTTP
+  *    interface decompresses server-side — the LZ4-on-the-wire contract
+  *    of `connection.go:58-60`). Ping-on-open probes `GET /ping`.
+  *    Replayed epochs re-POST their blocks (at-least-once — the same
+  *    contract as the reference; ClickHouse's Replicated* engines
+  *    deduplicate identical re-inserted blocks by checksum).
   *
   * Usage:
   * {{{
   * df.writeStream.format("graft.sinks.BatchInsertSinkProvider")
   *   .option("path", dir).option("batchSize", 1000)
   *   .options(sinkConn.writerOptions)   // from a ch:// URL
+  *   // add for the HTTP wire path:
+  *   .option("url", "ch://user:pass@host:8123").option("table", "t")
   *   .option("checkpointLocation", cp).start()
   * }}}
   */
@@ -65,37 +84,107 @@ class BatchInsertSinkProvider extends TableProvider {
       properties.get("path"),
       Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000),
       Option(properties.get("compression")).getOrElse("lz4"),
-      Option(properties.get("maxExecutionTimeSec")).map(_.toInt).getOrElse(60))
+      Option(properties.get("maxExecutionTimeSec")).map(_.toInt).getOrElse(60),
+      Option(properties.get("url")),
+      Option(properties.get("table")).getOrElse("nats_data_all_streams"))
 }
 
 final class BatchInsertTable(path: String, batchSize: Int,
-    compression: String, maxExecutionTimeSec: Int)
+    compression: String, maxExecutionTimeSec: Int,
+    url: Option[String], chTable: String)
     extends Table with SupportsWrite {
-  override def name(): String = s"batch_insert($path)"
+  override def name(): String =
+    url.fold(s"batch_insert($path)")(u => s"batch_insert($u/$chTable)")
   override def schema(): StructType = new StructType()
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite = {
-          // Ping (connection.go:69-72): prove the target accepts writes
-          // BEFORE any epoch runs — create the dir and round-trip a probe
-          // file, failing the query at start() on an unusable target.
-          val dir = Paths.get(path)
-          try {
-            Files.createDirectories(dir)
-            val probe = Files.createTempFile(dir, "_ping", "")
-            Files.delete(probe)
-          } catch {
-            case e: Exception =>
-              throw new IOException(s"sink ping failed for $path: $e")
-          }
-          new BatchInsertStreamingWrite(path, batchSize, compression,
-            maxExecutionTimeSec, info.schema())
+        override def toStreaming: StreamingWrite = url match {
+          case Some(dsn) =>
+            val conn = graft.config.GraftConfig.parseSinkUrl(dsn)
+              .fold(e => throw new IOException(e), identity)
+            val target = HttpTarget(
+              s"http://${conn.host}:${conn.port}", chTable,
+              conn.user, conn.password)
+            // Ping (connection.go:69-72): GET /ping — a live ClickHouse
+            // answers 200 "Ok."; fail the query at start() otherwise.
+            target.ping()
+            new BatchInsertStreamingWrite(path, batchSize, compression,
+              maxExecutionTimeSec, info.schema(), Some(target))
+          case None =>
+            // Ping: prove the target accepts writes BEFORE any epoch runs
+            // — create the dir and round-trip a probe file.
+            val dir = Paths.get(path)
+            try {
+              Files.createDirectories(dir)
+              val probe = Files.createTempFile(dir, "_ping", "")
+              Files.delete(probe)
+            } catch {
+              case e: Exception =>
+                throw new IOException(s"sink ping failed for $path: $e")
+            }
+            new BatchInsertStreamingWrite(path, batchSize, compression,
+              maxExecutionTimeSec, info.schema(), None)
         }
       }
     }
+}
+
+/** Serializable handle for the ClickHouse HTTP interface: one endpoint,
+  * one target table; [[post]] sends one insert block. */
+final case class HttpTarget(endpoint: String, table: String,
+    user: String, password: String) {
+
+  def ping(): Unit = {
+    val c = open(s"$endpoint/ping")
+    c.setRequestMethod("GET")
+    val rc =
+      try c.getResponseCode
+      catch { case e: IOException =>
+        throw new IOException(s"sink ping failed for $endpoint: $e") }
+    c.disconnect()
+    if (rc != 200)
+      throw new IOException(s"sink ping failed for $endpoint: HTTP $rc")
+  }
+
+  /** POST one block: `INSERT INTO <table> FORMAT JSONEachRow` with the
+    * session settings in the query string; body optionally LZ4-framed
+    * (`Content-Encoding: lz4`). Non-200 → IOException → task retry →
+    * epoch replay (at-least-once). */
+  def post(body: Array[Byte], lz4: Boolean, maxExecutionTimeSec: Int): Unit = {
+    val q = java.net.URLEncoder.encode(
+      s"INSERT INTO $table FORMAT JSONEachRow", StandardCharsets.UTF_8)
+    val c = open(s"$endpoint/?query=$q&max_execution_time=$maxExecutionTimeSec")
+    c.setRequestMethod("POST")
+    c.setDoOutput(true)
+    if (user.nonEmpty) c.setRequestProperty("X-ClickHouse-User", user)
+    if (password.nonEmpty) c.setRequestProperty("X-ClickHouse-Key", password)
+    if (lz4) c.setRequestProperty("Content-Encoding", "lz4")
+    val out = c.getOutputStream
+    val wire =
+      if (lz4) new net.jpountz.lz4.LZ4FrameOutputStream(out) else out
+    wire.write(body); wire.close()
+    val rc = c.getResponseCode
+    if (rc != 200) {
+      val err = Option(c.getErrorStream).map { s =>
+        try new String(s.readNBytes(512), StandardCharsets.UTF_8)
+        finally s.close()
+      }.getOrElse("")
+      c.disconnect()
+      throw new IOException(s"insert block rejected: HTTP $rc $err")
+    }
+    c.disconnect()
+  }
+
+  private def open(u: String): java.net.HttpURLConnection = {
+    val c = java.net.URI.create(u).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setConnectTimeout(30000) // dial ceiling (connection.go:46)
+    c.setReadTimeout(120000)
+    c
+  }
 }
 
 /** stagedPath includes the task attempt id; fileName is the attempt-
@@ -103,17 +192,25 @@ final class BatchInsertTable(path: String, batchSize: Int,
 final case class BlockFileCommit(stagedPath: String, fileName: String)
     extends WriterCommitMessage
 
+/** HTTP-path commit message: blocks were already POSTed task-side. */
+final case class HttpBlocksCommit(blocks: Int, rows: Long)
+    extends WriterCommitMessage
+
 final class BatchInsertStreamingWrite(path: String, batchSize: Int,
     compression: String, maxExecutionTimeSec: Int,
-    schema: StructType) extends StreamingWrite {
+    schema: StructType, http: Option[HttpTarget]) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     BlockWriterFactory(path, batchSize, compression, maxExecutionTimeSec,
-      schema)
+      schema, http)
 
   /** The single ack point: rename every staged block into the table dir.
-    * Until this runs, nothing is visible (ack-after-write). */
+    * Until this runs, nothing is visible (ack-after-write). On the HTTP
+    * path tasks already Sent their blocks (clickhouse-go commits per
+    * `Send`, `main.go:205-210`, before the batcher acks) — the epoch
+    * commit is what lets the SOURCE advance its offsets, which is the
+    * ack; nothing to publish here. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
@@ -125,6 +222,9 @@ final class BatchInsertStreamingWrite(path: String, batchSize: Int,
     }
   }
 
+  /** A failed epoch deletes its staged files (file path); HTTP blocks
+    * already sent cannot be unsent — the epoch replays and re-POSTs
+    * (at-least-once; Replicated* engines dedup identical blocks). */
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case BlockFileCommit(staged, _) => Files.deleteIfExists(Paths.get(staged))
@@ -135,12 +235,95 @@ final class BatchInsertStreamingWrite(path: String, batchSize: Int,
 /** Serializable factory shipped to tasks (must not capture the
   * driver-side StreamingWrite). */
 final case class BlockWriterFactory(path: String, batchSize: Int,
-    compression: String, maxExecutionTimeSec: Int, schema: StructType)
+    compression: String, maxExecutionTimeSec: Int, schema: StructType,
+    http: Option[HttpTarget])
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
-      : DataWriter[InternalRow] =
-    new BlockWriter(path, batchSize, compression, maxExecutionTimeSec,
-      schema, partitionId, taskId, epochId)
+      : DataWriter[InternalRow] = http match {
+    case Some(target) =>
+      new HttpBlockWriter(target, batchSize, compression,
+        maxExecutionTimeSec, schema)
+    case None =>
+      new BlockWriter(path, batchSize, compression, maxExecutionTimeSec,
+        schema, partitionId, taskId, epochId)
+  }
+}
+
+/** Task-side HTTP writer: buffer up to `batchSize` rows, POST each full
+  * buffer as ONE insert block (the `Append`×N → `Send` loop over the
+  * wire), final partial block on commit. */
+final class HttpBlockWriter(target: HttpTarget, batchSize: Int,
+    compression: String, maxExecutionTimeSec: Int, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  private val lz4 = compression.equalsIgnoreCase("lz4")
+  private val serializer = new JsonLineSerializer(schema)
+  private val buffer = new ArrayBuffer[String](batchSize)
+  private var blocks = 0
+  private var rows = 0L
+  private val startNanos = System.nanoTime()
+
+  private def checkDeadline(): Unit = {
+    val elapsedSec = (System.nanoTime() - startNanos) / 1e9
+    if (elapsedSec > maxExecutionTimeSec)
+      throw new IOException(
+        s"max_execution_time (${maxExecutionTimeSec}s) exceeded after " +
+        f"$elapsedSec%.1fs on block $blocks")
+  }
+
+  private def flush(): Unit = if (buffer.nonEmpty) {
+    checkDeadline()
+    target.post(
+      buffer.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      lz4, maxExecutionTimeSec)
+    blocks += 1
+    rows += buffer.size
+    buffer.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buffer += serializer.jsonLine(row)
+    if (buffer.size >= batchSize) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    HttpBlocksCommit(blocks, rows)
+  }
+
+  override def abort(): Unit = buffer.clear()
+  override def close(): Unit = ()
+}
+
+/** Schema-driven row → JSON line serialization, shared by both wire
+  * paths (string/long/int/double/boolean/timestamp/binary). */
+final class JsonLineSerializer(schema: StructType) extends Serializable {
+
+  private def esc(s: String): String = graft.util.JsonText.escape(s)
+
+  def jsonLine(row: InternalRow): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType =>
+            val d = row.getDouble(i)
+            // NaN/Infinity are not valid JSON tokens; surface them as null
+            // rather than emitting lines a strict consumer would reject
+            if (java.lang.Double.isFinite(d)) d.toString else "null"
+          case BooleanType => row.getBoolean(i).toString
+          case TimestampType => row.getLong(i).toString // epoch micros
+          case BinaryType => "\"" + java.util.Base64.getEncoder
+            .encodeToString(row.getBinary(i)) + "\""
+          case other => "\"" + esc(row.get(i, other).toString) + "\""
+        }
+      "\"" + f.name + "\":" + v
+    }
+    fields.mkString("{", ",", "}")
+  }
 }
 
 /** Task-side writer: buffer up to `batchSize` rows, flush each full buffer
@@ -184,31 +367,7 @@ final class BlockWriter(path: String, batchSize: Int, compression: String,
         f"$elapsedSec%.1fs writing block $published")
   }
 
-  private def esc(s: String): String = graft.util.JsonText.escape(s)
-
-  private def jsonLine(row: InternalRow): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      val v =
-        if (row.isNullAt(i)) "null"
-        else f.dataType match {
-          case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
-          case LongType => row.getLong(i).toString
-          case IntegerType => row.getInt(i).toString
-          case DoubleType =>
-            val d = row.getDouble(i)
-            // NaN/Infinity are not valid JSON tokens; surface them as null
-            // rather than emitting lines a strict consumer would reject
-            if (java.lang.Double.isFinite(d)) d.toString else "null"
-          case BooleanType => row.getBoolean(i).toString
-          case TimestampType => row.getLong(i).toString // epoch micros
-          case BinaryType => "\"" + java.util.Base64.getEncoder
-            .encodeToString(row.getBinary(i)) + "\""
-          case other => "\"" + esc(row.get(i, other).toString) + "\""
-        }
-      "\"" + f.name + "\":" + v
-    }
-    fields.mkString("{", ",", "}")
-  }
+  private val serializer = new JsonLineSerializer(schema)
 
   private def flush(): Unit = {
     checkDeadline()
@@ -217,7 +376,7 @@ final class BlockWriter(path: String, batchSize: Int, compression: String,
   }
 
   override def write(row: InternalRow): Unit = {
-    buffer += jsonLine(row)
+    buffer += serializer.jsonLine(row)
     if (buffer.size >= batchSize) flush()
   }
 

@@ -1,0 +1,246 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataInputStream, EOFException, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.{Instant, OffsetDateTime, ZoneOffset}
+
+/** One delivered NATS message. `reply` carries the server-assigned reply
+  * subject — for JetStream push consumers that is the `$JS.ACK.…` subject
+  * whose dot-segments encode the delivery metadata the reference reads
+  * via `msg.Metadata()` (`main.go:162`); see [[NatsWire.jetStreamMeta]]. */
+final case class NatsMsg(subject: String, sid: String,
+    reply: Option[String], payload: Array[Byte])
+
+/** JetStream per-delivery metadata, parsed from the ACK reply subject. */
+final case class JsMeta(stream: String, consumer: String,
+    numDelivered: Long, streamSeq: Long, consumerSeq: Long,
+    timestampNanos: Long, numPending: Long)
+
+object NatsWire {
+
+  /** `nats://host:port` (port defaults to 4222, the public NATS port) —
+    * the reference's `nats.url` shape (`nats.yml:2`, `main.go:66`). */
+  def parseUrl(url: String): Either[String, (String, Int)] = {
+    val re = "^nats://([^:/@]+)(?::([0-9]+))?$".r
+    url match {
+      case re(host, null) => Right((host, 4222))
+      case re(host, port) =>
+        scala.util.Try(port.toInt).toOption
+          .filter(p => p >= 1 && p <= 65535)
+          .toRight(s"failed to parse NATS URL: $url")
+          .map((host, _))
+      case _ => Left(s"failed to parse NATS URL: $url")
+    }
+  }
+
+  /** Parse a JetStream ACK reply subject:
+    * `$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts-nanos>.<pending>`
+    * (the v1 form; longer domain-qualified forms keep these as the LAST
+    * seven tokens). This is exactly the wire data `msg.Metadata()`
+    * exposes to the reference (`main.go:162-171`). */
+  def jetStreamMeta(reply: String): Option[JsMeta] = {
+    val t = reply.split('.')
+    if (t.length < 9 || t(0) != "$JS" || t(1) != "ACK") None
+    else try {
+      val n = t.length
+      Some(JsMeta(
+        stream = t(n - 7), consumer = t(n - 6),
+        numDelivered = t(n - 5).toLong, streamSeq = t(n - 4).toLong,
+        consumerSeq = t(n - 3).toLong, timestampNanos = t(n - 2).toLong,
+        numPending = t(n - 1).toLong))
+    } catch { case _: NumberFormatException => None }
+  }
+}
+
+/** Minimal NATS client over a TCP socket, speaking the PUBLIC NATS text
+  * protocol (docs.nats.io protocol reference): the server greets with
+  * `INFO {…}`; the client answers `CONNECT {…}`; `SUB <subject>
+  * [queue] <sid>` subscribes (queue-group semantics = the reference's
+  * shared durable consumer, `main.go:88-94`); deliveries arrive as
+  * `MSG <subject> <sid> [reply] <#bytes>\r\n<payload>\r\n`; keep-alive is
+  * `PING`/`PONG`. This IS the real dial path for `nats://` URLs — the
+  * spec drives it against a stub server speaking the same protocol.
+  *
+  * Scope: core protocol only (no TLS, no INFO-driven auth) — enough to
+  * subscribe and drain a JetStream push consumer, whose per-message
+  * metadata rides in the reply subject ([[NatsWire.jetStreamMeta]]).
+  * Acks are an empty publish to the reply subject ([[ack]]), issued by
+  * callers only AFTER their write lands (K2 ack-after-write). */
+final class NatsSocketClient(host: String, port: Int,
+    connectTimeoutMs: Int = 30000, readTimeoutMs: Int = 5000) {
+
+  private val socket = new Socket()
+  private var in: DataInputStream = _
+  private var out: BufferedOutputStream = _
+  private var serverInfo: String = ""
+
+  /** Dial + handshake: block until the server's INFO line arrives, then
+    * CONNECT. Fails fast (IOException) on an unreachable server — the
+    * reference exits on a failed dial (`connection/connection.go`
+    * ConnectNATS, called at `main.go:66`). */
+  def connect(name: String = "graft"): Unit = {
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setSoTimeout(readTimeoutMs)
+    socket.setTcpNoDelay(true)
+    in = new DataInputStream(socket.getInputStream)
+    out = new BufferedOutputStream(socket.getOutputStream)
+    val info = readLine()
+    if (!info.startsWith("INFO "))
+      throw new IOException(s"expected INFO from $host:$port, got: $info")
+    serverInfo = info.drop(5)
+    send(s"""CONNECT {"verbose":false,"pedantic":false,"name":"$name","lang":"scala","protocol":1}""")
+  }
+
+  /** Raw INFO payload (JSON text) from the handshake. */
+  def info: String = serverInfo
+
+  /** SUB with an optional queue group — all members of a group share the
+    * subject's traffic, the reference's horizontal-scaling seam. */
+  def subscribe(subject: String, sid: String, queue: Option[String] = None): Unit =
+    send(queue.fold(s"SUB $subject $sid")(q => s"SUB $subject $q $sid"))
+
+  /** Publish (used for acks and tests): `PUB <subject> <#bytes>`. */
+  def publish(subject: String, payload: Array[Byte]): Unit = {
+    send(s"PUB $subject ${payload.length}", flush = false)
+    out.write(payload); out.write('\r'); out.write('\n'); out.flush()
+  }
+
+  /** Ack a JetStream delivery: empty publish to its reply subject. */
+  def ack(msg: NatsMsg): Unit =
+    msg.reply.foreach(publish(_, Array.emptyByteArray))
+
+  /** Read protocol frames until the next MSG (answering PING with PONG,
+    * skipping +OK/-ERR/INFO updates), or None once the socket idles past
+    * its read timeout / the deadline passes / the server closes. */
+  def next(deadlineMs: Long = Long.MaxValue): Option[NatsMsg] = {
+    while (System.currentTimeMillis() < deadlineMs) {
+      val line =
+        try readLine()
+        catch {
+          case _: java.net.SocketTimeoutException => return None
+          case _: EOFException => return None
+        }
+      if (line.startsWith("MSG ")) {
+        // MSG <subject> <sid> [reply-to] <#bytes>
+        val p = line.drop(4).trim.split("\\s+")
+        if (p.length < 3 || p.length > 4)
+          throw new IOException(s"malformed MSG header: $line")
+        val nBytes = p.last.toInt
+        val payload = new Array[Byte](nBytes)
+        in.readFully(payload)
+        // trailing CRLF after the payload
+        in.readByte(); in.readByte()
+        return Some(NatsMsg(p(0), p(1),
+          if (p.length == 4) Some(p(2)) else None, payload))
+      } else if (line == "PING") send("PONG")
+      // PONG / +OK / -ERR / INFO updates: keep draining
+    }
+    None
+  }
+
+  def close(): Unit = {
+    try socket.close() catch { case _: IOException => () }
+  }
+
+  private def send(line: String, flush: Boolean = true): Unit = {
+    out.write(line.getBytes(StandardCharsets.UTF_8))
+    out.write('\r'); out.write('\n')
+    if (flush) out.flush()
+  }
+
+  private def readLine(): String = {
+    val b = new java.io.ByteArrayOutputStream(64)
+    var c = in.read()
+    while (c != -1 && c != '\n') {
+      if (c != '\r') b.write(c)
+      c = in.read()
+    }
+    if (c == -1 && b.size() == 0) throw new EOFException("server closed")
+    new String(b.toByteArray, StandardCharsets.UTF_8)
+  }
+}
+
+/** The `nats://` → replay-backlog bridge: dial, subscribe (queue-grouped
+  * like the reference's durable consumer), drain deliveries into ONE
+  * envelope JSONL file, atomically renamed into the backlog directory
+  * that [[ReplayStreamProvider]] / `NatsLikeStream.fileEnvelopeSource`
+  * streams from. Capture-then-stream keeps the DSv2 source's offset
+  * contract (global line positions over complete files — a half-written
+  * file is never visible) while making the dial path real code.
+  *
+  * Each envelope row carries the JetStream metadata from the delivery's
+  * ACK subject when present (stream sequence + publish timestamp — the
+  * same fields `msg.Metadata()` gives the reference at `main.go:162`),
+  * falling back to a local counter + receive time for core-NATS messages.
+  * Deliveries are acked AFTER the rename publishes the file (K2
+  * ack-after-write): a crash before the rename leaves every message
+  * unacked for redelivery — at-least-once, like the reference. */
+object NatsCapture {
+
+  /** Drain up to `maxMsgs` (or until `maxWaitMs` of idle) from `subject`
+    * into `backlogDir/<filePrefix>-<millis>.jsonl`. Returns the number of
+    * captured rows (0 writes no file). */
+  def capture(url: String, subject: String, backlogDir: String,
+      queue: Option[String] = Some("nats-clickhouse-delivery-group"),
+      maxMsgs: Int = 1000, maxWaitMs: Long = 2000,
+      filePrefix: String = "capture"): Long = {
+    val (host, port) = NatsWire.parseUrl(url)
+      .fold(e => throw new IOException(e), identity)
+    val client = new NatsSocketClient(host, port,
+      readTimeoutMs = math.min(maxWaitMs, Int.MaxValue.toLong).toInt)
+    client.connect()
+    try {
+      client.subscribe(subject, sid = "1", queue = queue)
+      val deadline = System.currentTimeMillis() + maxWaitMs
+      val acc = Seq.newBuilder[NatsMsg]
+      var n = 0
+      var more = true
+      while (n < maxMsgs && more) client.next(deadline) match {
+        case Some(m) => acc += m; n += 1
+        case None => more = false
+      }
+      val msgs = acc.result()
+      if (msgs.isEmpty) 0L
+      else {
+        val dir = Paths.get(backlogDir)
+        Files.createDirectories(dir)
+        val name = f"$filePrefix-${System.currentTimeMillis()}%013d.jsonl"
+        val tmp = Files.createTempFile(dir, s".$name", ".tmp")
+        Files.write(tmp, envelopeLines(msgs).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, dir.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // ack-after-write: only now is the backlog file visible
+        msgs.foreach(client.ack)
+        msgs.size.toLong
+      }
+    } finally client.close()
+  }
+
+  /** Envelope JSONL ([[graft.model.Schemas.envelope]] shape, the exact
+    * format [[ReplayReader]] parses): JetStream sequence/timestamp when
+    * the ACK subject carries them, local fallbacks otherwise. */
+  private[sources] def envelopeLines(msgs: Seq[NatsMsg]): String = {
+    val sb = new StringBuilder
+    var localSeq = 0L
+    msgs.foreach { m =>
+      localSeq += 1
+      val meta = m.reply.flatMap(NatsWire.jetStreamMeta)
+      val seq = meta.map(_.streamSeq).getOrElse(localSeq)
+      val tsNanos = meta.map(_.timestampNanos)
+        .getOrElse(System.currentTimeMillis() * 1000000L)
+      val ts = OffsetDateTime.ofInstant(
+        Instant.ofEpochSecond(tsNanos / 1000000000L, tsNanos % 1000000000L),
+        ZoneOffset.UTC)
+      sb.append("{\"subject\":\"")
+        .append(graft.util.JsonText.escape(m.subject))
+        .append("\",\"data\":\"")
+        .append(graft.util.JsonText.escape(
+          new String(m.payload, StandardCharsets.UTF_8)))
+        .append("\",\"metaTimestamp\":\"").append(ts.toString)
+        .append("\",\"streamSeq\":").append(seq).append("}\n")
+    }
+    sb.toString
+  }
+}

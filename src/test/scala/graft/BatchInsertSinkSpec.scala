@@ -144,6 +144,123 @@ class BatchInsertSinkSpec extends SparkSpec {
       Option(ex.getCause).exists(_.toString.contains("ping failed")))
   }
 
+  /** Stub ClickHouse HTTP interface: 200 "Ok." on /ping, records each
+    * insert POST (query string, auth headers, LZ4-decompressed body). */
+  private final class StubClickHouse(failInserts: Boolean = false) {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val inserts = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], String)]()
+    val pings = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def port: Int = server.getAddress.getPort
+    private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+    server.createContext("/ping", (x: HttpExchange) => {
+      pings.incrementAndGet(); respond(x, 200, "Ok.\n")
+    })
+    server.createContext("/", (x: HttpExchange) => {
+      val enc = Option(x.getRequestHeaders.getFirst("Content-Encoding"))
+      val raw = x.getRequestBody
+      val in = if (enc.contains("lz4"))
+        new net.jpountz.lz4.LZ4FrameInputStream(raw) else raw
+      val body = new String(in.readAllBytes(), "UTF-8")
+      val headers = Seq("X-ClickHouse-User", "X-ClickHouse-Key", "Content-Encoding")
+        .flatMap(h => Option(x.getRequestHeaders.getFirst(h)).map(h -> _)).toMap
+      inserts.add((Option(x.getRequestURI.getRawQuery).getOrElse(""), headers, body))
+      if (failInserts) respond(x, 500, "Code: 999. Simulated failure\n")
+      else respond(x, 200, "")
+    })
+    server.start()
+    def close(): Unit = server.stop(0)
+  }
+
+  test("ch:// HTTP wire path: blocks POST as INSERT ... FORMAT JSONEachRow with auth + lz4") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx = spark.sqlContext
+    val ch = new StubClickHouse()
+    try {
+      val cp = Files.createTempDirectory("graft_http_cp").toString
+      val src = MemoryStream[Env]
+      src.addData(envs(0, 25): _*)
+      val q = src.toDF().writeStream
+        .format("graft.sinks.BatchInsertSinkProvider")
+        .option("path", Files.createTempDirectory("graft_http_unused").toString)
+        .option("url", s"ch://writer:secret@127.0.0.1:${ch.port}")
+        .option("table", "nats_data_all_streams")
+        .option("batchSize", 10)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // ping-on-open probed the real endpoint before the first epoch
+      assert(ch.pings.get() >= 1)
+      val posts = ch.inserts.asScala.toList
+      assert(posts.nonEmpty)
+      // every block targets the table with the session setting attached
+      assert(posts.forall(_._1.contains("max_execution_time=60")))
+      assert(posts.forall(p => java.net.URLDecoder.decode(p._1, "UTF-8")
+        .contains("INSERT INTO nats_data_all_streams FORMAT JSONEachRow")))
+      // credentials ride the ClickHouse auth headers; bodies are lz4-framed
+      assert(posts.forall(_._2.get("X-ClickHouse-User").contains("writer")))
+      assert(posts.forall(_._2.get("X-ClickHouse-Key").contains("secret")))
+      assert(posts.forall(_._2.get("Content-Encoding").contains("lz4")))
+      // all 25 rows arrive exactly once across the blocks, none > batchSize
+      val lines = posts.flatMap(_._3.split("\n")).filter(_.nonEmpty)
+      assert(lines.size === 25)
+      assert(posts.forall(_._3.split("\n").count(_.nonEmpty) <= 10))
+      assert(lines.count(_.contains("\"subject\":\"globex.supprt.u7\"")) === 1)
+    } finally ch.close()
+  }
+
+  test("ch:// HTTP wire path: a rejected block fails the epoch (at-least-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ch = new StubClickHouse(failInserts = true)
+    try {
+      val cp = Files.createTempDirectory("graft_http_fail_cp").toString
+      val src = MemoryStream[Env]
+      src.addData(envs(0, 5): _*)
+      val q = src.toDF().writeStream
+        .format("graft.sinks.BatchInsertSinkProvider")
+        .option("path", Files.createTempDirectory("graft_http_fail").toString)
+        .option("url", s"ch://writer:secret@127.0.0.1:${ch.port}")
+        .option("table", "t").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      assert(err.toString.contains("insert block rejected") ||
+        Option(err.getCause).exists(_.toString.contains("insert block rejected")))
+    } finally ch.close()
+  }
+
+  test("ch:// HTTP wire path: no server behind the DSN fails at start (ping)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dead = new java.net.ServerSocket(0)
+    val port = dead.getLocalPort
+    dead.close()
+    val cp = Files.createTempDirectory("graft_http_ping_cp").toString
+    val src = MemoryStream[Env]
+    src.addData(envs(0, 2): _*)
+    val ex = intercept[Exception] {
+      val q = src.toDF().writeStream
+        .format("graft.sinks.BatchInsertSinkProvider")
+        .option("path", Files.createTempDirectory("graft_http_ping").toString)
+        .option("url", s"ch://writer:secret@127.0.0.1:$port")
+        .option("table", "t").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(ex.toString.contains("ping failed") ||
+      Option(ex.getCause).exists(_.toString.contains("ping failed")))
+  }
+
   test("source → pipeline → sink: the full connector chain") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -65,16 +65,23 @@ object Bench {
     // the burst that poisoned the measurement. Up to two retries,
     // stopping at the first clean reading; min-of-N semantics are
     // unchanged — only the Nth run's timing moves.
-    // Threshold sits above the slowest legitimate steady state (x28's
-    // iterative connected components, ~5 s) so a healthy battery never
-    // burns retries, while every other query's clean reading is ≤3 s —
-    // still far under it when steal-inflated runs need re-measuring.
-    val SlowSec = 6.0
+    // Threshold sits just above the slowest CLEAN steady states (~3 s);
+    // x28's iterative connected components legitimately run ~4.3-5 s, so
+    // it alone carries a higher ceiling — without the override every
+    // battery would burn both its retries (plus decorrelation waits) on
+    // a healthy query. Measured motivation for 3.5 over the previous
+    // 6.0: steal bursts routinely inflate 0.6-1.5 s queries to 2-4.5 s
+    // (different queries each run), which the old threshold recorded as
+    // truth — two consecutive solo batteries differed by 8 s of pure
+    // noise below the retry line.
+    val SlowSec = 3.5
+    val SlowSecOverride = Map("x28_dup_clusters" -> 6.5)
     val results = firstPass.map { case (name, fn, best2, firstAt) =>
+      val threshold = SlowSecOverride.getOrElse(name, SlowSec)
       var best = best2
       var measuredAt = firstAt
       var retries = 0
-      while (best > SlowSec && retries < 2) {
+      while (best > threshold && retries < 2) {
         val elapsed = (System.nanoTime() - measuredAt) / 1e9
         if (elapsed < 25.0) Thread.sleep(((25.0 - elapsed) * 1000).toLong)
         best = math.min(best, one(fn))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 
-import graft.expressions.{PolyHash, VecDot, WordShingles}
+import graft.expressions.{PolyHash, SimHash64, VecDot, WordShingles}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -18,13 +18,15 @@ import graft.expressions.{PolyHash, VecDot, WordShingles}
   *    already-running session (idempotent; [[graft.Service]] does this at
   *    bootstrap so catalog-table users can call them from plain SQL).
   *
-  * All three functions are codegen'd expressions, so a SQL user pays the
+  * All four functions are codegen'd expressions, so a SQL user pays the
   * same tight-loop cost as the Column DSL ([[graft.functions]]):
   *
   *  - `graft_polyhash(text)` — rolling polynomial content hash (LONG);
   *  - `graft_shingles(text[, n])` — distinct word n-gram set (default 3;
   *    n must be a positive integer literal — it shapes codegen);
-  *  - `graft_vec_dot(a, b)` — Σaᵢbᵢ over two float/double arrays.
+  *  - `graft_vec_dot(a, b)` — Σaᵢbᵢ over two float/double arrays;
+  *  - `graft_simhash64(text)` — one-pass 64-bit SimHash signature
+  *    (4 seeded 16-bit simhashes concatenated).
   */
 object GraftFunctions {
 
@@ -50,7 +52,12 @@ object GraftFunctions {
         "dot product of two numeric arrays"),
       { // same float→double widening the Column DSL helper applies
         case Seq(a, b) => VecDot(toDoubleArray(a), toDoubleArray(b))
-        case args => throw badArgs("graft_vec_dot", "2 arguments", args) }))
+        case args => throw badArgs("graft_vec_dot", "2 arguments", args) }),
+    (FunctionIdentifier("graft_simhash64"),
+      info(classOf[SimHash64].getName, "graft_simhash64",
+        "one-pass 64-bit SimHash of a string (4 seeded 16-bit packs)"),
+      { case Seq(t) => SimHash64(t)
+        case args => throw badArgs("graft_simhash64", "1 argument", args) }))
 
   private def toDoubleArray(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e,

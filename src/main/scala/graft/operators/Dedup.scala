@@ -289,50 +289,43 @@ object Dedup {
     * super-node), so the coarser signature only ever merges MORE. */
   val ClusterSigMask = 0xffffL
 
-  /** Iteration cap for [[dupClusters]] label propagation; convergence
-    * takes O(cluster diameter) passes, and near-identity clusters are
-    * shallow — the cap is a runaway guard, not a tuning knob. */
-  private val MaxLabelIters = 50
-
   /** x28: near-duplicate CLUSTERS — the transitive closure every dedup
     * pipeline needs between "pair list" and "keep one representative":
     * connected components over the Hamming ≤ [[ClusterHamming]] SimHash
     * graph, labeled by min doc_id, with cluster sizes.
     *
-    * Scale shape — CONTRACT, then iterate, then expand:
+    * Scale shape — CONTRACT, solve SMALL, then expand:
     *
-    *  1. contract: docs with equal CLUSTER signatures ([[ClusterSigMask]]
-    *     slice of the 64-bit simhash) are one super-node, so the
-    *     component graph lives in 16-bit signature space — AT MOST 65536
-    *     nodes no matter the corpus size. Each super-node carries the min
-    *     doc_id among its members.
-    *  2. iterate: min-label propagation with pointer jumping (each round
-    *     a node takes the min of its own label, its banded-Hamming
-    *     neighbors' labels, and its label's label — the map-reduce CC
-    *     shape, O(log diameter) rounds) over the BOUNDED sig graph. The
-    *     driver-side convergence loop is legitimate here: per-round data
-    *     is ≤65536 rows regardless of corpus, and only the changed
-    *     counter reaches the driver. Round states go through eager
-    *     `localCheckpoint`, not `persist`: each round references the
-    *     previous state three times, so without lineage truncation the
-    *     logical plan TRIPLES per round — analysis alone went
-    *     exponential (minutes of planning by round ~10) while the cached
-    *     data stayed tiny. Fault-tolerance tradeoff, deliberate:
-    *     `localCheckpoint` truncates lineage WITHOUT a reliable copy, so
-    *     losing an executor mid-loop fails the JOB (not just a task) and
-    *     the caller re-runs the query. That is the right trade for a
-    *     ≤65536-row state: a reliable `checkpoint` would pay an HDFS
-    *     round-trip per round, and the whole loop costs seconds to
-    *     re-run. A deployment that can't accept query-level retry swaps
-    *     in `spark.sparkContext.setCheckpointDir` + `checkpoint(true)`
-    *     — one line, same semantics.
-    *  3. expand: one broadcast-sized join maps every doc's signature to
-    *     its component label; sizes come from a doc-keyed partial agg.
+    *  1. contract (distributed): docs with equal CLUSTER signatures
+    *     ([[ClusterSigMask]] slice of the 64-bit simhash) are one
+    *     super-node, so the component graph lives in 16-bit signature
+    *     space — AT MOST 65536 nodes no matter the corpus size. One
+    *     corpus pass (the codegen'd signature projection) + one
+    *     partial-aggregated groupBy produce (sig, min doc_id).
+    *  2. solve (driver): the contracted graph is PROVABLY ≤2^16 rows /
+    *     ~1 MB, so it is collected and solved with union-find —
+    *     Hamming-1 neighbors found by the 16 single-bit probes per
+    *     present signature (complete for [[ClusterHamming]] = 1; the
+    *     `require` below guards the coupling). This is the same
+    *     bounded-small-side judgment as broadcasting a dimension table:
+    *     "never iterate over collect()" applies to corpus-sized data,
+    *     and this relation is constant-sized by construction. It
+    *     replaces a ~10-round distributed label-propagation loop whose
+    *     per-round job overhead dominated end-to-end latency (measured
+    *     4.3-5 s → the collect path is one aggregation + one broadcast
+    *     join) and whose `localCheckpoint` rounds weren't
+    *     fault-tolerant anyway.
+    *  3. expand (distributed): the ≤2^16-row (sig → cluster_rep)
+    *     mapping broadcasts against the corpus-sized doc→sig relation;
+    *     sizes come from a partial-aggregated groupBy on the rep.
     *
-    * The fixpoint (min reachable SIGNATURE per node, converted to the
-    * component's min doc id after convergence) is unique regardless of
-    * execution order — the recursive-CTE oracle checks it hash-exactly. */
+    * The fixpoint (min doc id over each signature-component's members)
+    * is unique regardless of execution order — the recursive-CTE oracle
+    * checks it hash-exactly, and tools/check.py cross-checks with an
+    * independent union-find at every SF. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    require(ClusterHamming == 1,
+      "single-bit neighbor probes assume ClusterHamming == 1")
     // one-pass signatures (same expression as x4/x5) sliced to the
     // 16-bit CLUSTER signature ([[ClusterSigMask]]), kept doc→sig;
     // null-text docs get a null sig and are carried as singleton
@@ -344,62 +337,38 @@ object Dedup {
         .select(col("doc_id"),
           simhash64(col("text")).bitwiseAND(lit(ClusterSigMask)).as("sig")))
     val withSig = docSig.filter(col("sig").isNotNull)
-    // contraction: distinct signatures, each carrying its min doc_id
-    val sigs = OperatorCaches.persist(
-      withSig.groupBy("sig").agg(min("doc_id").as("rep")))
-    // sig-graph edges via the same nibble banding as simhashPairs
-    // (recall-complete for Hamming ≤ 3 ⊇ ClusterHamming)
-    val banded = sigs.select(col("sig"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(sig, c * 4) & 15"))
-    val ea = banded.select(col("sig").as("sig_a"), col("c"), col("chunk"))
-    val eb = banded.select(col("sig").as("sig_b"), col("c"), col("chunk"))
-    val sigPairs = ea.join(eb, Seq("c", "chunk"))
-      .filter(col("sig_a") < col("sig_b") &&
-        expr("bit_count(sig_a ^ sig_b)") <= ClusterHamming)
-      .select("sig_a", "sig_b").distinct()
-    val adj = OperatorCaches.persist(
-      sigPairs.select(col("sig_a").as("src"), col("sig_b").as("dst"))
-        .union(sigPairs.select(col("sig_b").as("src"), col("sig_a").as("dst"))))
-    // propagate MIN SIG as the component label (labels live in node
-    // space, so the pointer-jump hop is one self-join); the min DOC id
-    // per component is recovered once, after convergence
-    var labels = sigs.select(col("sig").as("node"), col("sig").as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < MaxLabelIters) {
-      val viaNbr = adj.join(labels, adj("dst") === labels("node"))
-        .select(col("src").as("node"), col("label"))
-      // pointer jumping: label(label(node)) — shortcut established
-      // chains (one tiny self-join; a second hop was measured to cost
-      // more in per-round join/planning overhead than it saved in
-      // rounds on this bounded state)
-      val hop1 = labels.select(col("node"), col("label").as("mid"))
-        .join(labels.select(col("node").as("mid"), col("label").as("ll")),
-          "mid")
-        .select(col("node"), col("ll").as("label"))
-      val next = labels.union(viaNbr).union(hop1)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      // convergence probe every other round: each probe is a driver
-      // action, and with quadratic shortcutting an extra round of work
-      // costs less than a per-round count job
-      iters += 1
-      changed =
-        if (iters % 2 == 0 || iters >= MaxLabelIters) next
-          .join(labels.select(col("node"), col("label").as("prev")), "node")
-          .filter(col("label") =!= col("prev")).count()
-        else 1L
-      labels = next
+    // contraction: distinct signatures, each carrying its min doc_id —
+    // the ONLY corpus-sized aggregation in the operator
+    val nodes = withSig.groupBy("sig").agg(min("doc_id").as("rep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find over present signatures; path-halving find
+    val parent = scala.collection.mutable.LongMap(
+      nodes.map { case (s, _) => s -> s }: _*)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
     }
-    // expand: component id (min sig) → min doc rep, then doc → cluster
-    val comps = labels
-      .join(sigs, labels("node") === sigs("sig"))
-      .groupBy("label").agg(min("rep").as("cluster_rep"))
-    val perDoc = withSig
-      .join(labels, withSig("sig") === labels("node"))
-      .join(comps, "label")
+    for ((s, _) <- nodes; b <- 0 until 16) {
+      val t = s ^ (1L << b)
+      if (parent.contains(t)) {
+        val (rs, rt) = (find(s), find(t))
+        if (rs != rt) parent(rs) = rt
+      }
+    }
+    // component representative = min doc_id over member signatures
+    val compRep = scala.collection.mutable.LongMap.empty[Long]
+    for ((s, rep) <- nodes) {
+      val r = find(s)
+      compRep(r) = math.min(compRep.getOrElse(r, Long.MaxValue), rep)
+    }
+    import spark.implicits._
+    val mapping = nodes.map { case (s, _) => (s, compRep(find(s))) }
+      .toSeq.toDF("sig", "cluster_rep")
+    // expand: broadcast the bounded mapping over the corpus; sizes from
+    // a partial-aggregated groupBy (withSig is cached, so the two reads
+    // of perDoc's lineage re-join from memory, not re-scan)
+    val perDoc = withSig.join(broadcast(mapping), "sig")
       .select(col("doc_id"), col("cluster_rep"))
     val sizes = perDoc.groupBy("cluster_rep")
       .agg(count(lit(1)).as("cluster_size"))

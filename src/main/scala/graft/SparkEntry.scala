@@ -86,7 +86,10 @@ object SparkEntry {
     "x26_pack_sequences" -> (Curation.packSequences _),
     "x27_int8_quant" -> (Quantization.int8Stats _),
     "x28_dup_clusters" -> (Dedup.dupClusters _),
-    "x29_decontaminate" -> (Curation.decontaminate _)
+    "x29_decontaminate" -> (Curation.decontaminate _),
+    "x30_dedup_apply" -> (Curation.dedupApply _),
+    "x31_lang_rebalance" -> (Curation.langRebalance _),
+    "x32_pii_scrub" -> (TextAnalysis.piiScrub _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -207,6 +210,25 @@ object SparkEntry {
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY 1)
+       |""".stripMargin
+
+  /** DuckDB fragment shared by x28/x30: connected components over the
+    * Hamming ≤ ClusterHamming graph of 16-bit cluster signatures via
+    * recursive reachability ([[simhash16Cte]] supplies `sig`), yielding
+    * `lab (doc_id, cluster_rep)` and `sz (cluster_rep, cluster_size)`.
+    * Quadratic in component size — fine at the sf0.01 gate;
+    * tools/check.py uses a linear union-find for larger SFs. */
+  private val clusterCte: String = simhash16Cte +
+    s""", edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.operators.Dedup.ClusterHamming}),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.src AS node, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+       |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
        |""".stripMargin
 
   private val stopList: String =
@@ -917,19 +939,47 @@ object SparkEntry {
     // what the Spark side masks out). The recursive CTE computes every
     // reachable label per node; MIN over it is the same unique fixpoint
     // the Spark side's label propagation converges to.
-    "x28_dup_clusters" -> (simhash16Cte +
-      s""", edges AS (
-         |  SELECT a.doc_id AS src, b.doc_id AS dst
-         |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.operators.Dedup.ClusterHamming}),
-         |reach AS (
-         |  SELECT doc_id AS node, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT e.src AS node, r.label FROM edges e JOIN reach r ON r.node = e.dst),
-         |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY 1),
-         |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
-         |SELECT l.doc_id, l.cluster_rep, s.cluster_size
-         |FROM lab l JOIN sz s USING (cluster_rep) ORDER BY doc_id""".stripMargin),
+    "x28_dup_clusters" -> (clusterCte +
+      """SELECT l.doc_id, l.cluster_rep, s.cluster_size
+        |FROM lab l JOIN sz s USING (cluster_rep) ORDER BY doc_id""".stripMargin),
+
+    // Mirrors Curation.dedupApply: x28's clustering plus the keep rule
+    // (each cluster keeps exactly its min-doc representative).
+    "x30_dedup_apply" -> (clusterCte +
+      """SELECT l.doc_id, l.cluster_rep, s.cluster_size,
+        |  l.doc_id = l.cluster_rep AS kept
+        |FROM lab l JOIN sz s USING (cluster_rep) ORDER BY doc_id""".stripMargin),
+
+    // Mirrors Curation.langRebalance: integer-division thresholds from
+    // per-language counts, content-hash bucket sampler.
+    "x31_lang_rebalance" ->
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |m AS (SELECT MIN(n_docs) AS min_docs FROM counts),
+         |th AS (SELECT lang, (min_docs * ${graft.operators.Curation.RebalanceBuckets}) // n_docs AS threshold
+         |       FROM counts CROSS JOIN m),
+         |b AS (SELECT doc_id, lang,
+         |        ${polyhashSql("text")} % ${graft.operators.Curation.RebalanceBuckets} AS bucket
+         |      FROM documents)
+         |SELECT b.doc_id, b.lang, b.bucket, th.threshold,
+         |  COALESCE(b.bucket < th.threshold, FALSE) AS keep
+         |FROM b JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.piiScrub: identical patterns and replacement
+    // ORDER (emails, then IPv4, then digit runs); DuckDB needs the 'g'
+    // flag where Spark's regexp_replace is global by default.
+    "x32_pii_scrub" -> {
+      import graft.operators.TextAnalysis.{DigitRunRe, EmailRe, Ipv4Re}
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$DigitRunRe')) AS BIGINT) AS n_digit_runs,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g'),
+         |    '$DigitRunRe', '<NUM>', 'g') AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // Mirrors Curation.decontaminate: distinct eval-set shingles joined
     // against train-doc shingle streams, per-doc overlap count + flag.

@@ -191,4 +191,56 @@ object Curation {
       .select("doc_id", "n_tokens", "split")
       .orderBy("doc_id")
   }
+
+  /** x30: APPLY the near-dup clustering — the keep/drop decision a dedup
+    * pipeline actually ships. [[Dedup.dupClusters]] labels every doc;
+    * here each cluster keeps exactly its representative (the min doc_id)
+    * and drops the rest. A pure projection over the clustering (the
+    * keep rule is `doc_id == cluster_rep`, no extra join or shuffle) —
+    * downstream consumers filter on `kept` and inherit x28's scale
+    * shape unchanged. */
+  def dedupApply(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dupClusters(spark, sfDir)
+      .withColumn("kept", col("doc_id") === col("cluster_rep"))
+      .select("doc_id", "cluster_rep", "cluster_size", "kept")
+      .orderBy("doc_id")
+
+  /** Bucket count for [[langRebalance]]'s deterministic sampler. */
+  val RebalanceBuckets = 10000L
+
+  /** x31: language rebalancing — deterministically downsample every
+    * language to (approximately) the minority language's document count,
+    * the standard move when a web crawl is 40% English and the target
+    * mix isn't. Keep rule: `polyHash(text) mod 10000 < threshold(lang)`
+    * where `threshold = min_count * 10000 div count(lang)` — INTEGER
+    * division end to end, so the oracle comparison is exact (no
+    * float-rounding drift between engines) and the kept set is a pure
+    * function of content (reproducible across runs, partitionings, and
+    * re-ingestions; exact duplicates land in the same decision).
+    *
+    * Scale shape: one partial-aggregated groupBy builds the per-language
+    * counts (|langs| rows), the global min and the thresholds join back
+    * BROADCAST (bounded dims — the legitimate hint), and the keep
+    * decision is a narrow projection. The exact-count alternative (rank
+    * docs per language, keep the first min_count) needs a per-language
+    * sort that funnels the largest language through one task — the
+    * threshold sampler trades exactness-in-count (binomial noise around
+    * the target) for a shuffle-free plan that holds at 100 TB. */
+  def langRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val minc = counts.agg(min("n_docs").as("min_docs"))
+    val th = counts.join(broadcast(minc))
+      .withColumn("threshold",
+        expr(s"min_docs * $RebalanceBuckets div n_docs"))
+      .select(col("lang"), col("threshold"))
+    d.select(col("doc_id"), col("lang"),
+        pmod(polyHash(col("text")), lit(RebalanceBuckets)).as("bucket"))
+      .join(broadcast(th), "lang")
+      // null text hashes to a null bucket: never kept (there is nothing
+      // to train on), matching the oracle's COALESCE
+      .withColumn("keep", coalesce(col("bucket") < col("threshold"), lit(false)))
+      .select("doc_id", "lang", "bucket", "threshold", "keep")
+      .orderBy("doc_id")
+  }
 }

@@ -162,4 +162,42 @@ object TextAnalysis {
       .select("doc_id", "fp", "fp_norm", "fp_minhash")
       .orderBy("doc_id")
   }
+
+  /** PII patterns for [[piiScrub]]. Deliberately conservative and
+    * engine-portable: character classes, bounded repetition, and groups
+    * only — the subset RE2 (DuckDB) and java.util.regex (Spark codegen)
+    * evaluate identically, so the oracle compare is exact. No
+    * lookarounds, no backrefs, no \\b (word-boundary semantics differ
+    * across engines on unicode). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val DigitRunRe = "[0-9]{10,}"
+
+  /** x32: PII detection + scrubbing — per-doc counts of email / IPv4 /
+    * long-digit-run matches and the text with each class replaced by a
+    * typed placeholder. Replacement ORDER is part of the contract
+    * (emails first — they contain dots and digits that the later
+    * patterns would otherwise bite into; then IPs; then bare digit
+    * runs) and is identical in the oracle. A narrow codegen projection:
+    * no shuffle, no UDF — at 100 TB this runs at scan speed. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubFrom(docs(spark, sfDir))
+
+  /** [[piiScrub]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures with known PII exercise each pattern). */
+  private[graft] def piiScrubFrom(d: DataFrame): DataFrame =
+    d.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ipv4"),
+        size(regexp_extract_all(col("text"), lit(DigitRunRe), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+            lit(Ipv4Re), lit("<IP>")),
+          lit(DigitRunRe), lit("<NUM>")).as("scrubbed"))
+      .orderBy("doc_id")
 }

@@ -286,6 +286,75 @@ class OperatorsSpec extends SparkSpec {
     assert(d.filter(!col("contaminated")).count() > 0)
   }
 
+  test("dedup apply: keeps exactly one rep per cluster, drops the rest") {
+    import graft.operators.Curation
+    val a = Curation.dedupApply(spark, Sf).cache()
+    assert(a.count() === 500)
+    // kept iff representative; exactly one kept doc per cluster
+    assert(a.filter(col("kept") =!= (col("doc_id") === col("cluster_rep")))
+      .count() === 0)
+    val perCluster = a.groupBy("cluster_rep")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    assert(perCluster.filter(col("n_kept") =!= 1L).count() === 0)
+    // retention = number of clusters
+    assert(a.filter(col("kept")).count() ===
+      a.select("cluster_rep").distinct().count())
+  }
+
+  test("lang rebalance: thresholds honored; minority lang fully kept; counts near target") {
+    import graft.operators.Curation
+    val r = Curation.langRebalance(spark, Sf).cache()
+    assert(r.count() === 500)
+    assert(r.filter(col("keep") &&
+      !(col("bucket") < col("threshold"))).count() === 0)
+    val counts = r.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      max("threshold").as("th")).collect()
+    val minN = counts.map(_.getAs[Long]("n")).min
+    counts.foreach { c =>
+      val (lang, n, kept, th) = (c.getAs[String]("lang"), c.getAs[Long]("n"),
+        c.getAs[Long]("n_kept"), c.getAs[Long]("th"))
+      // the minority language's threshold is the full bucket range
+      if (n == minN) assert(th === Curation.RebalanceBuckets)
+      // binomial noise around the target: expected minN kept per lang,
+      // sd <= sqrt(minN) ~ 8.4 at 500 docs — a +-4-sigma band proves the
+      // sampler tracks the target without flaking
+      assert(math.abs(kept - minN) <= 4 * math.sqrt(minN.toDouble) + 1,
+        s"$lang kept $kept vs target $minN")
+    }
+  }
+
+  test("pii scrub: each pattern fires, order protects earlier classes, clean text untouched") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (0L, "contact me at jane.doe+x@example.co.uk today"),
+      (1L, "server 10.0.0.1 and 192.168.300.7 replied"),
+      (2L, "card 12345678901234 expires"),
+      (3L, "mix a@b.io via 8.8.8.8 ref 99999999990001"),
+      (4L, "no private data here"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrubFrom(fixtures).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") === 1)
+    assert(out(0L).getAs[String]("scrubbed") === "contact me at <EMAIL> today")
+    assert(out(1L).getAs[Long]("n_ipv4") === 2)
+    assert(out(1L).getAs[String]("scrubbed") === "server <IP> and <IP> replied")
+    assert(out(2L).getAs[Long]("n_digit_runs") === 1)
+    assert(out(2L).getAs[String]("scrubbed") === "card <NUM> expires")
+    // order: the email keeps its dots/digits (not re-bitten by IP/NUM),
+    // the IP is not consumed as a digit run
+    assert(out(3L).getAs[String]("scrubbed") === "mix <EMAIL> via <IP> ref <NUM>")
+    assert(out(4L).getAs[String]("scrubbed") === "no private data here")
+    assert(out(4L).getAs[Long]("n_emails") +
+      out(4L).getAs[Long]("n_ipv4") +
+      out(4L).getAs[Long]("n_digit_runs") === 0)
+    // null text null-propagates across all outputs
+    assert(out(5L).isNullAt(out(5L).fieldIndex("scrubbed")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("n_emails")))
+  }
+
   test("correlated subquery decorrelates: one aggregate, no per-row rescan") {
     val df = graft.queries.Relational.corrSubquery(spark, Sf)
     val row = df.collect()

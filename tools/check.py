@@ -6,11 +6,12 @@ graft.Verify parquet output against its DuckDB oracle, strictly
 
 --skip marks queries rows-only for this run.
 
-x28_dup_clusters is checked against a LINEAR union-find oracle below
-instead of its recursive-CTE SQL (which is quadratic in component size
-— minutes at sf0.1, while the union-find is sub-second at any sf), so
-no sf needs to skip it. The SQL stays in oracle_sql.json for the
-driver's independent gate.
+x28_dup_clusters (and x30_dedup_apply, which derives from it) are
+checked against a LINEAR union-find oracle below instead of their
+recursive-CTE SQL (which is quadratic in component size — minutes at
+sf0.1, while the union-find is sub-second at any sf), so no sf needs
+to skip them. The SQL stays in oracle_sql.json for the driver's
+independent gate.
 """
 import json, sys, math
 from collections import Counter
@@ -76,6 +77,13 @@ def x28_expected(con):
         columns=["doc_id", "cluster_rep", "cluster_size"])
         .astype("int64").sort_values("doc_id").reset_index(drop=True))
 
+
+def x30_expected(con):
+    """x30 = x28's clustering plus the keep rule (rep keeps, rest drop)."""
+    df = x28_expected(con)
+    df["kept"] = df["doc_id"] == df["cluster_rep"]
+    return df
+
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
@@ -97,6 +105,7 @@ def main(sf_dir, out_dir, skip=()):
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
             want = (x28_expected(con) if name == "x28_dup_clusters"
+                    else x30_expected(con) if name == "x30_dedup_apply"
                     else con.execute(oracle[name]).df())
         except Exception as e:
             print(f"{'ERROR':>9}  {name}: {e}")

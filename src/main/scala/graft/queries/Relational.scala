@@ -390,12 +390,25 @@ object Relational {
   /** Sketch aggregation: HyperLogLog++ approximate distincts per group —
     * the 100 TB substitute for exact COUNT(DISTINCT) when the key domain
     * is huge. No DuckDB oracle (different sketch) → rows-only check. */
+  /** Relative-SD for the q16 sketches. Sketch size is the REAL cost
+    * axis of approx_count_distinct: the aggregation buffer is
+    * `(2^p)/6` longs PER SKETCH surfaced as individual buffer
+    * attributes, so rsd 0.01 (p=14, ~2700 words) made the partial-agg
+    * row ~5400 columns wide — codegen over that dominated the query
+    * (2-6 s for a 600k-row scan; the .explain dump alone was 200 KB).
+    * rsd 0.03 (p=11, ~340 words) is an 8× narrower buffer with ≤5%
+    * observed error on these corpora — the accuracy spec pins the
+    * actual measured ceiling. At 100 TB the same math holds: sketch
+    * width × groups × partitions is what ships in the partial
+    * exchange, and a 1% rsd is rarely worth 16× that volume. */
+  val ApproxRsd = 0.03
+
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), ApproxRsd).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), ApproxRsd).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 }

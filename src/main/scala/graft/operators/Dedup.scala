@@ -29,9 +29,9 @@ import graft.util.OperatorCaches
   * consumer (measured 3-5 evaluations per document — see
   * [[shingleTableFrom]]). All persists go through
   * [[graft.util.OperatorCaches]], so callers release them per-batch with
-  * `OperatorCaches.releaseAll()` instead of a session-wide
-  * `clearCache()` — the in-repo drivers (graft.Verify, graft.Bench) do
-  * exactly that between queries.
+  * the session-scoped `OperatorCaches.release(spark)` instead of a
+  * session-wide `clearCache()` — the in-repo drivers (graft.Verify,
+  * graft.Bench) do exactly that between queries.
   *
   * Embedding-cosine near-dup lives in [[Similarity]].
   */

@@ -123,4 +123,31 @@ class PlanShapeSpec extends SparkSpec {
         s"nested-loop build side is not the bounded centroid table:\n$s")
     }
   }
+
+  test("round-5 operators: rebalance has no rank window, scrub is a pure projection") {
+    import graft.operators.{Curation, TextAnalysis}
+    // x31: the keep decision must stay a threshold test — the exact-count
+    // alternative (rank per language, keep first N) funnels the largest
+    // language through one task; no WindowExec may appear
+    val rebalance = withoutAqe {
+      Curation.langRebalance(spark, Sf).queryExecution.executedPlan
+    }
+    assert(rebalance.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"rank window crept into rebalance:\n$rebalance")
+    // the per-lang dims are the only joins and they are bounded;
+    // corpus×corpus pairing must never appear
+    assert(!rebalance.toString.contains("CartesianProduct"),
+      s"cartesian in rebalance:\n$rebalance")
+    // x32: narrow projection — no join, no aggregation; only the
+    // repartition fan-out and the output sort may exchange
+    val scrub = withoutAqe {
+      TextAnalysis.piiScrub(spark, Sf).queryExecution.executedPlan
+    }
+    assert(scrub.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join crept into pii scrub:\n$scrub")
+    assert(!scrub.toString.contains("HashAggregate"),
+      s"aggregation crept into pii scrub:\n$scrub")
+  }
 }

@@ -89,7 +89,8 @@ object SparkEntry {
     "x29_decontaminate" -> (Curation.decontaminate _),
     "x30_dedup_apply" -> (Curation.dedupApply _),
     "x31_lang_rebalance" -> (Curation.langRebalance _),
-    "x32_pii_scrub" -> (TextAnalysis.piiScrub _)
+    "x32_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "x33_kmeans_train" -> (Similarity.kmeansTrain _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -211,6 +212,39 @@ object SparkEntry {
        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY 1)
        |""".stripMargin
+
+  /** DuckDB fragment: [[graft.operators.Similarity.kmeansTrain]]'s Lloyd
+    * iterations, unrolled. Each block mirrors one Spark iteration:
+    * assignment by rank-1 dot (same sequential fold, same cid
+    * tiebreak), then per-(cell, dim) means as exact scaled-integer sums
+    * (`floor(v·1e6 + 0.5)` — x27's portable rounding) with ONE double
+    * division, then `array_agg(ORDER BY pos)` reassembly. Bit-equal
+    * centroids each round keep the next round's assignments
+    * engine-identical. */
+  private val kmeansCte: String = {
+    val k = graft.operators.Similarity.NumCells
+    val d = graft.operators.Similarity.Dim
+    val iters = graft.operators.Similarity.KmeansIters
+    val blocks = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, u, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ${dotUnitSql("u", "cu")} DESC, cid) AS rn
+         |  FROM unit_t CROSS JOIN c${i - 1}),
+         |m$i AS (SELECT vec_id, u, cid AS cell FROM a$i WHERE rn = 1),
+         |s$i AS (
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(SUM(CAST(floor(u[i] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / (1000000.0 * COUNT(*)) AS cval
+         |  FROM m$i CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT cell AS cid, array_agg(cval ORDER BY pos) AS cu
+         |        FROM s$i GROUP BY 1)""".stripMargin
+    }
+    s""", c0 AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < $k),
+       |${blocks.mkString(",\n")}
+       |""".stripMargin
+  }
 
   /** DuckDB fragment shared by x28/x30: connected components over the
     * Hamming ≤ ClusterHamming graph of 16-bit cluster signatures via
@@ -963,6 +997,19 @@ object SparkEntry {
          |SELECT b.doc_id, b.lang, b.bucket, th.threshold,
          |  COALESCE(b.bucket < th.threshold, FALSE) AS keep
          |FROM b JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Similarity.kmeansTrain: unrolled Lloyd iterations (see
+    // kmeansCte), final centroids in row form + member counts of the
+    // assignment that produced them.
+    "x33_kmeans_train" -> (unitCte + kmeansCte +
+      s""", sizes AS (SELECT cell, COUNT(*) AS n_members
+         |  FROM m${graft.operators.Similarity.KmeansIters} GROUP BY 1)
+         |SELECT c.cid, CAST(ix.i - 1 AS BIGINT) AS dim,
+         |  c.cu[ix.i] AS centroid, s.n_members
+         |FROM c${graft.operators.Similarity.KmeansIters} c
+         |CROSS JOIN (SELECT unnest(range(1, ${graft.operators.Similarity.Dim + 1})) AS i) ix
+         |JOIN sizes s ON s.cell = c.cid
+         |ORDER BY cid, dim""".stripMargin),
 
     // Mirrors TextAnalysis.piiScrub: identical patterns and replacement
     // ORDER (emails, then IPv4, then digit runs); DuckDB needs the 'g'

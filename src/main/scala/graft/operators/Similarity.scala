@@ -154,6 +154,77 @@ object Similarity {
     * by raising [[NumCells]] with trained centroids. */
   val DupProbes = 3
 
+  /** Lloyd iterations for [[kmeansTrain]] — enough to demonstrate
+    * convergence shape; real deployments iterate to a movement
+    * threshold. */
+  val KmeansIters = 3
+
+  /** Scale for the centroid means' fixed-point accumulation (1e-6
+    * resolution — beyond the corpus's float32 inputs). */
+  private val KmeansScale = 1000000.0
+
+  /** x33: k-means centroid TRAINING (Lloyd) over the unit vectors — the
+    * step that turns x19/x8's "first K vectors as centroids" stand-in
+    * into real IVF cells. [[NumCells]] centroids, [[KmeansIters]]
+    * iterations, deterministic init (the first K vectors).
+    *
+    * Each iteration is fully distributed and bounded-state:
+    *
+    *  - assignment: corpus × BROADCAST centroids (≤K rows — the
+    *    legitimate bounded hint), one codegen'd dot per (vector, cell),
+    *    argmax via a row_number window PARTITIONED BY vec_id — a
+    *    K-row-per-vector window, never a corpus-wide one;
+    *  - update: posexplode to (cell, dim, value) and a PARTIAL-aggregated
+    *    groupBy(cell, dim). Means accumulate as scaled integers
+    *    (`floor(v·1e6 + 0.5)` — the same engine-portable rounding x27
+    *    uses), so the sum is exact and partitioning-independent, and the
+    *    final one double division is bit-deterministic — the DuckDB
+    *    oracle reproduces every centroid bit-for-bit, which in turn
+    *    makes the NEXT iteration's dot products and assignments
+    *    engine-identical;
+    *  - the centroid relation between iterations is ≤K×[[Dim]] rows —
+    *    the plan grows linearly with iterations and no driver action
+    *    runs at all (the loop only composes DataFrames).
+    *
+    * Output: (cid, dim, centroid, n_members) after the final update —
+    * row form so the oracle needs no array reassembly. A cell that loses
+    * all members simply drops out (standard Lloyd degeneracy; identical
+    * in both engines). */
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normalized(spark, sfDir)
+    var cents = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    var lastAssign: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("cdot").desc, col("cid"))
+      val assign = e.join(broadcast(cents))
+        .withColumn("cdot", dot(col("u"), col("cu")))
+        .withColumn("crn", row_number().over(byVec))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("u"))
+      lastAssign = assign
+      val means = assign
+        .select(col("cell"), posexplode(col("u")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(
+          (sum(floor(col("v") * KmeansScale + 0.5).cast("long")).cast("double") /
+            (lit(KmeansScale) * count(lit(1)).cast("double"))).as("cval"))
+      cents = means.groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cval")))),
+          x => x.getField("cval")).as("cu"))
+        .select(col("cell").as("cid"), col("cu"))
+    }
+    val sizes = lastAssign.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"))
+    cents.select(col("cid"), posexplode(col("cu")).as(Seq("dim", "centroid")))
+      .join(sizes, col("cid") === col("cell")).drop("cell")
+      .select(col("cid"), col("dim").cast("long").as("dim"),
+        col("centroid"), col("n_members"))
+      .orderBy("cid", "dim")
+  }
+
   /** Embedding-cosine near-duplicate pairs via IVF candidate generation +
     * exact verify — never an all-pairs join. Every vector is assigned to
     * its [[DupProbes]] nearest Voronoi cells (multi-probe raises recall

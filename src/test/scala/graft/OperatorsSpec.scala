@@ -355,6 +355,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L).isNullAt(out(5L).fieldIndex("n_emails")))
   }
 
+  test("kmeans train: full partition, bounded centroids, deterministic across runs") {
+    val km = Similarity.kmeansTrain(spark, Sf).cache()
+    // every surviving cell carries all Dim dimensions
+    val perCell = km.groupBy("cid").agg(
+      count(lit(1)).as("n_dims"), max("n_members").as("m"))
+    assert(perCell.filter(col("n_dims") =!= Similarity.Dim).count() === 0)
+    // the final assignment partitions the corpus: member counts sum to N
+    assert(perCell.select(sum("m")).head.getLong(0) === 500)
+    assert(perCell.filter(col("m") < 1).count() === 0)
+    // centroids are means of unit vectors: every component in [-1, 1]
+    assert(km.filter(abs(col("centroid")) > 1.0).count() === 0)
+    // fixed-point means are exactly reproducible run to run
+    val again = Similarity.kmeansTrain(spark, Sf).collect().map(_.toSeq)
+    assert(km.collect().map(_.toSeq).toSeq === again.toSeq)
+  }
+
   test("correlated subquery decorrelates: one aggregate, no per-row rescan") {
     val df = graft.queries.Relational.corrSubquery(spark, Sf)
     val row = df.collect()

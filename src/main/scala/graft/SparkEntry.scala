@@ -90,7 +90,8 @@ object SparkEntry {
     "x30_dedup_apply" -> (Curation.dedupApply _),
     "x31_lang_rebalance" -> (Curation.langRebalance _),
     "x32_pii_scrub" -> (TextAnalysis.piiScrub _),
-    "x33_kmeans_train" -> (Similarity.kmeansTrain _)
+    "x33_kmeans_train" -> (Similarity.kmeansTrain _),
+    "x34_ann_trained" -> (Similarity.ivfTopKTrained _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1010,6 +1011,31 @@ object SparkEntry {
          |CROSS JOIN (SELECT unnest(range(1, ${graft.operators.Similarity.Dim + 1})) AS i) ix
          |JOIN sizes s ON s.cell = c.cid
          |ORDER BY cid, dim""".stripMargin),
+
+    // Mirrors Similarity.ivfTopKTrained: the x19 probe/rank pipeline over
+    // the TRAINED centroid relation (kmeansCte's final c<N>) — training
+    // and search compose hash-exactly because the centroids are
+    // bit-equal.
+    "x34_ann_trained" -> (unitCte + kmeansCte +
+      s""", ranked AS (
+         |  SELECT v.vec_id, v.u, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotUnitSql("v.u", "c.cu")} DESC, c.cid) AS crn
+         |  FROM unit_t v, c${graft.operators.Similarity.KmeansIters} c),
+         |assign AS (SELECT vec_id AS neighbor_id, cid AS cell, u AS nu
+         |           FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell, u AS qu
+         |           FROM ranked WHERE crn <= 2 AND vec_id < 10),
+         |pairs AS (
+         |  SELECT p.query_id, a.neighbor_id, p.cell,
+         |    ${dotUnitSql("p.qu", "a.nu")} AS cos
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |    AND p.query_id <> a.neighbor_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, cell, cos, rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     // Mirrors TextAnalysis.piiScrub: identical patterns and replacement
     // ORDER (emails, then IPv4, then digit runs); DuckDB needs the 'g'

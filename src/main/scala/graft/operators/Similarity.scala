@@ -109,8 +109,21 @@ object Similarity {
     * query touches nprobe/K of the corpus instead of all of it. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normalized(spark, sfDir)
-    val cents = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    ivfTopKWith(e, e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cid"), col("u").as("cu")))
+  }
+
+  /** x34: [[ivfTopK]] over TRAINED cells — the end-to-end IVF a real
+    * deployment runs: [[kmeansTrain]]'s Lloyd centroids replace the
+    * first-K stand-in, same probe/rank pipeline. Because the trained
+    * centroids are bit-equal to the oracle's (fixed-point means), the
+    * whole composition — training plus search — stays hash-exact. */
+  def ivfTopKTrained(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopKWith(normalized(spark, sfDir), trainedCentroids(spark, sfDir))
+
+  /** Shared IVF probe/rank pipeline over an arbitrary (cid, cu) centroid
+    * relation (bounded by K — the broadcast is legitimate). */
+  private def ivfTopKWith(e: DataFrame, cents: DataFrame): DataFrame = {
     // assignment: nearest centroid per vector (rank 1), probe list for
     // queries (rank <= NumProbes) — same ranking, two slices
     val byVec = Window.partitionBy("vec_id")
@@ -142,7 +155,7 @@ object Similarity {
   }
 
   val NumCells = 16
-  private val NumProbes = 2
+  private[operators] val NumProbes = 2
 
   /** Probe count for [[embeddingDups]] — deliberately deeper than
     * [[NumProbes]] (a top-k QUERY can tolerate a missed neighbor; a
@@ -191,6 +204,24 @@ object Similarity {
     * all members simply drops out (standard Lloyd degeneracy; identical
     * in both engines). */
   def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cents, lastAssign) = lloyd(spark, sfDir)
+    val sizes = lastAssign.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"))
+    cents.select(col("cid"), posexplode(col("cu")).as(Seq("dim", "centroid")))
+      .join(sizes, col("cid") === col("cell")).drop("cell")
+      .select(col("cid"), col("dim").cast("long").as("dim"),
+        col("centroid"), col("n_members"))
+      .orderBy("cid", "dim")
+  }
+
+  /** The trained (cid, cu) centroid relation — [[kmeansTrain]]'s
+    * composable form, consumed by [[ivfTopKTrained]]. */
+  private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    lloyd(spark, sfDir)._1
+
+  /** [[KmeansIters]] Lloyd rounds: (trained centroids, final-round
+    * assignment). Pure DataFrame composition — no driver actions. */
+  private def lloyd(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val e = normalized(spark, sfDir)
     var cents = e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
@@ -216,13 +247,7 @@ object Similarity {
           x => x.getField("cval")).as("cu"))
         .select(col("cell").as("cid"), col("cu"))
     }
-    val sizes = lastAssign.groupBy("cell")
-      .agg(count(lit(1)).as("n_members"))
-    cents.select(col("cid"), posexplode(col("cu")).as(Seq("dim", "centroid")))
-      .join(sizes, col("cid") === col("cell")).drop("cell")
-      .select(col("cid"), col("dim").cast("long").as("dim"),
-        col("centroid"), col("n_members"))
-      .orderBy("cid", "dim")
+    (cents, lastAssign)
   }
 
   /** Embedding-cosine near-duplicate pairs via IVF candidate generation +

@@ -371,6 +371,22 @@ class OperatorsSpec extends SparkSpec {
     assert(km.collect().map(_.toSeq).toSeq === again.toSeq)
   }
 
+  test("trained-IVF ANN: ranked per query, cos descending, no self-neighbors") {
+    val r = Similarity.ivfTopKTrained(spark, Sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    assert(r.filter(col("rank") < 1 || col("rank") > 3).count() === 0)
+    // ranks are contiguous and cos non-increasing within each query
+    val byQ = r.collect().groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to sorted.length.toLong))
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("correlated subquery decorrelates: one aggregate, no per-row rescan") {
     val df = graft.queries.Relational.corrSubquery(spark, Sf)
     val row = df.collect()

@@ -34,6 +34,12 @@ object SparkEntry {
       graft.streaming.NatsLikeStream.windowedCounts(
           RefParity.envelopes(s, dir), exactDistinct = true)
         .orderBy("hour_start", "stream")),
+    // batch flavor of the streaming session windows — gates the
+    // session_window merge semantics against a gaps-and-islands oracle
+    "r8_session_counts" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.NatsLikeStream.sessionCounts(
+          RefParity.envelopes(s, dir))
+        .orderBy("session_start", "subject")),
     // — relational battery (SURVEY §2.6 / §7.2 step 4) —
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q2_filter_agg" -> (Relational.filterAgg _),
@@ -337,6 +343,32 @@ object SparkEntry {
         |  COUNT(*) AS n_msgs,
         |  COUNT(DISTINCT seq) AS n_seqs
         |FROM env GROUP BY 1, 2 ORDER BY hour_start, stream""".stripMargin),
+
+    // Mirrors NatsLikeStream.sessionCounts as gaps-and-islands: a NEW
+    // session starts when the gap from the previous event (same subject)
+    // is STRICTLY MORE than 30 min — Spark's session_window merges an
+    // event whose time is <= the previous window's end (= prev event +
+    // gap), INCLUSIVE at the boundary (pinned by the StreamingSpec
+    // boundary test); session_end = last event + gap.
+    "r8_session_counts" -> (envCte +
+      """, o AS (
+        |  SELECT subject, meta_ts,
+        |    CASE WHEN LAG(meta_ts) OVER w IS NULL
+        |      OR meta_ts - LAG(meta_ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM env
+        |  WINDOW w AS (PARTITION BY subject ORDER BY meta_ts)),
+        |g AS (
+        |  SELECT subject, meta_ts,
+        |    SUM(new_s) OVER (PARTITION BY subject ORDER BY meta_ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT
+        |  MIN(meta_ts) AS session_start,
+        |  MAX(meta_ts) + INTERVAL 30 MINUTE AS session_end,
+        |  subject, COUNT(*) AS n_msgs
+        |FROM g GROUP BY subject, sid
+        |ORDER BY session_start, subject""".stripMargin),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -101,6 +101,41 @@ class StreamingSpec extends SparkSpec {
       Seq("hour_start", "stream", "n_msgs", "approx_seqs"))
   }
 
+  test("sessionCounts: merge INCLUSIVE at the gap boundary, split just past it; streams in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one subject: 10:00, 10:29 (gap < 30: merge), 10:59:00 at EXACTLY
+    // the previous window end (session_window merges ts <= prev end —
+    // the boundary this test pins, and the r8 oracle's `>` mirrors),
+    // then 11:29:00.001 just past the new end: split
+    val batch = Seq(
+      Env("globex.supprt.u1", "{}", ts("2024-01-15 10:00:00"), 1L),
+      Env("globex.supprt.u1", "{}", ts("2024-01-15 10:29:00"), 2L),
+      Env("globex.supprt.u1", "{}", ts("2024-01-15 10:59:00"), 3L),
+      Env("globex.supprt.u1", "{}", ts("2024-01-15 11:29:00.001"), 4L)
+    ).toDF()
+    val r = NatsLikeStream.sessionCounts(batch)
+      .orderBy("session_start").collect()
+    assert(r.length === 2)
+    assert(r(0).getAs[java.sql.Timestamp]("session_start") === ts("2024-01-15 10:00:00"))
+    assert(r(0).getAs[java.sql.Timestamp]("session_end") === ts("2024-01-15 11:29:00"))
+    assert(r(0).getAs[Long]("n_msgs") === 3)
+    assert(r(1).getAs[java.sql.Timestamp]("session_start") === ts("2024-01-15 11:29:00.001"))
+    assert(r(1).getAs[Long]("n_msgs") === 1)
+    // and the stateful session plan runs + commits under streaming
+    val src = MemoryStream[Env]
+    src.addData(envs(0, 10): _*)
+    val q = NatsLikeStream.sessionCounts(src.toDF())
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("sess_counts").columns.toSeq ===
+      Seq("session_start", "session_end", "subject", "n_msgs"))
+  }
+
   test("sequenceGaps: custom keyed state persists across micro-batches and counts holes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -97,7 +97,10 @@ object SparkEntry {
     "x31_lang_rebalance" -> (Curation.langRebalance _),
     "x32_pii_scrub" -> (TextAnalysis.piiScrub _),
     "x33_kmeans_train" -> (Similarity.kmeansTrain _),
-    "x34_ann_trained" -> (Similarity.ivfTopKTrained _)
+    "x34_ann_trained" -> (Similarity.ivfTopKTrained _),
+    "x35_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
+    "x36_chunk_overlap" -> (Curation.chunkOverlap _),
+    "x37_vocab_build" -> (TextAnalysis.vocabBuild _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1148,7 +1151,85 @@ object SparkEntry {
         |  CAST(SUM(dec_price) OVER w7 AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_price
         |FROM daily
         |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // Mirrors TextAnalysis.tfidfTerms: (doc, term) tf, vocab df, idf
+    // quantized to 1e-6 (the ln's last ulps are engine-specific; the
+    // floor(x*1e6 + 0.5) quantization is the same move both engines make
+    // in x27/x33), ranking on the SCALED-INTEGER score with term tiebreak.
+    "x35_tfidf_terms" -> {
+      val k = graft.operators.TextAnalysis.TfidfTopK
+      val sc = graft.operators.TextAnalysis.IdfScale
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM ex GROUP BY 1, 2),
+         |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+         |      FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         |    tf.tf * CAST(floor(ln(CAST(n_docs AS DOUBLE)
+         |      / CAST(df AS DOUBLE)) * $sc + 0.5) AS BIGINT) AS tfidf_scaled
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf_scaled DESC, term) AS rnk FROM s)
+         |SELECT doc_id, term, tf, df,
+         |  CAST(tfidf_scaled AS DOUBLE) / $sc AS tfidf, CAST(rnk AS INTEGER) AS rnk
+         |FROM r WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
+    },
+
+    // Mirrors Curation.chunkOverlap: generate_series is end-inclusive like
+    // Spark's sequence(); list_slice clamps at the list end like slice().
+    "x36_chunk_overlap" -> {
+      val cs = graft.operators.Curation.ChunkSize
+      val st = graft.operators.Curation.ChunkStride
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    unnest(generate_series(1, len(t), $st)) AS start
+         |  FROM d),
+         |c AS (
+         |  SELECT doc_id, CAST((start - 1) // $st AS BIGINT) AS chunk_id,
+         |    CAST(start AS BIGINT) AS start, n_tokens,
+         |    list_slice(t, start, start + ${cs - 1}) AS chunk
+         |  FROM s)
+         |SELECT doc_id, chunk_id, start, n_tokens,
+         |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.vocabBuild: term stats, min-count cut, dense
+    // frequency-ranked ids, integer running coverage sums (the exposed
+    // coverage double is one correctly-rounded division of exact longs).
+    "x37_vocab_build" -> {
+      val mc = graft.operators.TextAnalysis.VocabMinCount
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |stats AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS total_count,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |  FROM ex GROUP BY 1),
+         |grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS grand_total FROM ex),
+         |v AS (
+         |  SELECT *,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS vocab_id,
+         |    SUM(total_count) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cum_count
+         |  FROM stats CROSS JOIN grand
+         |  WHERE total_count >= $mc
+         |  WINDOW w AS (ORDER BY total_count DESC, term))
+         |SELECT term, total_count, doc_freq, vocab_id, cum_count,
+         |  CAST(cum_count AS DOUBLE) / CAST(grand_total AS DOUBLE) AS coverage
+         |FROM v ORDER BY vocab_id""".stripMargin
+    }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   )

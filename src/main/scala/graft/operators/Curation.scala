@@ -172,6 +172,41 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Tokens per chunk for [[chunkOverlap]]. */
+  val ChunkSize = 32
+  /** Stride between chunk starts ([[ChunkSize]] − stride = 8 tokens of
+    * overlap between consecutive chunks). */
+  val ChunkStride = 24
+
+  /** x36: sliding-window CHUNKING with overlap — the step that turns
+    * variable-length documents into bounded training/embedding inputs
+    * (context windows for an embedder, passages for retrieval):
+    * [[ChunkSize]]-token chunks every [[ChunkStride]] tokens, tail chunks
+    * truncated, 8-token overlap so no token span falls on a hard cut.
+    * Each chunk carries its provenance (doc, ordinal, start offset) and a
+    * content hash for downstream chunk-level dedup.
+    *
+    * A narrow projection + explode — per-row fan-out is ⌈len/stride⌉,
+    * bounded by document length, with NO shuffle (the output sort is the
+    * gate's determinism requirement, not part of the operator): at 100 TB
+    * this runs at scan speed like x32. */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    chunkOverlapFrom(docs(spark, sfDir))
+
+  /** [[chunkOverlap]] over an arbitrary (doc_id, text) relation. */
+  private[graft] def chunkOverlapFrom(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("start",
+        explode(sequence(lit(1L), col("n_tokens"), lit(ChunkStride.toLong))))
+      .withColumn("chunk_id", expr(s"(start - 1) div $ChunkStride"))
+      .withColumn("chunk", slice(col("toks"), col("start"), lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id"), col("start"), col("n_tokens"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
   /** x23: the end-to-end curated corpus — the composition a real pipeline
     * ships: exact-dedup winners ([[Dedup.exact]] group representatives)
     * ∩ length-filter survivors ([[lengthFilter]]), each carrying its fold

@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.queries.Tables
+import graft.util.OperatorCaches
 
 /** Text-analysis operators over `documents`: quality stats, heuristic
   * language ID, regex tokenization, and content fingerprinting — all
@@ -161,6 +163,107 @@ object TextAnalysis {
       .join(mh, Seq("doc_id"), "left")
       .select("doc_id", "fp", "fp_norm", "fp_minhash")
       .orderBy("doc_id")
+  }
+
+  /** Terms kept per document by [[tfidfTerms]]. */
+  val TfidfTopK = 5
+
+  /** Fixed-point scale for [[tfidfTerms]]' idf: the only transcendental
+    * in the battery is `ln(N/df)`, whose last 1-2 ulps are engine-specific
+    * (Java's `Math.log` intrinsic vs the oracle's libm); quantizing to
+    * 1e-6 with the engine-portable `floor(x*1e6 + 0.5)` (the same move as
+    * x27/x33) makes every downstream value integer-exact. */
+  val IdfScale = 1000000L
+
+  /** x35: TF-IDF top-term extraction — the standard relevance/keyword
+    * signal a data pipeline derives per document (domain tagging, topic
+    * bucketing, relevance-weighted sampling all start here): for each
+    * doc, the [[TfidfTopK]] terms ranked by tf·idf with idf = ln(N/df).
+    *
+    * Scale shape, in order:
+    *  - (doc, term) term frequencies: ONE corpus-sized partial-aggregated
+    *    groupBy whose shuffle key is (doc_id, term) — a hot term spreads
+    *    over all docs that contain it, so there is no skewed reduce key;
+    *  - document frequencies derive from the tf relation (vocab-sized
+    *    output) and join back ON THE TERM unhinted — vocabulary size is
+    *    corpus-dependent, so only AQE may choose broadcast;
+    *  - N is a 1-row aggregate broadcast back (the legitimate hint);
+    *  - the top-k rank window partitions BY DOC — its group is bounded by
+    *    per-document vocabulary (≤ doc length), never corpus-sized.
+    *
+    * Ranking compares the scaled-INTEGER score (tf · idf_scaled) with the
+    * term as tiebreak, so result order is deterministic and the oracle
+    * compare is exact; the exposed `tfidf` double is derived from the
+    * same integers by one correctly-rounded division. The tf relation is
+    * persisted: both the df aggregation and the final join read it, and
+    * without the barrier the explode+groupBy would run once per consumer
+    * (same judgment as Dedup's signature tables). */
+  def tfidfTerms(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTermsFrom(docs(spark, sfDir))
+
+  /** [[tfidfTerms]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures with planted rare terms check the ranking). */
+  private[graft] def tfidfTermsFrom(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.filter(col("text").isNotNull)
+    val tf = OperatorCaches.persist(
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, "term")
+      .join(broadcast(nDocs))
+      .withColumn("idf_scaled",
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * IdfScale + lit(0.5)))
+      .withColumn("tfidf_scaled", col("tf") * col("idf_scaled"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_scaled").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tfidf_scaled").cast("double") / IdfScale).as("tfidf"),
+        col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Minimum corpus frequency for a term to enter [[vocabBuild]]'s
+    * vocabulary (absolute here; production sets it per-corpus). */
+  val VocabMinCount = 30L
+
+  /** x37: frequency-ranked VOCABULARY build — the id-assignment pass at
+    * the front of every tokenizer/embedding pipeline: corpus term counts,
+    * document frequencies, a min-count cut, dense ids by descending
+    * frequency, and the running coverage fraction (what share of all
+    * token occurrences the vocabulary up to this id explains — the
+    * number that picks the vocab size).
+    *
+    * Scale shape: term stats are one partial-aggregated groupBy on the
+    * term (the distinct doc count is Spark's standard two-phase distinct
+    * aggregate — partials dedupe map-side). The id/coverage windows are
+    * GLOBAL but run over the post-aggregation VOCABULARY relation —
+    * bounded by distinct-term count (~10^6-10^7 real-world), not corpus
+    * size: the same bounded-small-side judgment as broadcasting a
+    * dimension table, and the reason this is fine while a corpus-keyed
+    * global window never is. Coverage divides exact integer running sums,
+    * so the doubles are bit-identical across engines. */
+  def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = docs(spark, sfDir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val stats = ex.groupBy("term").agg(
+      count(lit(1)).as("total_count"),
+      count_distinct(col("doc_id")).as("doc_freq"))
+    val grand = ex.agg(count(lit(1)).as("grand_total"))
+    val idW = Window.orderBy(col("total_count").desc, col("term").asc)
+    val covW = idW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stats.filter(col("total_count") >= VocabMinCount)
+      .join(broadcast(grand))
+      .withColumn("vocab_id", row_number().over(idW).cast("long"))
+      .withColumn("cum_count", sum(col("total_count")).over(covW))
+      .withColumn("coverage",
+        col("cum_count").cast("double") / col("grand_total").cast("double"))
+      .select("term", "total_count", "doc_freq", "vocab_id", "cum_count",
+        "coverage")
+      .orderBy("vocab_id")
   }
 
   /** PII patterns for [[piiScrub]]. Deliberately conservative and

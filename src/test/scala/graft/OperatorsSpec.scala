@@ -399,4 +399,71 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("ScalarSubquery"),
       "correlated scalar subquery was not decorrelated")
   }
+
+  test("tfidf: planted rare term outranks common ones; zero idf for universal terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zebra common common common"),
+      (2L, "common common common common"),
+      (3L, "common filler filler common")).toDF("doc_id", "text")
+    val t = TextAnalysis.tfidfTermsFrom(docs).cache()
+    // 'common' is in every doc: idf = ln(1) = 0, so tfidf exactly 0
+    assert(t.filter(col("term") === "common" && col("tfidf") =!= 0.0)
+      .count() === 0)
+    // doc 1's top term must be the planted df=1 'zebra', not 3x 'common'
+    val top1 = t.filter(col("doc_id") === 1 && col("rnk") === 1)
+      .select("term").as[String].collect()
+    assert(top1.toSeq === Seq("zebra"))
+    // per-doc ranks are dense from 1 and scores never increase with rank
+    val byDoc = t.select("doc_id", "rnk", "tfidf").collect()
+      .groupBy(_.getLong(0)).values
+    byDoc.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    }
+    t.unpersist()
+  }
+
+  test("chunk overlap: fixture chunk layout, 8-token overlap, content hashes") {
+    import spark.implicits._
+    import graft.operators.Curation
+    import graft.operators.Curation.{ChunkSize, ChunkStride}
+    val words100 = (0 until 100).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words100.mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val c = Curation.chunkOverlapFrom(docs).collect()
+    val d1 = c.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    // starts stride apart: 1, 25, 49, 73, 97; tails truncate: 32,32,32,28,4
+    assert(d1.map(_.getLong(2)).toSeq === Seq(1L, 25L, 49L, 73L, 97L))
+    assert(d1.map(_.getLong(4)).toSeq === Seq(32L, 32L, 32L, 28L, 4L))
+    // consecutive full chunks overlap by ChunkSize - ChunkStride = 8 tokens
+    assert(ChunkSize - ChunkStride === 8)
+    // chunk hash is the md5 of the exact token span
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d1.head.getString(5) ===
+      hex(words100.slice(0, ChunkSize).mkString(" ")))
+    assert(d1.last.getString(5) === hex(words100.slice(96, 100).mkString(" ")))
+    // short doc: one truncated chunk covering everything
+    val d2 = c.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getLong(1), r.getLong(4))).toSeq === Seq((0L, 3L)))
+  }
+
+  test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
+    val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
+    assert(v.nonEmpty)
+    assert(v.map(_.getLong(3)).toSeq === (1L to v.length))
+    val counts = v.map(_.getLong(1)).toSeq
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
+    assert(counts.forall(_ >= TextAnalysis.VocabMinCount))
+    val cov = v.map(_.getDouble(5)).toSeq
+    assert(cov.zip(cov.drop(1)).forall { case (a, b) => a <= b })
+    assert(cov.last <= 1.0 && cov.head > 0.0)
+    // doc_freq can never exceed total_count nor the corpus size
+    assert(v.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
 }

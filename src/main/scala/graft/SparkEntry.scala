@@ -40,6 +40,16 @@ object SparkEntry {
       graft.streaming.NatsLikeStream.sessionCounts(
           RefParity.envelopes(s, dir))
         .orderBy("session_start", "subject")),
+    // batch flavor of the stream-stream interval join (watermarks are
+    // no-ops in batch; the join predicate is identical either way)
+    "r9_interval_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val ev = graft.queries.Tables.events(s, dir)
+      graft.streaming.NatsLikeStream.viewClickAttribution(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"))
+        .orderBy("click_id", "view_id")
+    }),
     // — relational battery (SURVEY §2.6 / §7.2 step 4) —
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q2_filter_agg" -> (Relational.filterAgg _),
@@ -100,7 +110,8 @@ object SparkEntry {
     "x34_ann_trained" -> (Similarity.ivfTopKTrained _),
     "x35_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
     "x36_chunk_overlap" -> (Curation.chunkOverlap _),
-    "x37_vocab_build" -> (TextAnalysis.vocabBuild _)
+    "x37_vocab_build" -> (TextAnalysis.vocabBuild _),
+    "x38_embedding_cov" -> (Quantization.covarianceStats _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -372,6 +383,16 @@ object SparkEntry {
         |  subject, COUNT(*) AS n_msgs
         |FROM g GROUP BY subject, sid
         |ORDER BY session_start, subject""".stripMargin),
+
+    // Mirrors NatsLikeStream.viewClickAttribution in batch: same interval
+    // predicate, watermarks are streaming-only concerns.
+    "r9_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  v.ts AS view_ts, c.ts AS click_ts
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1229,6 +1250,40 @@ object SparkEntry {
          |SELECT term, total_count, doc_freq, vocab_id, cum_count,
          |  CAST(cum_count AS DOUBLE) / CAST(grand_total AS DOUBLE) AS coverage
          |FROM v ORDER BY vocab_id""".stripMargin
+    },
+
+    // Mirrors Quantization.covarianceStats: elements quantized to
+    // floor(v*1e6 + 0.5) longs, exact DECIMAL(25,0) sums, then the SAME
+    // fixed-order correctly-rounded double divisions — bit-identical
+    // means/moments/covariances. The oracle pairs via a vec_id self-join
+    // where the Spark side re-explodes each row's own array (join-free);
+    // both enumerate the identical upper triangle.
+    "x38_embedding_cov" -> {
+      val sc = graft.operators.Quantization.CovScale
+      val d = graft.operators.Quantization.Dim
+      s"""WITH s AS (
+         |  SELECT vec_id, ix.i - 1 AS i,
+         |    CAST(floor(CAST(embedding[ix.i] AS DOUBLE) * $sc + 0.5) AS BIGINT) AS sv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+         |ds AS (SELECT i, SUM(CAST(sv AS DECIMAL(25,0))) AS sum_i
+         |       FROM s GROUP BY 1),
+         |p AS (SELECT a.i AS i, b.i AS j,
+         |        SUM(CAST(a.sv * b.sv AS DECIMAL(25,0))) AS spp
+         |      FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |      GROUP BY 1, 2),
+         |f AS (
+         |  SELECT p.i, p.j, n.n_vecs,
+         |    CAST(di.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i,
+         |    CAST(dj.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_j,
+         |    CAST(p.spp AS DOUBLE) / (CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE))
+         |      / CAST(n.n_vecs AS DOUBLE) AS m2
+         |  FROM p JOIN ds di ON di.i = p.i JOIN ds dj ON dj.i = p.j
+         |  CROSS JOIN n)
+         |SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+         |  n_vecs, mean_i, mean_j, m2, m2 - mean_i * mean_j AS cov
+         |FROM f ORDER BY dim_i, dim_j""".stripMargin
     }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.

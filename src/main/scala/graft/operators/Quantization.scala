@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Tables
+import graft.util.OperatorCaches
 
 /** Embedding quantization over the `embeddings` table — the compression
   * step a 100 TB vector corpus runs before indexing/serving (float32 →
@@ -46,4 +47,67 @@ object Quantization {
           .as("mean_err"),
         expr("size(filter(q, v -> abs(v) > 127))").cast("long").as("n_clipped"))
       .orderBy("vec_id")
+
+  /** Fixed-point scale for [[covarianceStats]]: elements quantize to
+    * `floor(v·1e6 + 0.5)` longs (the x27/x33 engine-portable rounding),
+    * so every sum below is exact integer arithmetic and the exposed
+    * doubles are correctly-rounded divisions of identical integers. */
+  val CovScale = 1000000L
+
+  /** x38: embedding MOMENT/COVARIANCE statistics — the corpus pass at the
+    * front of PCA / whitening / mean-centering (dimension reduction is
+    * how a 100 TB embedding store becomes servable): per-dimension means
+    * and the upper-triangle covariance matrix E[ij] − E[i]E[j].
+    *
+    * Scale shape: the (i, j) element pairs come from re-exploding each
+    * row's OWN scaled array (fan-out Dim²/2 per vector, one pass, ZERO
+    * joins — the corpus-sized self-join on vec_id this replaces would
+    * shuffle the element table twice), then ONE partial-aggregated
+    * groupBy(i, j): map-side combine collapses every partition to ≤
+    * Dim²/2 partial rows, so the only shuffle moves ~2080 rows per
+    * partition regardless of corpus size. Sums accumulate as
+    * DECIMAL(25,0) over the scaled-integer products — exact at 1e9+
+    * vectors where a long would overflow and a double sum would be
+    * partition-order-dependent. The per-dim sums and N are bounded dims
+    * broadcast back (64 rows / 1 row — the legitimate hints).
+    *
+    * The scaled array is persisted before its consumers: the transform
+    * is an interpreted HOF and project-collapse would otherwise inline
+    * it into both posexplode legs (the [[Dedup]] shingle-table judgment). */
+  def covarianceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val scaled = OperatorCaches.persist(
+      Tables.embeddings(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), expr(
+          s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $CovScale + 0.5d) AS BIGINT))")
+          .as("sarr")))
+    val once = scaled.select(col("vec_id"), col("sarr"),
+      posexplode(col("sarr")).as(Seq("i", "svi")))
+    val pairs = once
+      .select(col("i"), col("svi"), posexplode(col("sarr")).as(Seq("j", "svj")))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum((col("svi") * col("svj")).cast("decimal(25,0)")).as("spp"))
+    val dimSums = once.groupBy("i")
+      .agg(sum(col("svi").cast("decimal(25,0)")).as("sum_i"))
+    val n = scaled.agg(count(lit(1)).as("n_vecs"))
+    // mean/moment/cov derive from the exact integers by fixed-order
+    // correctly-rounded double ops — bit-identical to the oracle
+    def meanOf(s: Column) =
+      s.cast("double") / lit(CovScale.toDouble) / col("n_vecs").cast("double")
+    pairs
+      .join(broadcast(dimSums), "i")
+      .join(broadcast(dimSums.select(col("i").as("j"), col("sum_i").as("sum_j"))), "j")
+      .join(broadcast(n))
+      .withColumn("mean_i", meanOf(col("sum_i")))
+      .withColumn("mean_j", meanOf(col("sum_j")))
+      .withColumn("m2",
+        col("spp").cast("double") / lit(CovScale.toDouble * CovScale.toDouble)
+          / col("n_vecs").cast("double"))
+      .withColumn("cov", col("m2") - col("mean_i") * col("mean_j"))
+      .select(col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"),
+        col("n_vecs"), col("mean_i"), col("mean_j"), col("m2"), col("cov"))
+      .orderBy("dim_i", "dim_j")
+  }
 }

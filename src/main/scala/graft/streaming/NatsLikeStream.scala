@@ -165,6 +165,34 @@ object NatsLikeStream {
       }
   }
 
+  /** Stream-stream INTERVAL join — the continuous two-stream correlation
+    * the reference (one stream → one table) cannot express: view→click
+    * attribution, where every click pairs with the same user's views from
+    * the preceding hour.
+    *
+    * Both inputs carry event-time watermarks and the join predicate
+    * bounds `click_ts` to [view_ts, view_ts + 1 h], which is exactly what
+    * lets Spark expire buffered join state on BOTH sides instead of
+    * holding each stream forever — the canonical bounded-state
+    * stream-stream join. The same code runs in batch (the
+    * `r9_interval_join` oracle gate: watermarks are no-ops there) and in
+    * streaming mode (`StreamingSpec` drives it from memory streams). */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    v.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "view_id", "user_id", "view_ts", "click_ts")
+  }
+
   /** Streaming session windows (30-min gap) over the envelope stream —
     * `session_window` keeps per-key state bounded by the watermark; the
     * batch flavor matches the sessionize oracle semantics. */

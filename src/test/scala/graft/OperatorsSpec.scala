@@ -453,6 +453,43 @@ class OperatorsSpec extends SparkSpec {
     assert(d2.map(r => (r.getLong(1), r.getLong(4))).toSeq === Seq((0L, 3L)))
   }
 
+  test("embedding covariance: upper triangle, nonneg variances, matches a driver recompute") {
+    import graft.operators.Quantization
+    val c = Quantization.covarianceStats(spark, Sf).cache()
+    val dim = Quantization.Dim
+    assert(c.count() === dim.toLong * (dim + 1) / 2)
+    assert(c.filter(col("dim_i") > col("dim_j")).count() === 0)
+    // diagonal entries are variances: never negative
+    assert(c.filter(col("dim_i") === col("dim_j") && col("cov") < 0.0)
+      .count() === 0)
+    // independent recompute of two entries from the raw vectors with the
+    // same quantization and division order — must match BIT-exactly
+    val vecs = graft.queries.Tables.embeddings(spark, Sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v =>
+        math.floor(v.toDouble * Quantization.CovScale + 0.5).toLong).toArray)
+    val n = vecs.length.toDouble
+    def entry(i: Int, j: Int): Double = {
+      val spp = vecs.map(v => BigDecimal(v(i)) * BigDecimal(v(j))).sum
+      val si = vecs.map(v => BigDecimal(v(i))).sum
+      val sj = vecs.map(v => BigDecimal(v(j))).sum
+      val sc = Quantization.CovScale.toDouble
+      val m2 = spp.toDouble / (sc * sc) / n
+      val mi = si.toDouble / sc / n
+      val mj = sj.toDouble / sc / n
+      m2 - mi * mj
+    }
+    val got = c.filter(col("dim_i") === 0 && (col("dim_j") === 0 || col("dim_j") === 1))
+      .orderBy("dim_j").collect().map(_.getAs[Double]("cov"))
+    assert(got(0) === entry(0, 0))
+    assert(got(1) === entry(0, 1))
+    // the pair stage re-explodes per row — no corpus-sized shuffled join
+    val plan = c.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus join crept into covariance plan:\n$plan")
+    c.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

@@ -10,6 +10,10 @@ import graft.streaming.NatsLikeStream
 case class Env(subject: String, data: String,
   metaTimestamp: Timestamp, streamSeq: Long)
 
+/** Event row for the stream-stream join test. */
+case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String)
+
 /** Streaming parity (SURVEY §2.2, §2.4, §5.5): micro-batch pipeline over a
   * MemoryStream source, at-least-once replay from checkpoint, stateful
   * dedup, windowed aggregation with watermark. */
@@ -134,6 +138,29 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("sess_counts").columns.toSeq ===
       Seq("session_start", "session_end", "subject", "n_msgs"))
+  }
+
+  test("stream-stream interval join: clicks attribute to same-user views within 1h") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Evt]
+    val clicks = MemoryStream[Evt]
+    views.addData(
+      Evt(100L, ts("2024-01-15 10:00:00"), 1L, "view"),
+      Evt(101L, ts("2024-01-15 10:20:00"), 1L, "view"))
+    clicks.addData(
+      Evt(200L, ts("2024-01-15 10:30:00"), 1L, "click"), // in window of both views
+      Evt(201L, ts("2024-01-15 11:10:00"), 1L, "click"), // >1h after view 100, <=1h after 101
+      Evt(202L, ts("2024-01-15 10:10:00"), 2L, "click"), // user without views
+      Evt(203L, ts("2024-01-15 09:50:00"), 1L, "click")) // click BEFORE any view
+    val q = NatsLikeStream.viewClickAttribution(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("vc_join")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val pairs = spark.table("vc_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((200L, 100L), (200L, 101L), (201L, 101L)))
   }
 
   test("sequenceGaps: custom keyed state persists across micro-batches and counts holes") {

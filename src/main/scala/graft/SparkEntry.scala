@@ -111,7 +111,16 @@ object SparkEntry {
     "x35_tfidf_terms" -> (TextAnalysis.tfidfTerms _),
     "x36_chunk_overlap" -> (Curation.chunkOverlap _),
     "x37_vocab_build" -> (TextAnalysis.vocabBuild _),
-    "x38_embedding_cov" -> (Quantization.covarianceStats _)
+    "x38_embedding_cov" -> (Quantization.covarianceStats _),
+    // the id ARRAY is projected to CSV for the gate: the compare hashes
+    // scalar cells; consumers use encodeDocs' real array column
+    "x39_encode_docs" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, concat_ws}
+      TextAnalysis.encodeDocs(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_rate"), concat_ws(",", col("ids")).as("ids_csv"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1284,6 +1293,39 @@ object SparkEntry {
          |SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
          |  n_vecs, mean_i, mean_j, m2, m2 - mean_i * mean_j AS cov
          |FROM f ORDER BY dim_i, dim_j""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.encodeDocs ∘ vocabBuild: same vocab (min-count
+    // cut + frequency-ranked ids), per-token LEFT join (OOV → 0), ids
+    // reassembled in token order and joined to CSV for the compare.
+    "x39_encode_docs" -> {
+      val mc = graft.operators.TextAnalysis.VocabMinCount
+      val oov = graft.operators.TextAnalysis.OovId
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |ex0 AS (SELECT doc_id, t,
+         |          unnest(range(1, len(t) + 1)) AS pos FROM d),
+         |ex AS (SELECT doc_id, pos, t[pos] AS term FROM ex0),
+         |stats AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS total_count
+         |  FROM ex GROUP BY 1),
+         |v AS (
+         |  SELECT term, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY total_count DESC, term) AS BIGINT) AS vocab_id
+         |  FROM stats WHERE total_count >= $mc),
+         |enc AS (
+         |  SELECT e.doc_id, e.pos, v.vocab_id,
+         |    COALESCE(v.vocab_id, $oov) AS id
+         |  FROM ex e LEFT JOIN v USING (term))
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
+         |  array_to_string(list(id ORDER BY pos), ',') AS ids_csv
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.

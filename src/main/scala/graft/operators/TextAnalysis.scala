@@ -266,6 +266,42 @@ object TextAnalysis {
       .orderBy("vocab_id")
   }
 
+  /** OOV id for [[encodeDocs]] — tokens cut from the vocabulary by
+    * [[VocabMinCount]] encode as this (the `<unk>` convention). */
+  val OovId = 0L
+
+  /** x39: tokenizer APPLICATION — encode every document as its sequence
+    * of [[vocabBuild]] ids (OOV → [[OovId]]), the pass that turns a
+    * curated text corpus into the integer rows a trainer consumes, plus
+    * the per-doc OOV rate the vocab-size decision reads.
+    *
+    * Scale shape: tokens explode to (doc, pos, term) — corpus-sized but
+    * map-only — and join the VOCABULARY on the term: the vocab relation
+    * is bounded ([[vocabBuild]]'s post-agg output), so this is the
+    * classic fact×dim broadcast join, hinted explicitly. Reassembly is
+    * one groupBy(doc) whose `array_agg` collects (pos, id) structs and
+    * sorts WITHIN the row (`array_sort` of a doc-length array) — order
+    * is deterministic regardless of partitioning, and the per-group
+    * state is bounded by document length. One shuffle total (the
+    * doc-keyed reassembly). */
+  def encodeDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = vocabBuild(spark, sfDir).select("term", "vocab_id")
+    val ex = docs(spark, sfDir).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    ex.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("id", coalesce(col("vocab_id"), lit(OovId)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vocab_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_sort(collect_list(struct(col("pos"), col("id")))).as("pi"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"),
+        expr("transform(pi, x -> x.id)").as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns for [[piiScrub]]. Deliberately conservative and
     * engine-portable: character classes, bounded repetition, and groups
     * only — the subset RE2 (DuckDB) and java.util.regex (Spark codegen)

@@ -490,6 +490,30 @@ class OperatorsSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("encode docs: id sequence preserves token order; OOV maps to OovId") {
+    val vocab = TextAnalysis.vocabBuild(spark, Sf)
+      .select("term", "vocab_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enc = TextAnalysis.encodeDocs(spark, Sf).cache()
+    assert(enc.filter(size(col("ids")) =!= col("n_tokens")).count() === 0)
+    assert(enc.filter(col("n_oov") > col("n_tokens")).count() === 0)
+    // driver recompute of the first five docs' full id sequences
+    val texts = graft.queries.Tables.documents(spark, Sf)
+      .filter(col("doc_id") < 5 && col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = enc.filter(col("doc_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("ids"))).toMap
+    assert(got.keySet === texts.keySet)
+    texts.foreach { case (id, text) =>
+      // split(-1) keeps trailing empty tokens, like Spark's split()
+      val want = text.split(" ", -1).toSeq
+        .map(w => vocab.getOrElse(w, TextAnalysis.OovId))
+      assert(got(id) === want, s"doc $id")
+    }
+    enc.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

@@ -120,7 +120,8 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           col("oov_rate"), concat_ws(",", col("ids")).as("ids_csv"))
         .orderBy("doc_id")
-    })
+    }),
+    "x40_fim_split" -> (Curation.fimSplit _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1326,6 +1327,38 @@ object SparkEntry {
          |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
          |  array_to_string(list(id ORDER BY pos), ',') AS ids_csv
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors Curation.fimSplit: content-hash selection + cut points,
+    // all integer arithmetic; span hashes over the identical slices.
+    "x40_fim_split" -> {
+      val pct = graft.operators.Curation.FimRatePct
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    ${polyhashSql("text")} AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    h % 100 < $pct AS fim,
+         |    h % (len(t) + 1) AS c1,
+         |    (h // 7) % (len(t) + 1) AS c2
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id, t, n_tokens, fim,
+         |    LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi
+         |  FROM s)
+         |SELECT doc_id, n_tokens, fim,
+         |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+         |  CAST(lo AS BIGINT) AS n_prefix,
+         |  CAST(hi - lo AS BIGINT) AS n_middle,
+         |  CAST(n_tokens - hi AS BIGINT) AS n_suffix,
+         |  md5(COALESCE(array_to_string(list_slice(t, 1, lo), ' '), ''))
+         |    AS prefix_hash,
+         |  md5(COALESCE(array_to_string(list_slice(t, lo + 1, hi), ' '), ''))
+         |    AS middle_hash,
+         |  md5(COALESCE(array_to_string(list_slice(t, hi + 1, n_tokens), ' '), ''))
+         |    AS suffix_hash
+         |FROM f ORDER BY doc_id""".stripMargin
     }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.

@@ -207,6 +207,51 @@ object Curation {
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Percentage of documents FIM-transformed by [[fimSplit]] (the
+    * standard ~50% FIM rate). */
+  val FimRatePct = 50L
+
+  /** x40: fill-in-the-middle SPLIT — the restructuring pass that teaches
+    * infilling: each selected document's token sequence partitions into
+    * (prefix, middle, suffix) for PSM-style reordering. Selection AND
+    * split points derive from the CONTENT hash, so the transformation is
+    * a pure function of the text — reproducible across runs, partition
+    * layouts, and re-ingestions, with exact duplicates transformed
+    * identically (the same property as [[trainSplit]]).
+    *
+    * Cut points: c1 = h mod (n+1), c2 = (h div 7) mod (n+1), spans
+    * [0, lo) / [lo, hi) / [hi, n). All integer arithmetic — the oracle
+    * compare is drift-free. A narrow per-row projection: no shuffle, no
+    * UDF — scan speed at 100 TB like x32/x36. Spans are emitted as
+    * md5 content hashes (span TEXT would just duplicate the corpus
+    * through the gate; consumers slice the token array themselves). */
+  def fimSplit(spark: SparkSession, sfDir: String): DataFrame =
+    fimSplitFrom(docs(spark, sfDir))
+
+  /** [[fimSplit]] over an arbitrary (doc_id, text) relation. */
+  private[graft] def fimSplitFrom(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        polyHash(col("text")).as("h"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("fim", pmod(col("h"), lit(100L)) < FimRatePct)
+      .withColumn("c1", pmod(col("h"), col("n_tokens") + 1))
+      .withColumn("c2", pmod(expr("h div 7"), col("n_tokens") + 1))
+      .withColumn("lo", least(col("c1"), col("c2")))
+      .withColumn("hi", greatest(col("c1"), col("c2")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("fim"), col("lo"), col("hi"),
+        col("lo").as("n_prefix"),
+        (col("hi") - col("lo")).as("n_middle"),
+        (col("n_tokens") - col("hi")).as("n_suffix"),
+        md5(concat_ws(" ", slice(col("toks"), lit(1), col("lo"))))
+          .as("prefix_hash"),
+        md5(concat_ws(" ", expr("slice(toks, lo + 1, hi - lo)")))
+          .as("middle_hash"),
+        md5(concat_ws(" ", expr("slice(toks, hi + 1, n_tokens - hi)")))
+          .as("suffix_hash"))
+      .orderBy("doc_id")
+
   /** x23: the end-to-end curated corpus — the composition a real pipeline
     * ships: exact-dedup winners ([[Dedup.exact]] group representatives)
     * ∩ length-filter survivors ([[lengthFilter]]), each carrying its fold

@@ -514,6 +514,33 @@ class OperatorsSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("fim split: spans partition the doc, cuts in range, hashes match driver slices") {
+    import graft.operators.Curation
+    val f = Curation.fimSplit(spark, Sf).cache()
+    assert(f.filter(col("n_prefix") + col("n_middle") + col("n_suffix")
+      =!= col("n_tokens")).count() === 0)
+    assert(f.filter(col("lo") < 0 || col("lo") > col("hi") ||
+      col("hi") > col("n_tokens")).count() === 0)
+    // content-hash selection: both cohorts populated at the 50% rate
+    val nFim = f.filter(col("fim")).count()
+    assert(nFim > 100 && nFim < 400)
+    // span hashes reconstruct from the raw text on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val texts = graft.queries.Tables.documents(spark, Sf)
+      .filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    f.filter(col("doc_id") < 5).collect().foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val (lo, hi) = (r.getLong(3).toInt, r.getLong(4).toInt)
+      assert(r.getString(8) === hex(toks.slice(0, lo).mkString(" ")))
+      assert(r.getString(9) === hex(toks.slice(lo, hi).mkString(" ")))
+      assert(r.getString(10) === hex(toks.slice(hi, toks.length).mkString(" ")))
+    }
+    f.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

@@ -1248,12 +1248,13 @@ object SparkEntry {
          |  SELECT term, CAST(COUNT(*) AS BIGINT) AS total_count,
          |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
          |  FROM ex GROUP BY 1),
-         |grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS grand_total FROM ex),
+         |grand AS (SELECT CAST(SUM(total_count) AS BIGINT) AS grand_total
+         |          FROM stats),
          |v AS (
          |  SELECT *,
          |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS vocab_id,
-         |    SUM(total_count) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-         |      AND CURRENT ROW) AS cum_count
+         |    CAST(SUM(total_count) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS cum_count
          |  FROM stats CROSS JOIN grand
          |  WHERE total_count >= $mc
          |  WINDOW w AS (ORDER BY total_count DESC, term))

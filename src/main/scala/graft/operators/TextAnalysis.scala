@@ -245,14 +245,21 @@ object TextAnalysis {
     * size: the same bounded-small-side judgment as broadcasting a
     * dimension table, and the reason this is fine while a corpus-keyed
     * global window never is. Coverage divides exact integer running sums,
-    * so the doubles are bit-identical across engines. */
+    * so the doubles are bit-identical across engines.
+    *
+    * The grand total (coverage's denominator, over ALL terms including
+    * the min-count casualties) derives from the vocab-sized `stats`
+    * relation, NOT a second corpus pass — Σ total_count is the token
+    * count. `stats` is persisted: it feeds both that 1-row aggregate and
+    * the windowed output, and the corpus explode+groupBy would otherwise
+    * run once per consumer. */
   def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = docs(spark, sfDir).filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val stats = ex.groupBy("term").agg(
+    val stats = OperatorCaches.persist(ex.groupBy("term").agg(
       count(lit(1)).as("total_count"),
-      count_distinct(col("doc_id")).as("doc_freq"))
-    val grand = ex.agg(count(lit(1)).as("grand_total"))
+      count_distinct(col("doc_id")).as("doc_freq")))
+    val grand = stats.agg(sum(col("total_count")).as("grand_total"))
     val idW = Window.orderBy(col("total_count").desc, col("term").asc)
     val covW = idW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     stats.filter(col("total_count") >= VocabMinCount)

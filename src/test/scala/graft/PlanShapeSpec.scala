@@ -92,6 +92,50 @@ class PlanShapeSpec extends SparkSpec {
       s"aggregation crept into the map stage:\n$quantPlan")
   }
 
+  test("round-5 batch ops: tfidf rank-limits before the shuffle, chunk/fim are map-only, " +
+      "encode joins the vocab broadcast") {
+    import graft.operators.{Curation, TextAnalysis}
+    // x35: Spark's WindowGroupLimit must prune to top-k per partition
+    // BEFORE the window exchange (the partial-top-k analogue of a partial
+    // agg), and the rank window must partition by doc — never global
+    val tfidf = withoutAqe {
+      TextAnalysis.tfidfTerms(spark, Sf).queryExecution.executedPlan
+    }
+    assert(tfidf.toString.contains("WindowGroupLimit"),
+      s"no pre-shuffle rank limit in tfidf plan:\n$tfidf")
+    tfidf.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("doc_id")),
+        s"tfidf window not doc-partitioned: ${w.partitionSpec}")
+    }
+    // x36/x40: pure map stages — no join, no aggregation; only the
+    // repartition fan-out and the output sort may exchange
+    Seq(Curation.chunkOverlap(spark, Sf), Curation.fimSplit(spark, Sf))
+      .foreach { df =>
+        val p = withoutAqe { df.queryExecution.executedPlan }
+        assert(p.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty, s"join crept into map-only plan:\n$p")
+        assert(!p.toString.contains("HashAggregate"),
+          s"aggregation crept into map-only plan:\n$p")
+      }
+    // x39: the vocab side is bounded post-agg output — the per-token join
+    // must resolve broadcast, never a corpus-sized shuffled join
+    val enc = withoutAqe {
+      TextAnalysis.encodeDocs(spark, Sf).queryExecution.executedPlan
+    }
+    val joins = enc.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]
+        || j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec],
+        s"non-broadcast join in encode plan: ${j.getClass.getSimpleName}")
+    }
+  }
+
   test("embedding near-dup is candidate-join shaped: pairs join on cell, " +
       "nested loops only against the bounded centroid table") {
     val df = Similarity.embeddingDups(spark, Sf)

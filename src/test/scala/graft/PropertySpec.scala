@@ -66,4 +66,27 @@ class PropertySpec extends SparkSpec {
       assert(row.getSeq[String](1) === model(row.getString(0)), s"s=${row.getString(0)}")
     }
   }
+
+  test("chunkOverlap ≡ stride model: full coverage, exact overlap, no phantom chunks") {
+    import spark.implicits._
+    import graft.operators.Curation.{ChunkSize, ChunkStride, chunkOverlapFrom}
+    val docs = corpus.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val got = chunkOverlapFrom(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(r =>
+        (r.getLong(2), r.getLong(4))).toSeq) // (start, chunk_tokens)
+      .toMap
+    corpus.zipWithIndex.foreach { case (s, i) =>
+      val n = s.split(" ", -1).length
+      // model: starts at 1, 1+stride, ... while start <= n; each chunk
+      // takes min(ChunkSize, n - start + 1) tokens
+      val want = (1 to n by ChunkStride)
+        .map(st => (st.toLong, math.min(ChunkSize, n - st + 1).toLong))
+      assert(got(i.toLong) === want, s"doc=$i text='$s'")
+      // coverage: every token position 1..n falls inside some chunk
+      val covered = want.flatMap { case (st, len) => st until (st + len) }.toSet
+      assert((1L to n.toLong).forall(covered.contains), s"gap in doc $i")
+    }
+  }
 }

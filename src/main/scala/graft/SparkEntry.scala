@@ -72,6 +72,9 @@ object SparkEntry {
     "q19_salted_agg" -> (Relational.saltedAgg _),
     "q20_corr_subquery" -> (Relational.corrSubquery _),
     "q21_grouping_sets" -> (Relational.groupingSets _),
+    // q22: quantile sketch — engine-specific internals, rows-only gate
+    // (accuracy spec vs exact percentiles in OperatorsSpec, like q16)
+    "q22_approx_percentiles" -> (Relational.approxPercentiles _),
     // — LLM-pipeline extensions (SURVEY §7.2 step 5 / north star) —
     "x1_dedup_exact" -> (Dedup.exact _),
     "x2_minhash_lsh" -> (Dedup.minhashLsh _),

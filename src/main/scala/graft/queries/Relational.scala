@@ -411,4 +411,30 @@ object Relational {
         approx_count_distinct(col("l_partkey"), ApproxRsd).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Accuracy knob for [[approxPercentiles]] (1/accuracy relative rank
+    * error — 1000 bounds rank error to 0.1%). */
+  val PercentileAccuracy = 1000
+
+  /** q22: approximate PERCENTILE sketch — the mergeable quantile summary
+    * (Greenwald-Khanna in Spark) that replaces q18's exact `percentile`
+    * when the per-group value buffer would not fit one task: exact
+    * percentile must COLLECT each group's full value list (corpus-sized
+    * state on a 100 TB group — the same reason q16 exists next to exact
+    * COUNT(DISTINCT)), while the sketch is fixed-size and merges
+    * associatively map-side. Sketch internals are engine-specific →
+    * rows-only gate + an accuracy spec against [[percentiles]]' exact
+    * values (mirroring q16's HLL treatment). */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $PercentileAccuracy)")
+          .as("ap50_qty"),
+        expr(s"approx_percentile(l_extendedprice, 0.9, $PercentileAccuracy)")
+          .as("ap90_price"),
+        expr(s"approx_percentile(l_discount, 0.25, $PercentileAccuracy)")
+          .as("ap25_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
 }

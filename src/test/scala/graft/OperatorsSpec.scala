@@ -167,6 +167,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q22 quantile sketch within rank tolerance of exact percentiles (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = graft.queries.Relational.approxPercentiles(spark, sf01)
+    val exact = graft.queries.Relational.percentiles(spark, sf01)
+    val j = approx.join(exact, "l_returnflag").collect()
+    assert(j.nonEmpty)
+    // accuracy=1000 bounds RANK error to 0.1% — but the sketch returns an
+    // ACTUAL data point while exact percentile() interpolates, so on the
+    // discrete columns (quantity: integers; discount: 0.01 steps) the
+    // right tolerance is one value step ABSOLUTE, not relative; the
+    // continuous price column gets the relative bound
+    def rel(a: Double, e: Double) = math.abs(a - e) / math.max(math.abs(e), 1e-9)
+    j.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ap50_qty") - r.getAs[Double]("p50_qty"))
+        <= 1.0, "qty")
+      assert(rel(r.getAs[Double]("ap90_price"), r.getAs[Double]("p90_price"))
+        <= 0.02, "price")
+      assert(math.abs(r.getAs[Double]("ap25_disc") - r.getAs[Double]("p25_disc"))
+        <= 0.01, "disc")
+    }
+  }
+
   test("curation: content split is stable and ~80/10/10; filter keeps ~90%; weights sum to 1") {
     import graft.operators.Curation
     val split = Curation.trainSplit(spark, Sf).cache()

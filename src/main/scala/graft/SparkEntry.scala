@@ -124,7 +124,8 @@ object SparkEntry {
           col("oov_rate"), concat_ws(",", col("ids")).as("ids_csv"))
         .orderBy("doc_id")
     }),
-    "x40_fim_split" -> (Curation.fimSplit _)
+    "x40_fim_split" -> (Curation.fimSplit _),
+    "x41_boilerplate" -> (TextAnalysis.boilerplate _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1265,6 +1266,27 @@ object SparkEntry {
          |  CAST(cum_count AS DOUBLE) / CAST(grand_total AS DOUBLE) AS coverage
          |FROM v ORDER BY vocab_id""".stripMargin
     },
+
+    // Mirrors TextAnalysis.boilerplate: shingle document frequencies
+    // (the shingle sets are per-doc DISTINCT, so COUNT(*) per shingle IS
+    // the doc frequency), join back, per-doc boilerplate counts.
+    "x41_boilerplate" -> (shingleCte +
+      s""", ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |dfc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+         |pd AS (
+         |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+         |  FROM ex e JOIN dfc ON dfc.s = e.s
+         |  WHERE dfc.df > ${graft.operators.TextAnalysis.BoilerplateDf}
+         |  GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles
+         |         FROM sh WHERE len(sh) > 0),
+         |f AS (
+         |  SELECT b.doc_id, b.n_shingles,
+         |    COALESCE(pd.n_boiler, 0) AS n_boiler,
+         |    CAST(COALESCE(pd.n_boiler, 0) AS DOUBLE)
+         |      / CAST(b.n_shingles AS DOUBLE) AS boiler_frac
+         |  FROM base b LEFT JOIN pd ON pd.doc_id = b.doc_id)
+         |SELECT *, boiler_frac < 0.5 AS keep FROM f ORDER BY doc_id""".stripMargin),
 
     // Mirrors Quantization.covarianceStats: elements quantized to
     // floor(v*1e6 + 0.5) longs, exact DECIMAL(25,0) sums, then the SAME

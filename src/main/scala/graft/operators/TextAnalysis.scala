@@ -309,6 +309,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Document-frequency threshold for [[boilerplate]]: a shingle in more
+    * than this many documents counts as boilerplate. */
+  val BoilerplateDf = 3L
+
+  /** x41: BOILERPLATE span statistics — the span-level quality signal
+    * (RefinedWeb/CCNet-style): for each document, how many of its word
+    * 3-gram shingles occur in more than [[BoilerplateDf]] documents
+    * corpus-wide, and the resulting boilerplate fraction + keep flag.
+    * Catches template/navigation text that document-level dedup misses
+    * (the doc is unique; its spans are everywhere).
+    *
+    * Scale shape — the same two partial-aggregated passes as the x3
+    * stop-shingle cut: (1) shingle document frequencies via
+    * groupBy(shingle) over the exploded DISTINCT (doc, shingle) stream
+    * (explode of the persisted shingle table — map-side combine shrinks
+    * hot shingles before the shuffle); (2) the per-doc boilerplate count
+    * via groupBy(doc_id) after joining the DF relation back ON THE
+    * SHINGLE (unhinted — vocabulary-sized, AQE decides). No window, no
+    * self-join, no corpus-sized broadcast. */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleTableFrom(
+      Tables.documents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(dfCounts.filter(col("df") > BoilerplateDf), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("keep", col("boiler_frac") < 0.5)
+      .select("doc_id", "n_shingles", "n_boiler", "boiler_frac", "keep")
+      .orderBy("doc_id")
+  }
+
   /** PII patterns for [[piiScrub]]. Deliberately conservative and
     * engine-portable: character classes, bounded repetition, and groups
     * only — the subset RE2 (DuckDB) and java.util.regex (Spark codegen)

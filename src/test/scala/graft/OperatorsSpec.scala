@@ -563,6 +563,18 @@ class OperatorsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("boilerplate: counts bounded by shingles, fraction in [0,1], keep consistent") {
+    val b = TextAnalysis.boilerplate(spark, Sf).cache()
+    assert(b.count() > 0)
+    assert(b.filter(col("n_boiler") > col("n_shingles")).count() === 0)
+    assert(b.filter(col("boiler_frac") < 0.0 || col("boiler_frac") > 1.0)
+      .count() === 0)
+    assert(b.filter(col("keep") =!= (col("boiler_frac") < 0.5)).count() === 0)
+    // the corpus IS templated word soup: some spans must recur corpus-wide
+    assert(b.filter(col("n_boiler") > 0).count() > 0)
+    b.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

@@ -176,8 +176,16 @@ object NatsLikeStream {
     * holding each stream forever — the canonical bounded-state
     * stream-stream join. The same code runs in batch (the
     * `r9_interval_join` oracle gate: watermarks are no-ops there) and in
-    * streaming mode (`StreamingSpec` drives it from memory streams). */
-  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    * streaming mode (`StreamingSpec` drives it from memory streams).
+    *
+    * `joinType = "left_outer"` adds the expiry semantics inner joins
+    * don't exercise: a view with NO click inside its hour is emitted
+    * null-padded only once the global watermark (min across both
+    * inputs) passes its join window — i.e. exactly when its buffered
+    * state is provably dead and evicted (`StreamingSpec` pins this with
+    * a two-phase checkpointed run). */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -189,7 +197,8 @@ object NatsLikeStream {
     v.join(c,
         col("user_id") === col("click_user") &&
           col("click_ts") >= col("view_ts") &&
-          col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
       .select("click_id", "view_id", "user_id", "view_ts", "click_ts")
   }
 

@@ -163,6 +163,47 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Set((200L, 100L), (200L, 101L), (201L, 101L)))
   }
 
+  test("left-outer interval join: unmatched view emits null-padded only after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_oj_out").toString
+    val cp = Files.createTempDirectory("graft_oj_cp").toString
+    val views = MemoryStream[Evt]
+    val clicks = MemoryStream[Evt]
+    def run(): Unit = {
+      val q = NatsLikeStream
+        .viewClickAttribution(views.toDF(), clicks.toDF(), "left_outer")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: one matched view, one view with no click. The unmatched
+    // view must NOT emit yet — its join window is still open.
+    views.addData(
+      Evt(100L, ts("2024-01-15 10:00:00"), 1L, "view"),
+      Evt(101L, ts("2024-01-15 10:05:00"), 3L, "view"))
+    clicks.addData(Evt(200L, ts("2024-01-15 10:30:00"), 1L, "click"))
+    run()
+    val phase1 = spark.read.parquet(out).collect()
+    assert(phase1.map(r => (r.getLong(1), r.isNullAt(0))).toSet
+      === Set((100L, false)))
+    // phase 2: late traffic on BOTH streams pushes the global watermark
+    // (min of the two) past view 101's window end + delay → its state is
+    // evicted and the null-padded row emits
+    views.addData(Evt(102L, ts("2024-01-15 15:00:00"), 4L, "view"))
+    clicks.addData(Evt(201L, ts("2024-01-15 15:00:00"), 2L, "click"))
+    run()
+    // one more empty-input pass lets the engine finalize eviction if the
+    // phase-2 batch only ADVANCED the watermark without acting on it
+    run()
+    val rows = spark.read.parquet(out).collect()
+    val unmatched = rows.filter(r => r.getLong(1) == 101L)
+    assert(unmatched.length === 1)
+    assert(unmatched.head.isNullAt(0), "click_id must be null-padded")
+    assert(unmatched.head.getLong(2) === 3L)
+  }
+
   test("sequenceGaps: custom keyed state persists across micro-batches and counts holes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -125,7 +125,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "x40_fim_split" -> (Curation.fimSplit _),
-    "x41_boilerplate" -> (TextAnalysis.boilerplate _)
+    "x41_boilerplate" -> (TextAnalysis.boilerplate _),
+    "x42_dialog_assembly" -> (Curation.dialogAssembly _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1385,7 +1386,31 @@ object SparkEntry {
          |  md5(COALESCE(array_to_string(list_slice(t, hi + 1, n_tokens), ' '), ''))
          |    AS suffix_hash
          |FROM f ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Mirrors Curation.dialogAssembly: q14's exact session rule, then
+    // turn concatenation in (ts, event_id) order.
+    "x42_dialog_assembly" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |            - CAST(epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |    event_type || '#' || CAST(event_id AS VARCHAR) AS turn,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq, COUNT(*) AS n_turns,
+        |  MIN(ts) AS session_start,
+        |  array_to_string(list(turn ORDER BY ts, event_id), ' | ') AS dialog
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   )

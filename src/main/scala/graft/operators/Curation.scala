@@ -252,6 +252,45 @@ object Curation {
           .as("suffix_hash"))
       .orderBy("doc_id")
 
+  /** x42: DIALOG assembly — turn an event stream into per-session
+    * training documents, the assembly pass of a conversation-data
+    * pipeline: sessionize each user's events (30-min gap, q14's exact
+    * rule), then concatenate the session's turns in event-time order
+    * into one dialog string.
+    *
+    * Scale shape: the lag/running-sum windows partition BY USER (q14's
+    * judgment — per-user history is bounded; a global window would
+    * serialize the stream), and the assembly groupBy's per-group state
+    * is one session's (ts, id, turn) array, sorted IN-ROW by
+    * `array_sort` — like x39's reassembly, order is deterministic under
+    * any partitioning and no task buffers more than one session. */
+  def dialogAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val turns = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          date_trunc("second", col("ts")).cast("long") -
+            date_trunc("second", col("prev_ts")).cast("long") > 1800, 1L)
+        .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("turn",
+        concat(col("event_type"), lit("#"), col("event_id").cast("string")))
+    turns.groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("ts")).as("session_start"),
+        array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("turn")))).as("tt"))
+      .select(col("user_id"), col("session_seq"), col("n_turns"),
+        col("session_start"),
+        concat_ws(" | ", expr("transform(tt, x -> x.turn)")).as("dialog"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** x23: the end-to-end curated corpus — the composition a real pipeline
     * ships: exact-dedup winners ([[Dedup.exact]] group representatives)
     * ∩ length-filter survivors ([[lengthFilter]]), each carrying its fold

@@ -575,6 +575,22 @@ class OperatorsSpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("dialog assembly: session partition identical to q14, turn counts consistent") {
+    import graft.operators.Curation
+    val d = Curation.dialogAssembly(spark, Sf).cache()
+    val s = graft.queries.Relational.sessionize(spark, Sf)
+    // same sessionization rule ⇒ identical (user, seq) keys and sizes
+    val j = d.select("user_id", "session_seq", "n_turns")
+      .join(s.select("user_id", "session_seq", "n_events"),
+        Seq("user_id", "session_seq"), "full")
+    assert(j.filter(col("n_turns").isNull || col("n_events").isNull ||
+      col("n_turns") =!= col("n_events")).count() === 0)
+    // the dialog string carries exactly n_turns turns
+    assert(d.filter(size(split(col("dialog"), " \\| ")) =!= col("n_turns"))
+      .count() === 0)
+    d.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

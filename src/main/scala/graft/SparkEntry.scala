@@ -126,7 +126,8 @@ object SparkEntry {
     }),
     "x40_fim_split" -> (Curation.fimSplit _),
     "x41_boilerplate" -> (TextAnalysis.boilerplate _),
-    "x42_dialog_assembly" -> (Curation.dialogAssembly _)
+    "x42_dialog_assembly" -> (Curation.dialogAssembly _),
+    "x43_unigram_logprob" -> (TextAnalysis.unigramLogProb _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1410,7 +1411,31 @@ object SparkEntry {
         |  MIN(ts) AS session_start,
         |  array_to_string(list(turn ORDER BY ts, event_id), ' | ') AS dialog
         |FROM sessions GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // Mirrors TextAnalysis.unigramLogProb: per-term quantized log-prob
+    // (the ln-once-then-integers x35 move), exact long sums per doc.
+    "x43_unigram_logprob" -> {
+      val sc = graft.operators.TextAnalysis.IdfScale
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM ex GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+         |lm AS (
+         |  SELECT term, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+         |    * $sc + 0.5) AS BIGINT) AS lp_scaled
+         |  FROM counts CROSS JOIN tot),
+         |s AS (
+         |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(lp_scaled) AS BIGINT) AS sum_scaled
+         |  FROM ex e JOIN lm USING (term) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum_scaled AS DOUBLE) / $sc.0 / CAST(n_tokens AS DOUBLE)
+         |    AS avg_logprob
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   )

@@ -309,6 +309,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x43: unigram LM LOG-PROBABILITY scoring — the CCNet-style
+    * perplexity-proxy quality filter: train a unigram language model on
+    * the corpus's own term counts, then score every document by its mean
+    * token log-probability (low = surprising/junky relative to the
+    * corpus; the classic rank-and-cut quality signal).
+    *
+    * Scale shape: term counts are ONE partial-aggregated groupBy
+    * (persisted — the LM table is read by its own normalizer and the
+    * scoring join); the per-term log-prob is quantized ONCE per term
+    * (`floor(ln(c/total)·1e6 + 0.5)` — the [[IdfScale]] move), so the
+    * per-document aggregation sums exact LONGS and the exposed mean is
+    * two fixed-order divisions. Scoring is a corpus explode × BROADCAST
+    * LM join (vocab-sized dim) + one doc-keyed groupBy — x39's shape. */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = docs(spark, sfDir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = OperatorCaches.persist(
+      ex.groupBy("term").agg(count(lit(1)).as("c")))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val lm = counts.join(broadcast(total))
+      .select(col("term"),
+        floor(log(col("c").cast("double") / col("total").cast("double"))
+          * IdfScale + lit(0.5)).as("lp_scaled"))
+    ex.join(broadcast(lm), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_scaled")).as("sum_scaled"))
+      .withColumn("avg_logprob",
+        col("sum_scaled").cast("double") / IdfScale / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .orderBy("doc_id")
+  }
+
   /** Document-frequency threshold for [[boilerplate]]: a shingle in more
     * than this many documents counts as boilerplate. */
   val BoilerplateDf = 3L

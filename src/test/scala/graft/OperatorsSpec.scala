@@ -591,6 +591,29 @@ class OperatorsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("unigram logprob: negative scores, matches a driver recompute bit-exactly") {
+    val lp = TextAnalysis.unigramLogProb(spark, Sf).cache()
+    assert(lp.filter(col("avg_logprob") >= 0.0).count() === 0)
+    // driver recompute with the same quantization and division order
+    val texts = graft.queries.Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val counts = texts.values.flatten
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val total = counts.values.sum.toDouble
+    val sc = TextAnalysis.IdfScale
+    val lpScaled = counts.map { case (w, c) =>
+      w -> math.floor(math.log(c.toDouble / total) * sc + 0.5).toLong }
+    val got = lp.filter(col("doc_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (id, avg) =>
+      val toks = texts(id)
+      val want = toks.map(lpScaled).sum.toDouble / sc / toks.length.toDouble
+      assert(avg === want, s"doc $id")
+    }
+    lp.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

@@ -127,7 +127,8 @@ object SparkEntry {
     "x40_fim_split" -> (Curation.fimSplit _),
     "x41_boilerplate" -> (TextAnalysis.boilerplate _),
     "x42_dialog_assembly" -> (Curation.dialogAssembly _),
-    "x43_unigram_logprob" -> (TextAnalysis.unigramLogProb _)
+    "x43_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
+    "x44_quality_gate" -> (Curation.qualityGate _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1435,6 +1436,83 @@ object SparkEntry {
          |  CAST(sum_scaled AS DOUBLE) / $sc.0 / CAST(n_tokens AS DOUBLE)
          |    AS avg_logprob
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors Curation.qualityGate: the x23 base composed with x25's
+    // repetition keep and x41's boilerplate keep — each sub-block is the
+    // (already verified) per-operator oracle with prefixed CTE names.
+    "x44_quality_gate" -> {
+      val bdf = graft.operators.TextAnalysis.BoilerplateDf
+      s"""WITH c_reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |    FROM documents) WHERE doc_id = rep),
+         |c_d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c_b AS (
+         |  SELECT quantile_cont(n_tokens, 0.05) AS p05,
+         |         quantile_cont(n_tokens, 0.95) AS p95
+         |  FROM c_d),
+         |c_kept AS (
+         |  SELECT doc_id, n_tokens FROM c_d, c_b
+         |  WHERE n_tokens >= p05 AND n_tokens <= p95),
+         |c_folds AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${polyhashSql("text")} % 100 < 80 THEN 'train'
+         |         WHEN ${polyhashSql("text")} % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |base AS (
+         |  SELECT r.doc_id, k.n_tokens, f.split
+         |  FROM c_reps r JOIN c_kept k ON k.doc_id = r.doc_id
+         |                JOIN c_folds f ON f.doc_id = r.doc_id),
+         |r_d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |r_g AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+         |    CASE WHEN len(t) < 2 THEN [] ELSE list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1]) END AS g2,
+         |    CASE WHEN len(t) < 3 THEN [] ELSE list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS g3
+         |  FROM r_d),
+         |r_top AS (
+         |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c FROM (
+         |    SELECT doc_id, w, COUNT(*) AS c FROM
+         |      (SELECT doc_id, unnest(t) AS w FROM r_d) q GROUP BY 1, 2) q2
+         |  GROUP BY 1),
+         |r_keep AS (
+         |  SELECT g.doc_id,
+         |    (CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |         / CAST(len(g2) AS DOUBLE) END < 0.20
+         |     AND CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |         / CAST(len(g3) AS DOUBLE) END < 0.15
+         |     AND CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE) < 0.20) AS rep_keep
+         |  FROM r_g g JOIN r_top ON r_top.doc_id = g.doc_id),
+         |b_sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+         |  FROM r_d),
+         |b_ex AS (SELECT doc_id, unnest(sh) AS s FROM b_sh),
+         |b_dfc AS (SELECT s, COUNT(*) AS df FROM b_ex GROUP BY 1),
+         |b_pd AS (
+         |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+         |  FROM b_ex e JOIN b_dfc ON b_dfc.s = e.s
+         |  WHERE b_dfc.df > $bdf GROUP BY 1),
+         |b_keep AS (
+         |  SELECT s.doc_id,
+         |    (CAST(COALESCE(pd.n_boiler, 0) AS DOUBLE)
+         |      / CAST(len(s.sh) AS DOUBLE) < 0.5) AS boiler_keep
+         |  FROM b_sh s LEFT JOIN b_pd pd ON pd.doc_id = s.doc_id
+         |  WHERE len(s.sh) > 0)
+         |SELECT base.doc_id, base.n_tokens, base.split,
+         |  r.rep_keep, b.boiler_keep,
+         |  (r.rep_keep AND b.boiler_keep) AS keep
+         |FROM base JOIN r_keep r ON r.doc_id = base.doc_id
+         |          JOIN b_keep b ON b.doc_id = base.doc_id
+         |ORDER BY base.doc_id""".stripMargin
     }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.

@@ -311,6 +311,28 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x44: the full QUALITY GATE — the composed keep decision a pipeline
+    * actually ships: [[curatedCorpus]]'s base (exact-dedup winners ∩
+    * length survivors, with folds) refined by the repetition keep
+    * ([[TextAnalysis.repetition]]) and the boilerplate keep
+    * ([[TextAnalysis.boilerplate]]). Three doc_id-keyed relations,
+    * two equi-joins — co-partitioned at 100 TB, AQE-sized here; each
+    * input keeps its own operator's scale shape unchanged. The point
+    * (and what the oracle gates) is that the operators COMPOSE without
+    * re-deriving any intermediate. */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = curatedCorpus(spark, sfDir)
+    val rep = TextAnalysis.repetition(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("rep_keep"))
+    val boiler = TextAnalysis.boilerplate(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("boiler_keep"))
+    base.join(rep, "doc_id").join(boiler, "doc_id")
+      .withColumn("keep", col("rep_keep") && col("boiler_keep"))
+      .select("doc_id", "n_tokens", "split", "rep_keep", "boiler_keep",
+        "keep")
+      .orderBy("doc_id")
+  }
+
   /** x30: APPLY the near-dup clustering — the keep/drop decision a dedup
     * pipeline actually ships. [[Dedup.dupClusters]] labels every doc;
     * here each cluster keeps exactly its representative (the min doc_id)

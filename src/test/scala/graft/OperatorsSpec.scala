@@ -614,6 +614,20 @@ class OperatorsSpec extends SparkSpec {
     lp.unpersist()
   }
 
+  test("quality gate: rows are exactly the curated base; keep = conjunction of flags") {
+    import graft.operators.Curation
+    val g = Curation.qualityGate(spark, Sf).cache()
+    val base = Curation.curatedCorpus(spark, Sf)
+    // the gate refines (never grows) the curated base, and since every
+    // base doc has >=10 tokens both quality legs cover it: same doc set
+    assert(g.select("doc_id").collect().map(_.getLong(0)).toSet
+      === base.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(g.filter(col("keep") =!= (col("rep_keep") && col("boiler_keep")))
+      .count() === 0)
+    assert(g.filter(col("keep")).count() > 0)
+    g.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

@@ -128,7 +128,8 @@ object SparkEntry {
     "x41_boilerplate" -> (TextAnalysis.boilerplate _),
     "x42_dialog_assembly" -> (Curation.dialogAssembly _),
     "x43_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
-    "x44_quality_gate" -> (Curation.qualityGate _)
+    "x44_quality_gate" -> (Curation.qualityGate _),
+    "x45_standardize" -> (Quantization.standardize _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1513,6 +1514,36 @@ object SparkEntry {
          |FROM base JOIN r_keep r ON r.doc_id = base.doc_id
          |          JOIN b_keep b ON b.doc_id = base.doc_id
          |ORDER BY base.doc_id""".stripMargin
+    },
+
+    // Mirrors Quantization.standardize: same scaled-integer moments as
+    // x38, z from correctly-rounded double ops (sqrt is IEEE-exact).
+    "x45_standardize" -> {
+      val sc = graft.operators.Quantization.CovScale
+      val d = graft.operators.Quantization.Dim
+      s"""WITH s AS (
+         |  SELECT vec_id, ix.i - 1 AS i,
+         |    CAST(floor(CAST(embedding[ix.i] AS DOUBLE) * $sc + 0.5) AS BIGINT) AS sv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+         |st AS (
+         |  SELECT i, SUM(CAST(sv AS DECIMAL(25,0))) AS sum_i,
+         |    SUM(CAST(sv * sv AS DECIMAL(25,0))) AS sumsq_i
+         |  FROM s GROUP BY 1),
+         |f AS (
+         |  SELECT s.vec_id, s.i,
+         |    CAST(s.sv AS DOUBLE) / $sc.0 AS v_q,
+         |    CAST(st.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i,
+         |    CAST(st.sumsq_i AS DOUBLE) / (CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE))
+         |      / CAST(n.n_vecs AS DOUBLE)
+         |      - (CAST(st.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE))
+         |        * (CAST(st.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE)) AS var_i
+         |  FROM s JOIN st ON st.i = s.i CROSS JOIN n)
+         |SELECT vec_id, CAST(i AS BIGINT) AS dim, v_q, mean_i, var_i,
+         |  CASE WHEN var_i <= 0.0 THEN 0.0
+         |       ELSE (v_q - mean_i) / sqrt(var_i) END AS z
+         |FROM f ORDER BY vec_id, dim""".stripMargin
     }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.

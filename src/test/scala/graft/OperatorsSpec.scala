@@ -628,6 +628,21 @@ class OperatorsSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("standardize: z-scores have ~0 mean and ~1 variance per dimension") {
+    import graft.operators.Quantization
+    val z = Quantization.standardize(spark, Sf).cache()
+    assert(z.count() === 500L * Quantization.Dim)
+    val stats = z.groupBy("dim").agg(
+      avg(col("z")).as("mz"),
+      avg(col("z") * col("z")).as("mz2")).collect()
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-9, s"dim ${r.getLong(0)} mean")
+      // population variance of z is exactly 1 up to float error
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6, s"dim ${r.getLong(0)} var")
+    }
+    z.unpersist()
+  }
+
   test("vocab build: dense ids, counts descending, coverage monotone and bounded") {
     val v = TextAnalysis.vocabBuild(spark, Sf).orderBy("vocab_id").collect()
     assert(v.nonEmpty)

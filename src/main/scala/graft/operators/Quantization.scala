@@ -54,6 +54,19 @@ object Quantization {
     * doubles are correctly-rounded divisions of identical integers. */
   val CovScale = 1000000L
 
+  /** The persisted (vec_id, sarr) relation shared by [[covarianceStats]]
+    * and [[standardize]]: each embedding quantized to [[CovScale]]-scaled
+    * longs. Persisted before its consumers — the transform is an
+    * interpreted HOF and project-collapse would otherwise inline it into
+    * every posexplode leg (the [[Dedup]] shingle-table judgment). */
+  private def scaledVectors(spark: SparkSession, sfDir: String): DataFrame =
+    OperatorCaches.persist(
+      Tables.embeddings(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), expr(
+          s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $CovScale + 0.5d) AS BIGINT))")
+          .as("sarr")))
+
   /** x38: embedding MOMENT/COVARIANCE statistics — the corpus pass at the
     * front of PCA / whitening / mean-centering (dimension reduction is
     * how a 100 TB embedding store becomes servable): per-dimension means
@@ -69,18 +82,10 @@ object Quantization {
     * DECIMAL(25,0) over the scaled-integer products — exact at 1e9+
     * vectors where a long would overflow and a double sum would be
     * partition-order-dependent. The per-dim sums and N are bounded dims
-    * broadcast back (64 rows / 1 row — the legitimate hints).
-    *
-    * The scaled array is persisted before its consumers: the transform
-    * is an interpreted HOF and project-collapse would otherwise inline
-    * it into both posexplode legs (the [[Dedup]] shingle-table judgment). */
+    * broadcast back (64 rows / 1 row — the legitimate hints). Reads the
+    * persisted [[scaledVectors]] relation. */
   def covarianceStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val scaled = OperatorCaches.persist(
-      Tables.embeddings(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("vec_id"), expr(
-          s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $CovScale + 0.5d) AS BIGINT))")
-          .as("sarr")))
+    val scaled = scaledVectors(spark, sfDir)
     val once = scaled.select(col("vec_id"), col("sarr"),
       posexplode(col("sarr")).as(Seq("i", "svi")))
     val pairs = once
@@ -125,12 +130,7 @@ object Quantization {
     * is a narrow projection. A constant dimension (σ = 0) z-scores to
     * 0 by convention — guarded identically in the oracle. */
   def standardize(spark: SparkSession, sfDir: String): DataFrame = {
-    val scaled = OperatorCaches.persist(
-      Tables.embeddings(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("vec_id"), expr(
-          s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $CovScale + 0.5d) AS BIGINT))")
-          .as("sarr")))
+    val scaled = scaledVectors(spark, sfDir)
     val once = scaled.select(col("vec_id"),
       posexplode(col("sarr")).as(Seq("i", "sv")))
     val stats = once.groupBy("i").agg(

@@ -67,6 +67,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fimSplit ≡ cut-point model over the random corpus") {
+    import spark.implicits._
+    import graft.operators.Curation.{FimRatePct, fimSplitFrom}
+    def polyhash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val docs = corpus.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val got = fimSplitFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    corpus.zipWithIndex.foreach { case (s, i) =>
+      val n = s.split(" ", -1).length.toLong
+      val h = polyhash(s)
+      val (c1, c2) = (h % (n + 1), (h / 7) % (n + 1))
+      val want = (h % 100 < FimRatePct, math.min(c1, c2), math.max(c1, c2))
+      assert(got(i.toLong) === want, s"doc=$i text='$s'")
+    }
+  }
+
   test("chunkOverlap ≡ stride model: full coverage, exact overlap, no phantom chunks") {
     import spark.implicits._
     import graft.operators.Curation.{ChunkSize, ChunkStride, chunkOverlapFrom}

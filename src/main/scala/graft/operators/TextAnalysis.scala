@@ -197,7 +197,17 @@ object TextAnalysis {
     * same integers by one correctly-rounded division. The tf relation is
     * persisted: both the df aggregation and the final join read it, and
     * without the barrier the explode+groupBy would run once per consumer
-    * (same judgment as Dedup's signature tables). */
+    * (same judgment as Dedup's signature tables).
+    *
+    * Cross-engine exactness caveat (applies to x43's log-prob scaling
+    * too): `floor(ln(x)·1e6 + 0.5)` is integer-exact only if Java's
+    * `Math.log` and the oracle's libm `ln` agree to the last ulp at every
+    * evaluated point. Both are correctly-rounded in practice for these
+    * inputs, but the guarantee is probabilistic — an ln value landing
+    * within an ulp of a `.5` quantization boundary could floor
+    * differently and flip a rank. If a new corpus ever trips this, the
+    * correct response is a ±1 tolerance on the scaled integer (or a
+    * rows-only gate), not a code change here. */
   def tfidfTerms(spark: SparkSession, sfDir: String): DataFrame =
     tfidfTermsFrom(docs(spark, sfDir))
 

@@ -133,9 +133,19 @@ final class BatchInsertTable(path: String, batchSize: Int,
 }
 
 /** Serializable handle for the ClickHouse HTTP interface: one endpoint,
-  * one target table; [[post]] sends one insert block. */
+  * one target table; [[post]] sends one insert block.
+  *
+  * The table name is interpolated into the INSERT query string, so it is
+  * validated against a strict identifier pattern at construction — a
+  * malformed or attacker-influenced writer option must fail fast here,
+  * not become arbitrary SQL (the reference binds the table through the
+  * prepared-batch API, which has the same property). */
 final case class HttpTarget(endpoint: String, table: String,
     user: String, password: String) {
+
+  require(HttpTarget.TablePattern.matcher(table).matches(),
+    s"illegal ClickHouse table name: '$table' " +
+    "(expected [A-Za-z_][A-Za-z0-9_]* with optional db. qualifier)")
 
   def ping(): Unit = {
     val c = open(s"$endpoint/ping")
@@ -185,6 +195,12 @@ final case class HttpTarget(endpoint: String, table: String,
     c.setReadTimeout(120000)
     c
   }
+}
+
+object HttpTarget {
+  /** `ident` or `db.ident`, ClickHouse unquoted-identifier rules. */
+  private[sinks] val TablePattern = java.util.regex.Pattern.compile(
+    "[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)?")
 }
 
 /** stagedPath includes the task attempt id; fileName is the attempt-

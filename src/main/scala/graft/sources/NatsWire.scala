@@ -75,6 +75,9 @@ final class NatsSocketClient(host: String, port: Int,
   private var in: DataInputStream = _
   private var out: BufferedOutputStream = _
   private var serverInfo: String = ""
+  private var dead = false
+
+  private def die(): Unit = { dead = true; close() }
 
   /** Dial + handshake: block until the server's INFO line arrives, then
     * CONNECT. Fails fast (IOException) on an unreachable server — the
@@ -113,8 +116,16 @@ final class NatsSocketClient(host: String, port: Int,
 
   /** Read protocol frames until the next MSG (answering PING with PONG,
     * skipping +OK/-ERR/INFO updates), or None once the socket idles past
-    * its read timeout / the deadline passes / the server closes. */
+    * its read timeout / the deadline passes / the server closes.
+    *
+    * A timeout BETWEEN frames is benign (returns None; the client stays
+    * usable). A timeout MID-frame — inside a protocol line or a MSG
+    * payload — leaves the stream desynchronized: the half-consumed bytes
+    * cannot be re-parsed, so the connection is closed and marked dead
+    * rather than returning a None that would invite a misparse on the
+    * next call. */
   def next(deadlineMs: Long = Long.MaxValue): Option[NatsMsg] = {
+    if (dead) throw new IOException("connection dead (mid-frame timeout)")
     while (System.currentTimeMillis() < deadlineMs) {
       val line =
         try readLine()
@@ -129,9 +140,15 @@ final class NatsSocketClient(host: String, port: Int,
           throw new IOException(s"malformed MSG header: $line")
         val nBytes = p.last.toInt
         val payload = new Array[Byte](nBytes)
-        in.readFully(payload)
-        // trailing CRLF after the payload
-        in.readByte(); in.readByte()
+        try {
+          in.readFully(payload)
+          // trailing CRLF after the payload
+          in.readByte(); in.readByte()
+        } catch {
+          case e @ (_: java.net.SocketTimeoutException | _: EOFException) =>
+            // half-read payload: the stream can never resync
+            die(); throw new IOException(s"timeout/EOF mid-MSG payload", e)
+        }
         return Some(NatsMsg(p(0), p(1),
           if (p.length == 4) Some(p(2)) else None, payload))
       } else if (line == "PING") send("PONG")
@@ -152,10 +169,18 @@ final class NatsSocketClient(host: String, port: Int,
 
   private def readLine(): String = {
     val b = new java.io.ByteArrayOutputStream(64)
+    // a timeout on the FIRST byte is benign idle (propagates to next()'s
+    // catch); once any byte of a line is consumed, timeouts are fatal
     var c = in.read()
     while (c != -1 && c != '\n') {
       if (c != '\r') b.write(c)
-      c = in.read()
+      c =
+        try in.read()
+        catch {
+          case e: java.net.SocketTimeoutException =>
+            // partial line already consumed — resync is impossible
+            die(); throw new IOException("timeout mid-protocol-line", e)
+        }
     }
     if (c == -1 && b.size() == 0) throw new EOFException("server closed")
     new String(b.toByteArray, StandardCharsets.UTF_8)
@@ -206,9 +231,11 @@ object NatsCapture {
       else {
         val dir = Paths.get(backlogDir)
         Files.createDirectories(dir)
-        val name = f"$filePrefix-${System.currentTimeMillis()}%013d.jsonl"
+        val fileMillis = System.currentTimeMillis()
+        val name = f"$filePrefix-$fileMillis%013d.jsonl"
         val tmp = Files.createTempFile(dir, s".$name", ".tmp")
-        Files.write(tmp, envelopeLines(msgs).getBytes(StandardCharsets.UTF_8))
+        Files.write(tmp,
+          envelopeLines(msgs, fileMillis).getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, dir.resolve(name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         // ack-after-write: only now is the backlog file visible
@@ -220,14 +247,23 @@ object NatsCapture {
 
   /** Envelope JSONL ([[graft.model.Schemas.envelope]] shape, the exact
     * format [[ReplayReader]] parses): JetStream sequence/timestamp when
-    * the ACK subject carries them, local fallbacks otherwise. */
-  private[sources] def envelopeLines(msgs: Seq[NatsMsg]): String = {
+    * the ACK subject carries them, local fallbacks otherwise.
+    *
+    * The core-NATS fallback sequence is `fileMillis << 20 | position` —
+    * globally unique across capture files, not a per-file counter.
+    * Downstream `dedupedRaw` keys exact-once suppression on `streamSeq`
+    * within a watermark, so a per-file counter restarting at 1 would make
+    * DISTINCT messages from different capture files collide and be
+    * silently dropped. 20 bits of in-file position covers maxMsgs up to
+    * ~1M; 43 bits of millis keeps the value positive past year 2200. */
+  private[graft] def envelopeLines(msgs: Seq[NatsMsg],
+      fileMillis: Long = System.currentTimeMillis()): String = {
     val sb = new StringBuilder
     var localSeq = 0L
     msgs.foreach { m =>
       localSeq += 1
       val meta = m.reply.flatMap(NatsWire.jetStreamMeta)
-      val seq = meta.map(_.streamSeq).getOrElse(localSeq)
+      val seq = meta.map(_.streamSeq).getOrElse((fileMillis << 20) | localSeq)
       val tsNanos = meta.map(_.timestampNanos)
         .getOrElse(System.currentTimeMillis() * 1000000L)
       val ts = OffsetDateTime.ofInstant(

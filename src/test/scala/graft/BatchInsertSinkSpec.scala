@@ -238,6 +238,19 @@ class BatchInsertSinkSpec extends SparkSpec {
     } finally ch.close()
   }
 
+  test("table option is validated as a strict identifier (no SQL injection)") {
+    import graft.sinks.HttpTarget
+    // legal shapes construct fine
+    HttpTarget("http://h:8123", "nats_data_all_streams", "", "")
+    HttpTarget("http://h:8123", "db1.events_v2", "", "")
+    // anything that could smuggle SQL into the query string fails fast
+    for (bad <- Seq("t; DROP TABLE x", "t FORMAT Native--", "t`x", "",
+        "1tab", "db.t.extra", "t%20OR%201"))
+      intercept[IllegalArgumentException] {
+        HttpTarget("http://h:8123", bad, "", "")
+      }
+  }
+
   test("ch:// HTTP wire path: no server behind the DSN fails at start (ping)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

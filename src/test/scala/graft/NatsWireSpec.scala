@@ -167,11 +167,65 @@ class NatsWireSpec extends AnyFunSuite {
         .map(_ => reader.get().copy()).toList
       reader.close()
       assert(rows.size === 3)
-      // JetStream stream sequences carried through; core-NATS fallback = local counter
-      assert(rows.map(_.getLong(3)) === List(41L, 42L, 3L))
+      // JetStream stream sequences carried through; the core-NATS
+      // fallback is globally unique: fileMillis << 20 | position (a
+      // per-file counter would collide across capture files and be
+      // dropped by dedupedRaw's sequence-keyed suppression)
+      val fileMillis = files.head.getFileName.toString
+        .stripPrefix("capture-").stripSuffix(".jsonl").toLong
+      assert(rows.map(_.getLong(3)) ===
+        List(41L, 42L, (fileMillis << 20) | 3L))
       // publish timestamp from the ACK subject (nanos -> micros)
       assert(rows.head.getLong(2) === 1704067200000000L)
     } finally stub.close()
+  }
+
+  test("core-NATS fallback sequences are unique ACROSS capture files") {
+    val msgs = Seq(
+      NatsMsg("s.a", "1", None, "{\"k\":1}".getBytes(StandardCharsets.UTF_8)),
+      NatsMsg("s.b", "1", None, "{\"k\":2}".getBytes(StandardCharsets.UTF_8)))
+    def seqs(fileMillis: Long): Seq[Long] =
+      NatsCapture.envelopeLines(msgs, fileMillis).linesIterator
+        .map(l => l.split("\"streamSeq\":")(1).stripSuffix("}").toLong)
+        .toSeq
+    val f1 = seqs(1704067200000L)
+    val f2 = seqs(1704067200001L) // next capture file, 1 ms later
+    assert(f1.distinct.size === 2 && f2.distinct.size === 2)
+    assert((f1.toSet intersect f2.toSet).isEmpty,
+      "distinct messages in different capture files must not share streamSeq")
+  }
+
+  test("timeout mid-MSG-payload kills the connection instead of desyncing") {
+    // a server that sends a MSG header promising 100 bytes but only 5,
+    // then stalls — the client must not return None and stay usable
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val out = new BufferedOutputStream(s.getOutputStream)
+        def send(line: String): Unit = {
+          out.write((line + "\r\n").getBytes(StandardCharsets.UTF_8)); out.flush()
+        }
+        send("""INFO {"server_id":"stub"}""")
+        // swallow CONNECT/SUB lines without parsing; then the truncated MSG
+        Thread.sleep(300)
+        send("MSG s.a 1 100") // header promises 100 payload bytes...
+        out.write("hello".getBytes(StandardCharsets.UTF_8)); out.flush() // ...sends 5
+        Thread.sleep(3000)
+        s.close()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val c = new NatsSocketClient("127.0.0.1", server.getLocalPort,
+        readTimeoutMs = 500)
+      c.connect()
+      c.subscribe("s.>", sid = "1")
+      val e = intercept[java.io.IOException] { c.next() }
+      assert(e.getMessage.contains("mid-MSG payload"))
+      // the client is dead: further use fails loudly, never misparses
+      intercept[java.io.IOException] { c.next() }
+    } finally server.close()
   }
 
   test("unreachable broker fails the dial fast (reference exits on bad URL)") {

@@ -51,18 +51,25 @@ object Bench {
       util.OperatorCaches.release(spark)
       dt
     }
-    // INTERLEAVED min-of-2: run the whole battery once, then again, and
-    // take each query's min across passes — the two samples of any query
-    // are a full battery (~half a minute) apart, so a steal burst can
-    // poison at most one of them. The back-to-back formulation this
-    // replaces sampled both runs inside the same burst (measured: the
-    // same query 4-6× inflated in BOTH runs, while clean in a battery
-    // run minutes later).
+    // INTERLEAVED min-of-3 + median-of-3: run the whole battery three
+    // times and take each query's min AND median across passes — any two
+    // samples of a query are a full battery (~half a minute) apart, so a
+    // steal burst can poison at most one of them. The median is the
+    // round-over-round comparison number (robust to one poisoned sample
+    // BY CONSTRUCTION, where min-of-N still needs the deferred-retry
+    // machinery below); the min remains the steady-state/baseline
+    // number. The back-to-back formulation this replaces sampled runs
+    // inside the same burst (measured: the same query 4-6× inflated in
+    // consecutive runs, while clean in a battery run minutes later).
     val sorted = selected.toSeq.sortBy(_._1)
     val pass1 = sorted.map { case (name, fn) => name -> one(fn) }.toMap
+    val pass2 = sorted.map { case (name, fn) => name -> one(fn) }.toMap
+    val medians = scala.collection.mutable.Map.empty[String, Double]
     val firstPass = sorted.map { case (name, fn) =>
-      val t2 = one(fn)
-      (name, fn, math.min(pass1(name), t2), System.nanoTime())
+      val t3 = one(fn)
+      val samples = Seq(pass1(name), pass2(name), t3).sorted
+      medians(name) = samples(1)
+      (name, fn, samples.head, System.nanoTime())
     }
     // Deferred outlier retries: this host's hypervisor-steal bursts span
     // ~1 min — long enough to poison BOTH back-to-back runs of whichever
@@ -113,8 +120,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, _) => s"\"" + k + "\":" + medians(k) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMed =
+      if (results.nonEmpty) results.map(r => medians(r._1)).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -86,12 +86,14 @@ class BatchInsertSinkProvider extends TableProvider {
       Option(properties.get("compression")).getOrElse("lz4"),
       Option(properties.get("maxExecutionTimeSec")).map(_.toInt).getOrElse(60),
       Option(properties.get("url")),
-      Option(properties.get("table")).getOrElse("nats_data_all_streams"))
+      Option(properties.get("table")).getOrElse("nats_data_all_streams"),
+      Option(properties.get("insertFormat")).getOrElse("JSONEachRow"))
 }
 
 final class BatchInsertTable(path: String, batchSize: Int,
     compression: String, maxExecutionTimeSec: Int,
-    url: Option[String], chTable: String)
+    url: Option[String], chTable: String,
+    insertFormat: String = "JSONEachRow")
     extends Table with SupportsWrite {
   override def name(): String =
     url.fold(s"batch_insert($path)")(u => s"batch_insert($u/$chTable)")
@@ -112,7 +114,7 @@ final class BatchInsertTable(path: String, batchSize: Int,
             // answers 200 "Ok."; fail the query at start() otherwise.
             target.ping()
             new BatchInsertStreamingWrite(path, batchSize, compression,
-              maxExecutionTimeSec, info.schema(), Some(target))
+              maxExecutionTimeSec, info.schema(), Some(target), insertFormat)
           case None =>
             // Ping: prove the target accepts writes BEFORE any epoch runs
             // — create the dir and round-trip a probe file.
@@ -159,13 +161,14 @@ final case class HttpTarget(endpoint: String, table: String,
       throw new IOException(s"sink ping failed for $endpoint: HTTP $rc")
   }
 
-  /** POST one block: `INSERT INTO <table> FORMAT JSONEachRow` with the
+  /** POST one block: `INSERT INTO <table> FORMAT <fmt>` with the
     * session settings in the query string; body optionally LZ4-framed
     * (`Content-Encoding: lz4`). Non-200 → IOException → task retry →
     * epoch replay (at-least-once). */
-  def post(body: Array[Byte], lz4: Boolean, maxExecutionTimeSec: Int): Unit = {
+  def post(body: Array[Byte], lz4: Boolean, maxExecutionTimeSec: Int,
+      format: String = "JSONEachRow"): Unit = {
     val q = java.net.URLEncoder.encode(
-      s"INSERT INTO $table FORMAT JSONEachRow", StandardCharsets.UTF_8)
+      s"INSERT INTO $table FORMAT $format", StandardCharsets.UTF_8)
     val c = open(s"$endpoint/?query=$q&max_execution_time=$maxExecutionTimeSec")
     c.setRequestMethod("POST")
     c.setDoOutput(true)
@@ -214,12 +217,13 @@ final case class HttpBlocksCommit(blocks: Int, rows: Long)
 
 final class BatchInsertStreamingWrite(path: String, batchSize: Int,
     compression: String, maxExecutionTimeSec: Int,
-    schema: StructType, http: Option[HttpTarget]) extends StreamingWrite {
+    schema: StructType, http: Option[HttpTarget],
+    insertFormat: String = "JSONEachRow") extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     BlockWriterFactory(path, batchSize, compression, maxExecutionTimeSec,
-      schema, http)
+      schema, http, insertFormat)
 
   /** The single ack point: rename every staged block into the table dir.
     * Until this runs, nothing is visible (ack-after-write). On the HTTP
@@ -252,13 +256,13 @@ final class BatchInsertStreamingWrite(path: String, batchSize: Int,
   * driver-side StreamingWrite). */
 final case class BlockWriterFactory(path: String, batchSize: Int,
     compression: String, maxExecutionTimeSec: Int, schema: StructType,
-    http: Option[HttpTarget])
+    http: Option[HttpTarget], insertFormat: String = "JSONEachRow")
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] = http match {
     case Some(target) =>
       new HttpBlockWriter(target, batchSize, compression,
-        maxExecutionTimeSec, schema)
+        maxExecutionTimeSec, schema, insertFormat)
     case None =>
       new BlockWriter(path, batchSize, compression, maxExecutionTimeSec,
         schema, partitionId, taskId, epochId)
@@ -267,14 +271,23 @@ final case class BlockWriterFactory(path: String, batchSize: Int,
 
 /** Task-side HTTP writer: buffer up to `batchSize` rows, POST each full
   * buffer as ONE insert block (the `Append`×N → `Send` loop over the
-  * wire), final partial block on commit. */
+  * wire), final partial block on commit. `insertFormat` selects the wire
+  * encoding: `JSONEachRow` (debuggable) or `RowBinary` (the
+  * columnar-block-efficiency analogue of the reference's native-protocol
+  * blocks, `connection/connection.go:58-60` — no field names, no text
+  * numbers, varint-length strings). */
 final class HttpBlockWriter(target: HttpTarget, batchSize: Int,
-    compression: String, maxExecutionTimeSec: Int, schema: StructType)
+    compression: String, maxExecutionTimeSec: Int, schema: StructType,
+    insertFormat: String = "JSONEachRow")
     extends DataWriter[InternalRow] {
 
   private val lz4 = compression.equalsIgnoreCase("lz4")
-  private val serializer = new JsonLineSerializer(schema)
-  private val buffer = new ArrayBuffer[String](batchSize)
+  private val serializer: RowSerializer =
+    if (insertFormat.equalsIgnoreCase("RowBinary"))
+      new RowBinarySerializer(schema)
+    else new JsonLineSerializer(schema)
+  private val buffer = new java.io.ByteArrayOutputStream()
+  private var buffered = 0
   private var blocks = 0
   private var rows = 0L
   private val startNanos = System.nanoTime()
@@ -287,19 +300,21 @@ final class HttpBlockWriter(target: HttpTarget, batchSize: Int,
         f"$elapsedSec%.1fs on block $blocks")
   }
 
-  private def flush(): Unit = if (buffer.nonEmpty) {
+  private def flush(): Unit = if (buffered > 0) {
     checkDeadline()
-    target.post(
-      buffer.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
-      lz4, maxExecutionTimeSec)
+    target.post(buffer.toByteArray, lz4, maxExecutionTimeSec,
+      serializer.format)
     blocks += 1
-    rows += buffer.size
-    buffer.clear()
+    rows += buffered
+    buffer.reset()
+    buffered = 0
   }
 
   override def write(row: InternalRow): Unit = {
-    buffer += serializer.jsonLine(row)
-    if (buffer.size >= batchSize) flush()
+    val b = serializer.rowBytes(row)
+    buffer.write(b, 0, b.length)
+    buffered += 1
+    if (buffered >= batchSize) flush()
   }
 
   override def commit(): WriterCommitMessage = {
@@ -307,13 +322,24 @@ final class HttpBlockWriter(target: HttpTarget, batchSize: Int,
     HttpBlocksCommit(blocks, rows)
   }
 
-  override def abort(): Unit = buffer.clear()
+  override def abort(): Unit = { buffer.reset(); buffered = 0 }
   override def close(): Unit = ()
+}
+
+/** One row → wire bytes, under a named ClickHouse FORMAT. */
+sealed trait RowSerializer extends Serializable {
+  def format: String
+  def rowBytes(row: InternalRow): Array[Byte]
 }
 
 /** Schema-driven row → JSON line serialization, shared by both wire
   * paths (string/long/int/double/boolean/timestamp/binary). */
-final class JsonLineSerializer(schema: StructType) extends Serializable {
+final class JsonLineSerializer(schema: StructType) extends RowSerializer {
+
+  override def format: String = "JSONEachRow"
+
+  override def rowBytes(row: InternalRow): Array[Byte] =
+    (jsonLine(row) + "\n").getBytes(StandardCharsets.UTF_8)
 
   private def esc(s: String): String = graft.util.JsonText.escape(s)
 
@@ -339,6 +365,75 @@ final class JsonLineSerializer(schema: StructType) extends Serializable {
       "\"" + f.name + "\":" + v
     }
     fields.mkString("{", ",", "}")
+  }
+}
+
+/** Schema-driven row → ClickHouse RowBinary serialization (the PUBLIC
+  * RowBinary format the HTTP interface accepts): values row-by-row in
+  * column order, no names/delimiters — Strings and Binary as LEB128
+  * varint length + bytes, Int32/Int64/Float64 little-endian fixed-width,
+  * Boolean as UInt8, Timestamp as DateTime64(6) Int64 micros (Spark's
+  * native resolution, lossless). A NULLABLE Spark field maps to
+  * `Nullable(T)` (1-byte 0x00/0x01 null flag before each value, 0x01 =
+  * NULL with no value bytes).
+  *
+  * This is the wire-efficiency analogue of the reference's native-
+  * protocol columnar blocks (`connection/connection.go:58-60`):
+  * JSONEachRow re-sends every field name and renders numbers as text on
+  * every row; RowBinary sends each value once, in binary — the insert
+  * bandwidth a real ClickHouse deployment actually achieves. */
+final class RowBinarySerializer(schema: StructType) extends RowSerializer {
+
+  override def format: String = "RowBinary"
+
+  override def rowBytes(row: InternalRow): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    var i = 0
+    while (i < schema.fields.length) {
+      val f = schema.fields(i)
+      val isNull = row.isNullAt(i)
+      if (f.nullable) out.write(if (isNull) 1 else 0)
+      else if (isNull)
+        throw new IOException(
+          s"null in non-nullable RowBinary column ${f.name}")
+      if (!isNull) f.dataType match {
+        case StringType => bytesVal(out, row.getUTF8String(i).getBytes)
+        case LongType => fixed64(out, row.getLong(i))
+        case IntegerType =>
+          val v = row.getInt(i)
+          out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+          out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+        case DoubleType =>
+          fixed64(out, java.lang.Double.doubleToLongBits(row.getDouble(i)))
+        case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
+        case TimestampType => fixed64(out, row.getLong(i)) // DateTime64(6)
+        case BinaryType => bytesVal(out, row.getBinary(i))
+        case other =>
+          bytesVal(out, row.get(i, other).toString
+            .getBytes(StandardCharsets.UTF_8))
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private def bytesVal(out: java.io.ByteArrayOutputStream,
+      b: Array[Byte]): Unit = {
+    varint(out, b.length.toLong); out.write(b, 0, b.length)
+  }
+
+  /** Unsigned LEB128 — RowBinary's length encoding. */
+  private def varint(out: java.io.ByteArrayOutputStream, n0: Long): Unit = {
+    var n = n0
+    while ((n & ~0x7fL) != 0) {
+      out.write(((n & 0x7f) | 0x80).toInt); n >>>= 7
+    }
+    out.write(n.toInt)
+  }
+
+  private def fixed64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
 }
 

@@ -145,10 +145,11 @@ class BatchInsertSinkSpec extends SparkSpec {
   }
 
   /** Stub ClickHouse HTTP interface: 200 "Ok." on /ping, records each
-    * insert POST (query string, auth headers, LZ4-decompressed body). */
+    * insert POST (query string, auth headers, LZ4-decompressed body —
+    * raw BYTES, since RowBinary blocks are not text). */
   private final class StubClickHouse(failInserts: Boolean = false) {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
-    val inserts = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], String)]()
+    val inserts = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], Array[Byte])]()
     val pings = new java.util.concurrent.atomic.AtomicInteger(0)
     private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     def port: Int = server.getAddress.getPort
@@ -165,7 +166,7 @@ class BatchInsertSinkSpec extends SparkSpec {
       val raw = x.getRequestBody
       val in = if (enc.contains("lz4"))
         new net.jpountz.lz4.LZ4FrameInputStream(raw) else raw
-      val body = new String(in.readAllBytes(), "UTF-8")
+      val body = in.readAllBytes()
       val headers = Seq("X-ClickHouse-User", "X-ClickHouse-Key", "Content-Encoding")
         .flatMap(h => Option(x.getRequestHeaders.getFirst(h)).map(h -> _)).toMap
       inserts.add((Option(x.getRequestURI.getRawQuery).getOrElse(""), headers, body))
@@ -208,9 +209,10 @@ class BatchInsertSinkSpec extends SparkSpec {
       assert(posts.forall(_._2.get("X-ClickHouse-Key").contains("secret")))
       assert(posts.forall(_._2.get("Content-Encoding").contains("lz4")))
       // all 25 rows arrive exactly once across the blocks, none > batchSize
-      val lines = posts.flatMap(_._3.split("\n")).filter(_.nonEmpty)
+      val bodies = posts.map(p => new String(p._3, "UTF-8"))
+      val lines = bodies.flatMap(_.split("\n")).filter(_.nonEmpty)
       assert(lines.size === 25)
-      assert(posts.forall(_._3.split("\n").count(_.nonEmpty) <= 10))
+      assert(bodies.forall(_.split("\n").count(_.nonEmpty) <= 10))
       assert(lines.count(_.contains("\"subject\":\"globex.supprt.u7\"")) === 1)
     } finally ch.close()
   }
@@ -235,6 +237,104 @@ class BatchInsertSinkSpec extends SparkSpec {
       }
       assert(err.toString.contains("insert block rejected") ||
         Option(err.getCause).exists(_.toString.contains("insert block rejected")))
+    } finally ch.close()
+  }
+
+  test("RowBinary serialization is byte-exact: LEB128 strings, little-endian " +
+      "fixed-width, Nullable flags (the reference's columnar-block efficiency)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("s", StringType, nullable = true),
+      StructField("n", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = false),
+      StructField("b", BooleanType, nullable = false),
+      StructField("t", TimestampType, nullable = true)))
+    val ser = new graft.sinks.RowBinarySerializer(schema)
+    def le64(v: Long): Seq[Byte] =
+      (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte)
+    val micros = 1705312800000000L // 2024-01-15 10:00:00 UTC as DateTime64(6)
+    val got = ser.rowBytes(InternalRow(
+      UTF8String.fromString("ab"), 258L, 1.5, true, micros))
+    val expected =
+      Seq[Byte](0, 2, 'a'.toByte, 'b'.toByte) ++ // Nullable flag, varint 2, bytes
+        le64(258L) ++
+        le64(java.lang.Double.doubleToLongBits(1.5)) ++
+        Seq[Byte](1) ++ // Boolean as UInt8
+        (Seq[Byte](0) ++ le64(micros)) // Nullable flag + DateTime64(6)
+    assert(got.toSeq === expected)
+    // NULL: flag byte 0x01, no value bytes
+    val gotNull = ser.rowBytes(InternalRow(null, 1L, 0.0, false, null))
+    assert(gotNull.toSeq ===
+      Seq[Byte](1) ++ le64(1L) ++ le64(0L) ++ Seq[Byte](0, 1))
+    // a 200-byte string exercises the multi-byte LEB128 (200 = 0xC8 0x01)
+    val gl = ser.rowBytes(InternalRow(
+      UTF8String.fromString("x" * 200), 0L, 0.0, false, null))
+    assert(gl(0) === 0.toByte && (gl(1) & 0xff) === 0xc8 && gl(2) === 1.toByte)
+    assert(gl.length === 3 + 200 + 8 + 8 + 1 + 1)
+  }
+
+  /** Decode RowBinary blocks under the Env schema (subject: Nullable
+    * String, data: Nullable String, metaTimestamp: Nullable DateTime64(6),
+    * streamSeq: Int64) — an independent reader, not the serializer
+    * inverted. */
+  private def decodeEnvRows(body: Array[Byte]): List[(String, String, Long, Long)] = {
+    val buf = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def varint(): Int = {
+      var shift = 0; var v = 0; var b = 0x80
+      while ((b & 0x80) != 0) {
+        b = buf.get() & 0xff; v |= (b & 0x7f) << shift; shift += 7
+      }
+      v
+    }
+    def str(): String = {
+      assert(buf.get() === 0.toByte) // non-null in this fixture
+      val a = new Array[Byte](varint()); buf.get(a); new String(a, "UTF-8")
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long, Long)]
+    while (buf.hasRemaining) {
+      val subject = str(); val data = str()
+      assert(buf.get() === 0.toByte)
+      val ts = buf.getLong(); val seq = buf.getLong()
+      out += ((subject, data, ts, seq))
+    }
+    out.toList
+  }
+
+  test("ch:// HTTP wire path: insertFormat=RowBinary POSTs decodable binary " +
+      "blocks — every row round-trips exactly once") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx = spark.sqlContext
+    val ch = new StubClickHouse()
+    try {
+      val cp = Files.createTempDirectory("graft_rowbin_cp").toString
+      val src = MemoryStream[Env]
+      src.addData(envs(0, 25): _*)
+      val q = src.toDF().writeStream
+        .format("graft.sinks.BatchInsertSinkProvider")
+        .option("path", Files.createTempDirectory("graft_rowbin_unused").toString)
+        .option("url", s"ch://writer:secret@127.0.0.1:${ch.port}")
+        .option("table", "nats_data_all_streams")
+        .option("insertFormat", "RowBinary")
+        .option("batchSize", 10)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val posts = ch.inserts.asScala.toList
+      assert(posts.nonEmpty)
+      // the INSERT names the binary format (lz4 framing still applies —
+      // the stub already decompressed the bodies)
+      assert(posts.forall(p => java.net.URLDecoder.decode(p._1, "UTF-8")
+        .contains("INSERT INTO nats_data_all_streams FORMAT RowBinary")))
+      assert(posts.forall(_._2.get("Content-Encoding").contains("lz4")))
+      val rows = posts.flatMap(p => decodeEnvRows(p._3))
+      assert(rows.size === 25)
+      assert(posts.forall(p => decodeEnvRows(p._3).size <= 10))
+      val expected = envs(0, 25).map(e =>
+        (e.subject, e.data, e.metaTimestamp.getTime * 1000L, e.streamSeq)).toSet
+      assert(rows.toSet === expected)
     } finally ch.close()
   }
 

@@ -50,6 +50,8 @@ object SparkEntry {
           ev.filter(col("event_type") === "click"))
         .orderBy("click_id", "view_id")
     }),
+    // VariantType mapping of init.sql's `metadata JSON, data JSON`
+    "r10_analytics_variant" -> (RefParity.analyticsVariant _),
     // — relational battery (SURVEY §2.6 / §7.2 step 4) —
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q2_filter_agg" -> (Relational.filterAgg _),
@@ -350,6 +352,20 @@ object SparkEntry {
         |  coalesce(string_split(subject,'.')[7], '') AS message_type,
         |  coalesce(string_split(subject,'.')[8], '') AS message_context
         |FROM raw ORDER BY metadata""".stripMargin),
+
+    // Mirrors RefParity.analyticsVariant: the Spark side extracts from
+    // parsed VARIANTs; value-for-value these equal DuckDB's JSON-string
+    // extractions over the same raw columns.
+    "r10_analytics_variant" -> (envCte +
+      """SELECT sequence,
+        |  coalesce(json_extract_string(data, '$.text'), '') AS message_text,
+        |  coalesce(json_extract_string(data, '$.meta'), '') AS message_meta,
+        |  coalesce(json_extract_string(data, '$.id'), '') AS message_id,
+        |  epoch_ms(1000 * coalesce(TRY_CAST(json_extract_string(data, '$.timestamp') AS BIGINT), 0)) AS message_timestamp,
+        |  coalesce(TRY_CAST(json_extract_string(data, '$.k') AS BIGINT), 0) AS x_k,
+        |  TRY_CAST(json_extract_string(metadata, '$.Sequence.Stream') AS BIGINT) AS meta_stream_seq,
+        |  coalesce(json_extract_string(metadata, '$.Timestamp'), '') AS meta_ts_str
+        |FROM raw ORDER BY sequence""".stripMargin),
 
     "r5_union_streams" -> (envCte +
       """SELECT coalesce(string_split(subject,'.')[2], '') AS stream,

@@ -94,6 +94,47 @@ object RefParity {
     Views.deriveAnalytics(ingestRaw(spark, sfDir))
       .orderBy("metadata")
 
+  /** R10: the analytics derivation with the SEMI-STRUCTURED columns
+    * mapped faithfully. The reference's analytics table declares
+    * `metadata JSON, data JSON` (`clickhouse-config/init/init.sql:79-80`);
+    * Spark 4.1's VariantType is that type's engine-native mapping, where
+    * [[analyticsDerive]] (SURVEY §1.2) uses the StringType +
+    * `get_json_object` fallback. Each JSON string parses ONCE into a
+    * binary variant (`try_parse_json` — parse failure degrades to null,
+    * matching ClickHouse's unparseable-JSON behavior, not a query
+    * error); every extraction then reads the variant, including a
+    * NESTED path into the JetStream metadata envelope — the
+    * single-parse / many-extract contract a JSON column type exists
+    * for, and the faithful scale story (the string fallback re-parses
+    * per extraction; the variant is parsed once per row regardless of
+    * how many fields the query reads).
+    *
+    * Output exposes extracted primitives (not raw variant bytes) so the
+    * DuckDB oracle compares value-for-value. */
+  def analyticsVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = ingestRaw(spark, sfDir)
+    val v = raw.select(
+      col("sequence"),
+      try_parse_json(col("metadata")).as("meta_v"),
+      try_parse_json(col("data")).as("data_v"))
+    v.select(
+      col("sequence"),
+      chString(try_variant_get(col("data_v"), "$.text", "string"))
+        .as("message_text"),
+      chString(try_variant_get(col("data_v"), "$.meta", "string"))
+        .as("message_meta"),
+      chString(try_variant_get(col("data_v"), "$.id", "string"))
+        .as("message_id"),
+      chEpochTimestamp(try_variant_get(col("data_v"), "$.timestamp", "string"))
+        .as("message_timestamp"),
+      chUInt(try_variant_get(col("data_v"), "$.k", "string")).as("x_k"),
+      try_variant_get(col("meta_v"), "$.Sequence.Stream", "bigint")
+        .as("meta_stream_seq"),
+      chString(try_variant_get(col("meta_v"), "$.Timestamp", "string"))
+        .as("meta_ts_str")
+    ).orderBy("sequence")
+  }
+
   /** R5 (Q2+Q3): the two per-stream MVs union into one table. Spark side
     * filters the raw stream into the two subject prefixes and unions back
     * (streaming-compatible unionByName), then aggregates per stream. */

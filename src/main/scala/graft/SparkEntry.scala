@@ -609,19 +609,27 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY prefix_hash) AS prefix_group_size
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Dedup.minhashLshFrom, including the MaxBandBucket cut
+    // (buckets past the cap dropped before the self-join).
     "x2_minhash_lsh" -> (shingleCte +
-      """, bands AS (
-        |  SELECT doc_id, sh, p.band,
-        |    list_min(list_transform(sh, x -> md5('s' || p.band || ':' || x))) AS h
-        |  FROM sh, (SELECT unnest(range(0, 6)) AS band) p
-        |  WHERE len(sh) > 0
-        |), cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS n_bands,
-        |    any_value(a.sh) AS sh_a, any_value(b.sh) AS sh_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
+      s""", all_bands AS (
+         |  SELECT doc_id, sh, p.band,
+         |    list_min(list_transform(sh, x -> md5('s' || p.band || ':' || x))) AS h
+         |  FROM sh, (SELECT unnest(range(0, ${graft.operators.Dedup.NumMinhashes})) AS band) p
+         |  WHERE len(sh) > 0
+         |), kept AS (
+         |  SELECT band, h FROM all_bands GROUP BY band, h
+         |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBandBucket}
+         |), bands AS (
+         |  SELECT ab.doc_id, ab.sh, ab.band, ab.h
+         |  FROM all_bands ab JOIN kept USING (band, h)
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bands,
+         |    any_value(a.sh) AS sh_a, any_value(b.sh) AS sh_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
         |), j AS (
         |  SELECT doc_a, doc_b, n_bands,
         |    CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter,
@@ -705,8 +713,11 @@ object SparkEntry {
     // Mirrors Similarity.embeddingDups: multi-probe IVF candidates
     // (top-DupProbes cells of 16) + exact cosine verify on the deduped
     // pair set.
+    // ncells derives from the corpus (max(16, floor(sqrt(N/8)))) in
+    // LOCKSTEP with Similarity.standInCentroids' in-plan derivation.
     "x8_embedding_dups" -> (unitCte +
-      s""", cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < ${graft.operators.Similarity.NumCells}),
+      s""", nc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t, nc WHERE vec_id < k),
          |ranked AS (
          |  SELECT v.vec_id, v.u, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -834,8 +845,10 @@ object SparkEntry {
         |  AND v.vts > c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
+    // Same corpus-derived ncells as x8 (Similarity.standInCentroids).
     "x19_ann_ivf" -> (unitCte +
-      s""", cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < 16),
+      s""", nc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t, nc WHERE vec_id < k),
          |ranked AS (
          |  SELECT v.vec_id, v.u, c.cid, ${dotUnitSql("v.u", "c.cu")} AS cdot,
          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id

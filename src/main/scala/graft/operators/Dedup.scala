@@ -37,7 +37,32 @@ import graft.util.OperatorCaches
   */
 object Dedup {
 
-  private val NumMinhashes = 6
+  /** MinHash band count for [[minhashLsh]] (bands of one row each, so the
+    * candidate curve is P = 1−(1−j)^b). Pinned by the standard LSH
+    * recall derivation rather than tuned: the smallest b whose curve
+    * catches a jaccard-0.4 near-dup with ≥95% probability —
+    * b = ⌈ln(1−0.95)/ln(1−0.4)⌉ = 6 ([[GraftProperties]] pins the
+    * arithmetic so a drive-by edit can't silently change the operating
+    * point). More bands buy recall on weaker pairs linearly in cost;
+    * fewer starve the verify stage. */
+  private[graft] val NumMinhashes = 6
+
+  /** Band-bucket size cap for [[minhashLsh]] — the x2 analogue of
+    * [[MaxShingleDf]]: a band bucket of f docs contributes f·(f−1)/2
+    * candidate pairs, so ONE bucket holding a million near-identical
+    * documents (mass-duplicated boilerplate; a template page) would
+    * explode quadratically inside a single join key — the exact skew
+    * pattern AQE's skew-join split cannot fix, because the blow-up
+    * happens inside one key, not across an oversized partition. Buckets
+    * past the cap are dropped BEFORE the self-join by a
+    * partial-aggregated groupBy joined back (never a window — see
+    * [[ngramJaccardFrom]]'s rationale). Correctness stance: a bucket
+    * that large means the docs are near-IDENTICAL under that band's
+    * MinHash — exact-dup mass that [[exact]] already groups upstream;
+    * dropping it costs pair REPORTS, not cluster membership. At the test
+    * corpora (max bucket 114 at the 50k-doc sf1) the cap never fires and
+    * results are unchanged. */
+  private[graft] val MaxBandBucket = 256
 
   /** Stop-shingle document-frequency cut for [[ngramJaccard]]: shingles
     * appearing in more than this many documents are dropped before the
@@ -121,8 +146,13 @@ object Dedup {
     * rows through the aggregation's sort/exchange than a per-band
     * explode. The tiny post-agg result unpivots back to (doc, band, h).
     * Values are identical to `array_min(transform(sh, md5(...)))`. */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleTable(spark, sfDir)
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshFrom(shingleTable(spark, sfDir))
+
+  /** [[minhashLsh]] over an arbitrary persisted (doc_id, sh) relation —
+    * the testable core (the skew spec drives it with a mass-duplicated
+    * fixture to prove the bucket cap engages). */
+  private[graft] def minhashLshFrom(sh: DataFrame): DataFrame = {
     val minCols = (0 until NumMinhashes).map(b =>
       min(md5(concat(lit(s"s$b:"), col("s")))).as(s"h$b"))
     // The signature table is O(N) SMALL (one row per doc, 6 digests) but
@@ -135,10 +165,22 @@ object Dedup {
       sh.select(col("doc_id"), explode(col("sh")).as("s"))
         .groupBy("doc_id")
         .agg(minCols.head, minCols.tail: _*))
-    val bands = mins.select(col("doc_id"), explode(array(
+    val allBands = mins.select(col("doc_id"), explode(array(
         (0 until NumMinhashes).map(b =>
           struct(lit(b).as("band"), col(s"h$b").as("h"))): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    // Bucket cap ([[MaxBandBucket]]): partial-aggregated bucket sizes,
+    // filtered BEFORE the join-back — the surviving occurrence rows
+    // stream through; the self-join's per-key fan-out is then bounded by
+    // MaxBandBucket²/2 no matter how degenerate the corpus. Persisted:
+    // both self-join sides read it (same ReusedExchange-defeat rationale
+    // as `mins`).
+    val keptBuckets = allBands.groupBy("band", "h")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBandBucket)
+      .select("band", "h")
+    val bands = OperatorCaches.persist(
+      allBands.join(keptBuckets, Seq("band", "h")))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))

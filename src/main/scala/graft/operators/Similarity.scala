@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -109,9 +109,34 @@ object Similarity {
     * query touches nprobe/K of the corpus instead of all of it. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normalized(spark, sfDir)
-    ivfTopKWith(e, e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cid"), col("u").as("cu")))
+    ivfTopKWith(e, standInCentroids(e))
   }
+
+  /** Corpus-derived cell count for the STAND-IN centroid sets of
+    * [[ivfTopK]]/[[embeddingDups]]: ncells = max(16, ⌊√(N/8)⌋) — the
+    * √N-family sizing IVF deployments use (FAISS guidance is 4√N–16√N
+    * cells; the /8 keeps the historical 16 cells at the test corpora's
+    * N ≤ 2000, so the derivation is behavior-preserving there, while a
+    * 20k-vector corpus gets 50 cells and 1e9 vectors ~11k — holding the
+    * per-cell candidate volume Σcellsize² ≈ probes²·N²/ncells on a
+    * sub-quadratic curve). The count is a 1-row aggregate CROSS-JOINED
+    * into the plan (a one-row broadcast, not a driver-side collect), so
+    * the derivation stays declarative and the DuckDB oracle derives the
+    * identical value with a scalar subquery. [[kmeansTrain]]'s K
+    * deliberately stays the fixed [[NumCells]]: a trained-cluster count
+    * is a model hyperparameter the user picks, not a corpus statistic.
+    * [[GraftProperties]] pins the derivation curve. */
+  private def standInCentroids(e: DataFrame): DataFrame = {
+    val k = e.agg(derivedCellsExpr(count(lit(1))).as("ncells"))
+    e.join(broadcast(k)).filter(col("vec_id") < col("ncells"))
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+  }
+
+  /** ncells as an expression over a corpus count — shared by
+    * [[standInCentroids]] and the property spec that pins the curve. */
+  private[graft] def derivedCellsExpr(n: Column): Column =
+    greatest(lit(NumCells.toLong),
+      floor(sqrt(n.cast("double") / 8.0)).cast("long"))
 
   /** x34: [[ivfTopK]] over TRAINED cells — the end-to-end IVF a real
     * deployment runs: [[kmeansTrain]]'s Lloyd centroids replace the
@@ -263,8 +288,7 @@ object Similarity {
     * where cells are also the partition key. */
   def embeddingDups(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normalized(spark, sfDir)
-    val cents = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val cents = standInCentroids(e)
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cdot").desc, col("cid"))
     val cells = e.join(broadcast(cents))

@@ -404,7 +404,13 @@ object Relational {
   val ApproxRsd = 0.03
 
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    approxDistinctFrom(Tables.lineitem(spark, sfDir))
+
+  /** [[approxDistinct]] over an arbitrary lineitem relation — the
+    * testable core ([[PropertySpec]] drives it under adversarial
+    * repartitionings to pin sketch-merge partitioning-invariance). */
+  private[graft] def approxDistinctFrom(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), ApproxRsd).as("approx_orders"),
@@ -426,7 +432,12 @@ object Relational {
     * rows-only gate + an accuracy spec against [[percentiles]]' exact
     * values (mirroring q16's HLL treatment). */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    approxPercentilesFrom(Tables.lineitem(spark, sfDir))
+
+  /** [[approxPercentiles]] over an arbitrary lineitem relation (see
+    * [[approxDistinctFrom]]). */
+  private[graft] def approxPercentilesFrom(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy("l_returnflag")
       .agg(
         expr(s"approx_percentile(l_quantity, 0.5, $PercentileAccuracy)")

@@ -124,6 +124,32 @@ object GraftProperties extends Properties("graft") {
       agg.finish(merged) == expected && agg.finish(mergedReversed) == expected
     }
 
-  // keep Prop referenced so the import is legitimate even if properties change
-  locally { val _ = Prop }
+  /** Pin the LSH operating point: NumMinhashes must equal the standard
+    * recall derivation — smallest b with 1−(1−j₀)^b ≥ r₀ at the
+    * documented (j₀=0.4 similarity, r₀=0.95 recall) target — so a
+    * drive-by band-count edit shows up as a failed derivation, not a
+    * silent recall change. */
+  property("LSH band count == ceil(ln(1-recall)/ln(1-j)) at the documented target") =
+    Prop {
+      val derived = math.ceil(math.log(1 - 0.95) / math.log(1 - 0.4)).toInt
+      derived == graft.operators.Dedup.NumMinhashes &&
+        // and it is minimal: one band fewer misses the recall target
+        1 - math.pow(1 - 0.4, derived - 1) < 0.95 &&
+        1 - math.pow(1 - 0.4, derived) >= 0.95
+    }
+
+  /** Pin the corpus-derived IVF cell curve (max(16, ⌊√(N/8)⌋)):
+    * monotone in N, floored at the historical 16 for every test-corpus
+    * size (behavior-preserving at sf ≤ 0.1), and √N-family growth —
+    * cells² stays within a constant factor of N/8, which is what keeps
+    * candidate volume probes²·N²/cells sub-quadratic. */
+  property("derived IVF cell count: floor at 16, sqrt-family growth") =
+    forAll(Gen.chooseNum(1L, 2_000_000_000L)) { n =>
+      def cells(x: Long): Long =
+        math.max(16L, math.floor(math.sqrt(x.toDouble / 8.0)).toLong)
+      val c = cells(n)
+      val floored = n <= 2048 || c > 16 // 16 exactly until sqrt(N/8) > 16
+      val sqrtFamily = c == 16L || (c * c <= n / 8 && (c + 1) * (c + 1) > n / 8)
+      floored && sqrtFamily && cells(2000) == 16L && cells(20000) == 50L
+    }
 }

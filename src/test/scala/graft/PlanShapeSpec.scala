@@ -42,18 +42,33 @@ class PlanShapeSpec extends SparkSpec {
 
   test("ANN top-k has no rank window and no single-partition exchange") {
     Seq(
-      Similarity.bruteForceTopK(spark, Sf),
-      Similarity.lshTopK(spark, Sf),
-      Similarity.ivfTopK(spark, Sf)
-    ).foreach { df =>
-      val p = physical(df)
+      () => Similarity.bruteForceTopK(spark, Sf),
+      () => Similarity.lshTopK(spark, Sf),
+      () => Similarity.ivfTopK(spark, Sf)
+    ).foreach { mk =>
+      val p = physical(mk())
       // partial-aggregated bounded heap, not a per-query window rank over
       // the candidate set (ivfTopK's window is the 16-row-per-vector
       // centroid ranking, which is bounded — the TOP-K stage must not
       // window). The top-k ObjectHashAggregate must be present...
       assert(p.contains("ObjectHashAggregate"), s"no partial top-k in:\n$p")
-      // ...and nothing may funnel through a single partition
-      assert(!p.contains("SinglePartition"), s"single-partition stage in:\n$p")
+      // ...and nothing may funnel CORPUS rows through a single partition.
+      // The one admissible single-partition stage is the derived-ncells
+      // 1-row count merge (Similarity.standInCentroids): 32 partial
+      // counts → one row, bounded at any corpus size. Assert
+      // structurally that every single-partition exchange is that
+      // aggregate merge and nothing else.
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val singles = withoutAqe {
+        mk().queryExecution.executedPlan
+      }.collect {
+        case ex: ShuffleExchangeExec
+            if ex.outputPartitioning.numPartitions == 1 => ex
+      }
+      singles.foreach { ex =>
+        assert(ex.child.toString.contains("count"),
+          s"single-partition stage is not the 1-row ncells count:\n$ex")
+      }
     }
   }
 
@@ -163,9 +178,99 @@ class PlanShapeSpec extends SparkSpec {
         case BuildLeft => j.left
       }
       val s = build.toString
-      assert(s.contains(s"< ${Similarity.NumCells}"),
-        s"nested-loop build side is not the bounded centroid table:\n$s")
+      // bounded build sides only: the 1-row derived-ncells aggregate, or
+      // the centroid table whose lineage carries the `vec_id < ncells`
+      // cut (corpus-derived cell count — Similarity.standInCentroids)
+      assert(s.contains("ncells"),
+        s"nested-loop build side is not the bounded centroid/ncells table:\n$s")
     }
+  }
+
+  private def withConf[T](kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("skew guards: the band-bucket cap (x2) and shingle-DF cut (x3) " +
+      "suppress a mass-duplicated group, keep under-cap groups intact") {
+    import spark.implicits._
+    import graft.util.OperatorCaches
+    // 300 copies of ONE boilerplate text: every band bucket it forms has
+    // 300 members (past MaxBandBucket=256) and every one of its shingles
+    // has df=300 (past MaxShingleDf=32) — the hot-key pattern that would
+    // otherwise quadratically explode inside a single join key, which
+    // AQE's partition-splitting cannot fix (the blow-up is within one
+    // key, not across an oversized partition). Both cuts must drop it.
+    val boiler = (1 to 12).map(i => s"common$i").mkString(" ")
+    val boilerDocs = (0 until 300).map(i => (i.toLong, boiler))
+    // a 6-copy group UNDER both caps: its 15 pairs must survive —
+    // proving the guards fire past the threshold, not always
+    val small = "rare1 rare2 rare3 rare4 rare5 rare6"
+    val smallDocs = (1000 until 1006).map(i => (i.toLong, small))
+    // unique chaff: singleton buckets / df-1 shingles, no pairs
+    val chaff = (2000 until 2100).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val docs = (boilerDocs ++ smallDocs ++ chaff).toDF("doc_id", "text")
+
+    val x2 = Dedup.minhashLshFrom(Dedup.shingleTableFrom(docs.repartition(8)))
+      .collect()
+    assert(!x2.exists(r => r.getLong(0) < 1000 && r.getLong(1) < 1000),
+      "band-bucket cap failed: the 300-copy group produced pairs")
+    val smallPairs = x2.filter(r => r.getLong(0) >= 1000 && r.getLong(0) < 1006)
+    assert(smallPairs.length == 15 &&
+      smallPairs.forall(_.getAs[Double]("jaccard") == 1.0))
+    assert(x2.length == 15) // nothing else pairs
+    OperatorCaches.release(spark)
+
+    val x3 = Dedup.ngramJaccardFrom(docs.repartition(8)).collect()
+    assert(!x3.exists(r => r.getLong(0) < 1000 && r.getLong(1) < 1000),
+      "shingle-DF cut failed: the 300-copy group produced pairs")
+    val small3 = x3.filter(r => r.getLong(0) >= 1000 && r.getLong(0) < 1006)
+    assert(small3.length == 15 && x3.length == 15)
+    OperatorCaches.release(spark)
+  }
+
+  test("AQE skew-join mitigation engages on x2's candidate join " +
+      "when a SURVIVING bucket is hot") {
+    import spark.implicits._
+    import graft.util.OperatorCaches
+    // 200 copies (under the 256 cap — the bucket survives into the
+    // self-join) concentrate ~40k candidate rows in 6 hot keys, against
+    // thin chaff. With broadcast off and test-scaled skew thresholds,
+    // AQE must split the oversized partitions (skew=true in the final
+    // plan) — the runtime guard that protects the join between the cap
+    // (quadratic blow-up inside one key) and even load (many keys).
+    val hot = (0 until 200).map(i => (i.toLong, "hotA hotB hotC hotD hotE"))
+    val chaff = (1000 until 1050).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val docs = (hot ++ chaff).toDF("doc_id", "text")
+    // 32 shuffle partitions (not the suite's 4): the 6 hot (band, h)
+    // keys land in ≤6 partitions against ~26 near-empty ones, so the
+    // MEDIAN partition size is tiny and the factor×median skew test can
+    // flag the hot ones — with 4 partitions the hot keys cover most
+    // partitions and the median itself is inflated, masking the skew
+    // (exactly why production skew detection needs partitions ≫ hot keys)
+    withConf(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val df = Dedup.minhashLshFrom(Dedup.shingleTableFrom(docs.repartition(8)))
+      df.collect() // drive THIS queryExecution to its final adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not engage on the candidate join:\n$plan")
+    }
+    OperatorCaches.release(spark)
   }
 
   test("round-5 operators: rebalance has no rank window, scrub is a pure projection") {

@@ -108,4 +108,65 @@ class PropertySpec extends SparkSpec {
       assert((1L to n.toLong).forall(covered.contains), s"gap in doc $i")
     }
   }
+
+  test("sketch merge is partitioning-sound: q16 HLL identical under 1/32/by-key " +
+      "splits; q22 quantile holds its rank bound under each") {
+    import graft.queries.{Relational, Tables}
+    val base = Tables.lineitem(spark, Sf)
+    val parts = Seq(
+      base.repartition(1),
+      base.repartition(32),
+      base.repartition(8, col("l_partkey"))) // clustered layout, not round-robin
+    // q16: HLL registers merge by element-wise MAX — commutative,
+    // associative, idempotent — so the estimate must be IDENTICAL no
+    // matter how rows split across partial aggregates. Bit-equality is
+    // the property, not a tolerance.
+    val hll = parts.map(df =>
+      Relational.approxDistinctFrom(df).collect().map(_.toSeq).toSeq)
+    assert(hll(0) === hll(1), "HLL differs: 1 vs 32 partitions")
+    assert(hll(0) === hll(2), "HLL differs: round-robin vs key-clustered")
+    // q22: GK quantile summaries are NOT merge-order invariant (the
+    // compression points depend on the split), so exact equality across
+    // partitionings would be a flaky guard; the contract that must
+    // survive ANY partitioning is the rank bound — the returned value's
+    // rank within ±eps·N of p·N for every group, percentile, and split.
+    val eps = 1.0 / Relational.PercentileAccuracy
+    val specs = Seq(("ap50_qty", "l_quantity", 0.5),
+      ("ap90_price", "l_extendedprice", 0.9),
+      ("ap25_disc", "l_discount", 0.25))
+    parts.foreach { df =>
+      Relational.approxPercentilesFrom(df).collect().foreach { r =>
+        val flag = r.getString(0)
+        val grp = base.filter(col("l_returnflag") === flag)
+        specs.foreach { case (resCol, srcCol, p) =>
+          val a = r.getAs[Double](resCol)
+          val Array(n, le, lt) = grp.agg(
+            count(lit(1)),
+            sum(when(col(srcCol) <= a, 1L).otherwise(0L)),
+            sum(when(col(srcCol) < a, 1L).otherwise(0L))
+          ).head.toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+          assert(lt <= math.ceil((p + eps) * n),
+            s"$flag/$resCol: rank too high (lt=$lt, n=$n)")
+          assert(le >= math.floor((p - eps) * n),
+            s"$flag/$resCol: rank too low (le=$le, n=$n)")
+        }
+      }
+    }
+  }
+
+  test("derivedCellsExpr ≡ max(16, floor(sqrt(n/8))) model (the IN-PLAN derivation " +
+      "x8/x19 and their oracles share)") {
+    import spark.implicits._
+    // the GraftProperties pin covers the curve's shape; this evaluates the
+    // actual Catalyst expression so the Scala model and the plan can't drift
+    val ns = Seq(1L, 100L, 500L, 2000L, 2048L, 2049L, 20000L, 1_000_000L, 1_000_000_000L)
+    val got = ns.toDF("n")
+      .select(col("n"), graft.operators.Similarity.derivedCellsExpr(col("n")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val model = math.max(16L, math.floor(math.sqrt(n.toDouble / 8.0)).toLong)
+      assert(got(n) === model, s"n=$n")
+    }
+    assert(got(2000L) === 16L && got(20000L) === 50L) // sf0.1 unchanged; sf1 scales
+  }
 }

@@ -64,6 +64,48 @@ def x28_expected(con):
                 ra, rb = find(s), find(t)
                 if ra != rb:
                     parent[ra] = rb
+
+    # Independent cross-check of the probe loop above (which mirrors
+    # Dedup.dupClusters' own single-bit-probe construction, so a shared
+    # conceptual bug — e.g. an incomplete probe enumeration — would pass
+    # both sides): recompute components by PAIRWISE popcount over the
+    # distinct signatures (no probe assumption at all; O(m^2) on m
+    # distinct 16-bit values, m <= 65536 — numpy, sub-second) and
+    # assert the partitions coincide. Signature construction itself is
+    # independently gated via x4_simhash's hash-exact DuckDB oracle
+    # (the 16-bit slice is bits 0..15 of that same 64-bit signature).
+    import numpy as np
+    uniq = np.array(sorted(set(sigs.values())), dtype=np.uint16)
+    m = len(uniq)
+    if m:
+        xor = uniq[:, None] ^ uniq[None, :]
+        # popcount via 16-bit lookup table
+        lut = np.array([bin(i).count("1") for i in range(1 << 16)],
+                       dtype=np.uint8)
+        adj = lut[xor] <= CLUSTER_HAMMING
+        comp = -np.ones(m, dtype=np.int64)
+        cid = 0
+        for i in range(m):
+            if comp[i] >= 0:
+                continue
+            stack = [i]
+            comp[i] = cid
+            while stack:
+                j = stack.pop()
+                for k in np.nonzero(adj[j])[0]:
+                    if comp[k] < 0:
+                        comp[k] = cid
+                        stack.append(int(k))
+            cid += 1
+        sig_comp = {int(s): int(c) for s, c in zip(uniq, comp)}
+        probe_parts = {}
+        bfs_parts = {}
+        for s in uniq:
+            probe_parts.setdefault(find(int(s)), set()).add(int(s))
+            bfs_parts.setdefault(sig_comp[int(s)], set()).add(int(s))
+        assert (sorted(map(sorted, probe_parts.values()))
+                == sorted(map(sorted, bfs_parts.values()))), \
+            "x28 oracle self-check failed: probe union-find != pairwise BFS"
     comp_min = {}
     for d, s in sigs.items():
         r = find(s)

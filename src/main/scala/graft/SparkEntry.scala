@@ -275,7 +275,7 @@ object SparkEntry {
          |m$i AS (SELECT vec_id, u, cid AS cell FROM a$i WHERE rn = 1),
          |s$i AS (
          |  SELECT cell, i - 1 AS pos,
-         |    CAST(SUM(CAST(floor(u[i] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    CAST(CAST(SUM(CAST(floor(u[i] * 1000000.0 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE)
          |      / (1000000.0 * COUNT(*)) AS cval
          |  FROM m$i CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix
          |  GROUP BY 1, 2),
@@ -430,11 +430,11 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -443,7 +443,7 @@ object SparkEntry {
 
     "q2_filter_agg" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -451,7 +451,7 @@ object SparkEntry {
 
     "q3_join_topk" ->
       """SELECT o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem, orders, customer
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND c_mktsegment = 'BUILDING'
@@ -462,14 +462,14 @@ object SparkEntry {
 
     "q4_broadcast_join" ->
       """SELECT p_brand, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q5_multi_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem, orders, supplier, customer, nation, region
         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -480,7 +480,7 @@ object SparkEntry {
 
     "q6_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
@@ -488,7 +488,7 @@ object SparkEntry {
 
     "q7_anti_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_acctbal,
         |  MIN(c_custkey) AS min_custkey
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -506,24 +506,24 @@ object SparkEntry {
 
     "q9_window_running" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey < 10
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
     "q10_distinct_agg" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  COUNT(DISTINCT c_nationkey) AS n_nations,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_acctbal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q11_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
@@ -544,8 +544,8 @@ object SparkEntry {
     "q13_event_windows" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
-        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS avg_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q14_sessionize" ->
@@ -565,18 +565,18 @@ object SparkEntry {
         |)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
     "q17_pivot" ->
       """SELECT o_orderpriority,
-        |  coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'F'
-        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS sum_f,
-        |  coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'O'
-        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS sum_o,
-        |  coalesce(CAST(SUM(CASE WHEN o_orderstatus = 'P'
-        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS sum_p
+        |  coalesce(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE), 0.0) AS sum_f,
+        |  coalesce(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE), 0.0) AS sum_o,
+        |  coalesce(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE), 0.0) AS sum_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q18_percentiles" ->
@@ -591,8 +591,8 @@ object SparkEntry {
     // must not change results (decimal accumulation is associative).
     "q19_salted_agg" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -610,10 +610,18 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // Mirrors Dedup.minhashLshFrom, including the MaxBandBucket cut
-    // (buckets past the cap dropped before the self-join).
+    // (buckets past the cap dropped before the self-join) AND the
+    // shingle-fetch ORDER: the shingle lists join back per-doc onto the
+    // already-deduped candidate pairs, exactly like the Spark plan's
+    // shA/shB joins — carrying `sh` through the band self-join and the
+    // pair GROUP BY (the previous formulation) made DuckDB materialize
+    // two ~50-element lists per candidate ROW in the aggregate hash
+    // table, which OOM-killed the sf1 gate at 130 GB (5.7M candidate
+    // pairs on the self-similar corpus). The deferred fetch is the same
+    // rewrite that makes the Spark side scale.
     "x2_minhash_lsh" -> (shingleCte +
       s""", all_bands AS (
-         |  SELECT doc_id, sh, p.band,
+         |  SELECT doc_id, p.band,
          |    list_min(list_transform(sh, x -> md5('s' || p.band || ':' || x))) AS h
          |  FROM sh, (SELECT unnest(range(0, ${graft.operators.Dedup.NumMinhashes})) AS band) p
          |  WHERE len(sh) > 0
@@ -621,20 +629,21 @@ object SparkEntry {
          |  SELECT band, h FROM all_bands GROUP BY band, h
          |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBandBucket}
          |), bands AS (
-         |  SELECT ab.doc_id, ab.sh, ab.band, ab.h
+         |  SELECT ab.doc_id, ab.band, ab.h
          |  FROM all_bands ab JOIN kept USING (band, h)
          |), cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS n_bands,
-         |    any_value(a.sh) AS sh_a, any_value(b.sh) AS sh_b
+         |    CAST(COUNT(*) AS BIGINT) AS n_bands
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
          |    AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
         |), j AS (
-        |  SELECT doc_a, doc_b, n_bands,
-        |    CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter,
-        |    len(sh_a) AS na, len(sh_b) AS nb
-        |  FROM cand)
+        |  SELECT c.doc_a, c.doc_b, c.n_bands,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+        |    len(sa.sh) AS na, len(sb.sh) AS nb
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, n_bands, inter,
         |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
         |FROM j
@@ -642,13 +651,18 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Mirrors Dedup.ngramJaccardFrom: n carried through the explode, and
-    // the stop-shingle cut (df <= MaxShingleDf) applied before the join.
+    // the corpus-derived stop-shingle cut (df <= max(MaxShingleDf,
+    // ceil(N/100)) — Dedup.dfCapExpr) applied before the join, derived
+    // here with the same scalar-subquery pattern as x8/x19's ncells.
     "x3_ngram_jaccard" -> (shingleCte +
-      s""", ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s
+      s""", cap AS (SELECT GREATEST(${graft.operators.Dedup.MaxShingleDf},
+         |    CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS df_cap
+         |  FROM sh WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s
          |         FROM sh WHERE len(sh) > 0),
          |cut AS (SELECT doc_id, n, s FROM (
-         |  SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex)
-         |  WHERE df <= ${graft.operators.Dedup.MaxShingleDf}),
+         |  SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex), cap
+         |  WHERE df <= cap.df_cap),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(COUNT(*) AS BIGINT) AS inter,
@@ -818,7 +832,7 @@ object SparkEntry {
     "x15_asof_join" ->
       """WITH views AS (
         |  SELECT user_id, ts, max(event_id) AS view_event_id,
-        |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS view_value
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS view_value
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |clicks AS (SELECT user_id, event_id, ts, value FROM events
         |           WHERE event_type = 'click')
@@ -837,9 +851,9 @@ object SparkEntry {
         |           WHERE event_type = 'click')
         |SELECT c.user_id, c.event_id, c.ts,
         |  COUNT(v.vts) AS n_views_1h,
-        |  CAST(SUM(CASE WHEN v.vts IS NOT NULL
+        |  CAST(CAST(SUM(CASE WHEN v.vts IS NOT NULL
         |    THEN CAST(v.value AS DECIMAL(25,6))
-        |    ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE) AS sum_view_value_1h
+        |    ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE) AS sum_view_value_1h
         |FROM clicks c LEFT JOIN views v
         |  ON c.user_id = v.user_id
         |  AND v.vts > c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
@@ -887,8 +901,8 @@ object SparkEntry {
 
     "x17_udaf_wavg" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS wavg_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS wavg_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -956,7 +970,7 @@ object SparkEntry {
          |    CAST(stop_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS stop_ratio,
          |    sqrt(CAST(total_tokens AS DOUBLE)) AS root_toks
          |  FROM s),
-         |n AS (SELECT CAST(SUM(CAST(root_toks AS DECIMAL(25,6))) AS DOUBLE) AS norm FROM r)
+         |n AS (SELECT CAST(CAST(SUM(CAST(root_toks AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS norm FROM r)
          |SELECT source, n_docs, total_tokens, stop_tokens, stop_ratio,
          |  root_toks / norm AS weight
          |FROM r, n ORDER BY source""".stripMargin,
@@ -1181,14 +1195,14 @@ object SparkEntry {
     // Mirrors Relational.corrSubquery (same ANSI text modulo view names).
     "q20_corr_subquery" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / 7.0
         |    AS avg_yearly,
         |  COUNT(*) AS n_rows
         |FROM lineitem l JOIN part p ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (
-        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
-        |        AS DOUBLE) / COUNT(*))
+        |    SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
+        |        AS VARCHAR) AS DOUBLE) / COUNT(*))
         |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |""".stripMargin,
 
@@ -1198,7 +1212,7 @@ object SparkEntry {
         |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
         |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
         |  COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer c
         |JOIN nation n ON c_nationkey = n_nationkey
         |JOIN region r ON n_regionkey = r_regionkey
@@ -1215,8 +1229,8 @@ object SparkEntry {
         |)
         |SELECT day, n_orders,
         |  CAST(dec_price AS DOUBLE) AS sum_price,
-        |  CAST(SUM(n_orders) OVER w7 AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_orders,
-        |  CAST(SUM(dec_price) OVER w7 AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_price
+        |  CAST(CAST(SUM(n_orders) OVER w7 AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_orders,
+        |  CAST(CAST(SUM(dec_price) OVER w7 AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_price
         |FROM daily
         |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
@@ -1382,7 +1396,7 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
          |  CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_oov,
-         |  CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |  CAST(CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
          |  array_to_string(list(id ORDER BY pos), ',') AS ids_csv
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.queries.Tables
@@ -64,15 +64,28 @@ object Dedup {
     * results are unchanged. */
   private[graft] val MaxBandBucket = 256
 
-  /** Stop-shingle document-frequency cut for [[ngramJaccard]]: shingles
-    * appearing in more than this many documents are dropped before the
-    * inverted-index join. A shingle with document frequency f contributes
-    * f·(f−1)/2 candidate rows, so one boilerplate phrase shared by a
-    * million documents would otherwise explode quadratically inside a
-    * single join key. At the current test corpora the max DF is 25, so the
-    * cut is a pure scale guard (results unchanged); a production corpus
-    * would set it per-corpus (e.g. a few ppm of N). */
+  /** Stop-shingle document-frequency FLOOR for [[ngramJaccard]]: the
+    * operative cut is the corpus-derived [[dfCapExpr]] = max(this,
+    * ⌈N/100⌉) — a shingle is "boilerplate" when it appears in more than
+    * 1% of documents (the fraction-of-corpus definition stop-word
+    * practice uses), never when it merely appears in more than a fixed
+    * count. The absolute floor keeps tiny corpora from cutting
+    * everything. A shingle with document frequency f contributes
+    * f·(f−1)/2 candidate rows, so the cut bounds every surviving join
+    * key's fan-out at cap²/2; the sf1 gate is what forced the
+    * derivation — its 31-word vocabulary pushes every shingle's df past
+    * any fixed constant (median 89 at 50k docs), and a fixed 32 turned
+    * the operator into a correct-but-empty query. At sf ≤ 0.1 the
+    * derivation is behavior-preserving (max observed df 25 < 32). */
   private[graft] val MaxShingleDf = 32
+
+  /** The operative stop-shingle cap over the shingle-table doc count —
+    * shared by [[ngramJaccardFrom]], the x3 oracle, and the property pin
+    * (same in-plan 1-row-aggregate pattern as
+    * [[Similarity.derivedCellsExpr]]). */
+  private[graft] def dfCapExpr(n: Column): Column =
+    greatest(lit(MaxShingleDf.toLong),
+      ceil(n.cast("double") / 100.0).cast("long"))
 
   /** (doc_id, sh) with non-empty shingle sets, from an arbitrary
     * (doc_id, text) relation — the testable core.
@@ -215,7 +228,8 @@ object Dedup {
     * Scale shape, in order:
     *  - the set size `n` is computed BEFORE the explode and carried
     *    through it, so no corpus-sized `sizes` join exists at all;
-    *  - stop-shingles (document frequency > [[MaxShingleDf]]) are cut by
+    *  - stop-shingles (document frequency > the corpus-derived
+    *    [[dfCapExpr]] cap = max([[MaxShingleDf]], ⌈N/100⌉)) are cut by
     *    a partial-aggregated `groupBy(shingle).count()` joined back on
     *    the shingle — NOT a `Window.partitionBy(shingle)` count, which
     *    must buffer the hottest shingle's ENTIRE occurrence list in one
@@ -223,21 +237,30 @@ object Dedup {
     *    documents = 10M rows through one spilling window task). The
     *    aggregate shrinks the hot key map-side to per-partition partials,
     *    and the occurrence rows then STREAM through the join; the join
-    *    bounds every surviving key's candidate fan-out to MaxShingleDf²/2;
+    *    bounds every surviving key's candidate fan-out to cap²/2. The
+    *    1%-of-corpus cap makes "boilerplate" a fraction, not a count —
+    *    the worst-case candidate volume S·(N/100)²/2 is the inherent
+    *    cost of all-pairs similarity under a fractional df cut, paid
+    *    only by corpora whose vocabulary is degenerate relative to N;
     *  - the self-join and the (doc_a, doc_b) groupBy are the only other
     *    shuffles.
     *
     * Intersections are counted over the surviving shingles, so on a corpus
     * where the cut fires the score lower-bounds true Jaccard (standard
-    * stop-shingle practice); at the test corpora the max DF is under the
-    * cut and the result is exact. */
+    * stop-shingle practice); at sf ≤ 0.1 the max DF is under the cap and
+    * the result is exact. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardFrom(Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism))
 
   /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation. */
   private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame = {
-    val ex = shingleTableFrom(docs)
+    val sh = shingleTableFrom(docs)
+    // corpus-derived stop-shingle cap ([[dfCapExpr]]): a 1-row aggregate
+    // cross-joined in as a broadcast — declarative, no driver collect,
+    // and the oracle derives the identical value with a scalar subquery
+    val cap = sh.agg(dfCapExpr(count(lit(1))).as("df_cap"))
+    val ex = sh
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s"))
     // Stop-shingle DF table: partial-aggregated, filtered BEFORE the
@@ -245,7 +268,9 @@ object Dedup {
     // cardinality is the distinct-shingle count (corpus-sized), so only
     // AQE may choose broadcast.
     val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
+      .join(broadcast(cap))
+      .filter(col("df") <= col("df_cap"))
+      .select("s")
     // Materialized once: both self-join sides read it, and a broadcast
     // resolution of the join would otherwise recompute the shingle
     // explode + DF cut on each side. (At cluster scale this is the

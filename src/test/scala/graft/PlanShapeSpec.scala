@@ -31,13 +31,23 @@ class PlanShapeSpec extends SparkSpec {
     try body finally spark.conf.set(key, prev)
   }
 
-  test("dedup joins carry NO broadcast hints (AQE decides from runtime stats)") {
-    // x2/x3: the candidate/index relations are data-dependent and unbounded
-    // at scale; only the optimizer may choose broadcast, never a hint
-    assert(logicalHints(Dedup.minhashLsh(spark, Sf)).isEmpty)
-    assert(logicalHints(Dedup.ngramJaccardFrom(
+  test("dedup joins carry NO broadcast hints on unbounded relations " +
+      "(AQE decides from runtime stats)") {
+    // x2/x3: the candidate/index relations are data-dependent and
+    // unbounded at scale; only the optimizer may choose broadcast there.
+    // The single admissible hint shape is a GLOBAL (no-grouping-key)
+    // aggregate — a 1-row derived constant like x3's df cap — which is
+    // bounded by construction at any corpus size.
+    def corpusHints(df: DataFrame) = logicalHints(df).filterNot { h =>
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+      }.isDefined
+    }
+    assert(corpusHints(Dedup.minhashLsh(spark, Sf)).isEmpty)
+    assert(corpusHints(Dedup.ngramJaccardFrom(
       graft.queries.Tables.documents(spark, Sf))).isEmpty)
-    assert(logicalHints(Dedup.simhashPairs(spark, Sf)).isEmpty)
+    assert(corpusHints(Dedup.simhashPairs(spark, Sf)).isEmpty)
   }
 
   test("ANN top-k has no rank window and no single-partition exchange") {

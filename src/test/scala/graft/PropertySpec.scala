@@ -154,6 +154,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dfCapExpr ≡ max(32, ceil(n/100)) model (the IN-PLAN stop-shingle cap " +
+      "x3 and its oracle share)") {
+    import spark.implicits._
+    val ns = Seq(1L, 100L, 500L, 3200L, 3201L, 5000L, 50000L, 1_000_000_000L)
+    val got = ns.toDF("n")
+      .select(col("n"), graft.operators.Dedup.dfCapExpr(col("n")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val model = math.max(32L, math.ceil(n.toDouble / 100.0).toLong)
+      assert(got(n) === model, s"n=$n")
+    }
+    // behavior-preserving at the driver SFs (max observed df 25 < 32),
+    // operative at sf1 (cap 500 > the 131 max df of the 31-word corpus)
+    assert(got(500L) === 32L && got(5000L) === 50L && got(50000L) === 500L)
+  }
+
   test("derivedCellsExpr ≡ max(16, floor(sqrt(n/8))) model (the IN-PLAN derivation " +
       "x8/x19 and their oracles share)") {
     import spark.implicits._

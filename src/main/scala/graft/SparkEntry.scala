@@ -724,13 +724,14 @@ object SparkEntry {
          |SELECT sig, query_id, neighbor_id, cos, rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
-    // Mirrors Similarity.embeddingDups: multi-probe IVF candidates
-    // (top-DupProbes cells of 16) + exact cosine verify on the deduped
-    // pair set.
-    // ncells derives from the corpus (max(16, floor(sqrt(N/8)))) in
-    // LOCKSTEP with Similarity.standInCentroids' in-plan derivation.
+    // Mirrors Similarity.embeddingDups: multi-probe IVF candidates +
+    // exact cosine verify on the deduped pair set.
+    // ncells derives LINEARLY from the corpus (max(16, ceil(N/125)) —
+    // the dedup curve, cells ∝ N so Σcellsize² ∝ N) in LOCKSTEP with
+    // Similarity.dupCentroids' in-plan derivation; the √N query-path
+    // curve stays with x19/x34.
     "x8_embedding_dups" -> (unitCte +
-      s""", nc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
+      s""", nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 125.0) AS BIGINT)) AS k FROM unit_t),
          |cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t, nc WHERE vec_id < k),
          |ranked AS (
          |  SELECT v.vec_id, v.u, c.cid,

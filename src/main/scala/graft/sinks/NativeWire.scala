@@ -32,11 +32,12 @@ import org.apache.spark.sql.types._
   *    over the 9-byte header + compressed bytes ([[CityHash102]] — the
   *    pinned v1.0.2 algorithm, NOT current CityHash).
   *
-  * The client pins protocol revision 54406 (timezone + display-name +
-  * version-patch in the hello, quota-key in client-info; BEFORE the
-  * settings-as-strings / interserver-secret revisions, so the empty
-  * settings section is a bare terminator) and negotiates
-  * `min(client, server)` like every driver. Specs exercise the full
+  * The client pins protocol revision 54429 (timezone + display-name +
+  * version-patch in the hello, quota-key in client-info, settings
+  * serialized as (name, flags, value) strings — which is how
+  * `max_execution_time` rides the wire; still BEFORE the
+  * interserver-secret revision) and negotiates `min(client, server)`
+  * like every driver. Specs exercise the full
   * round trip against [[NativeStubServer]]; interop against a live
   * server is env-gated the same way as the HTTP path (no egress here).
   */
@@ -57,13 +58,17 @@ object NativeProto {
   val ServerTableColumns = 11L
 
   /** Pinned client revision (see class doc). */
-  val ClientRevision = 54406L
+  val ClientRevision = 54429L
   /** Revision gates used below (names follow the server's constants). */
   val MinRevisionWithClientInfo = 54032L
   val MinRevisionWithServerTimezone = 54058L
   val MinRevisionWithQuotaKey = 54060L
   val MinRevisionWithServerDisplayName = 54372L
   val MinRevisionWithVersionPatch = 54401L
+  /** ≥ this, query settings serialize as (name, flags, value-string)
+    * triples — the format that lets us ship `max_execution_time` without
+    * the pre-54429 typed-binary field encoding. */
+  val MinRevisionWithSettingsAsStrings = 54429L
 
   val QueryStageComplete = 2L
   val CompressionEnabled = 1L
@@ -369,7 +374,8 @@ final class NativeConnection(host: String, port: Int, user: String,
   def insert(table: String, schema: StructType, rows: Seq[InternalRow],
       maxExecutionTimeSec: Int): Unit = {
     val cols = schema.fields.map(_.name).mkString(", ")
-    sendQuery(s"INSERT INTO $table ($cols) VALUES")
+    sendQuery(s"INSERT INTO $table ($cols) VALUES",
+      Seq("max_execution_time" -> maxExecutionTimeSec.toString))
     sendBlock(Array.emptyByteArray, empty = true) // end of external tables
     awaitHeaderBlock()
     sendBlock(NativeBlockCodec.encode(schema, rows), empty = false)
@@ -377,7 +383,8 @@ final class NativeConnection(host: String, port: Int, user: String,
     awaitEndOfStream()
   }
 
-  private def sendQuery(query: String): Unit = {
+  private def sendQuery(query: String,
+      settings: Seq[(String, String)] = Nil): Unit = {
     writeVarint(out, ClientQuery)
     writeString(out, "") // query id (server assigns)
     if (ClientRevision >= MinRevisionWithClientInfo) {
@@ -394,10 +401,16 @@ final class NativeConnection(host: String, port: Int, user: String,
       if (ClientRevision >= MinRevisionWithQuotaKey) writeString(out, "")
       if (ClientRevision >= MinRevisionWithVersionPatch) writeVarint(out, 0L)
     }
-    writeString(out, "") // settings terminator (none sent; the
-    // max_execution_time ceiling is enforced writer-side, as on the
-    // HTTP path — a pre-54429 non-empty setting would need the typed
-    // binary field encoding)
+    // settings as strings (≥54429): the server-side query ceiling the
+    // reference configures (`connection.go:55-57`) rides the wire, like
+    // the HTTP path's max_execution_time query parameter. The writer
+    // still enforces its own deadline — the stub can't.
+    settings.foreach { case (name, value) =>
+      writeString(out, name)
+      writeVarint(out, 0L) // flags: not important, not custom
+      writeString(out, value)
+    }
+    writeString(out, "") // settings terminator
     writeVarint(out, QueryStageComplete)
     writeVarint(out, CompressionEnabled)
     writeString(out, query)

@@ -24,6 +24,7 @@ final class NativeStubServer(schema: StructType, failHello: Boolean = false) {
   /** (columnName → value) maps, one per decoded inserted row. */
   val rows = new ArrayBuffer[Map[String, Any]]()
   val queries = new ArrayBuffer[String]()
+  val settings = new ArrayBuffer[(String, String)]()
   @volatile var framesSeen = 0
 
   private val acceptThread = new Thread(() => {
@@ -85,11 +86,14 @@ final class NativeStubServer(schema: StructType, failHello: Boolean = false) {
               if (eff >= MinRevisionWithQuotaKey) readString(in)
               if (eff >= MinRevisionWithVersionPatch) readVarint(in)
             }
-            // settings: name strings until the empty terminator (the
-            // client sends none, so this reads one empty string)
+            // settings as strings (≥54429): (name, flags, value) triples
+            // until the empty-name terminator
             var setting = readString(in)
-            while (setting.nonEmpty)
-              throw new IOException(s"unexpected setting $setting")
+            while (setting.nonEmpty) {
+              readVarint(in) // flags
+              settings += setting -> readString(in)
+              setting = readString(in)
+            }
             readVarint(in) // stage
             val compression = readVarint(in)
             require(compression == CompressionEnabled,

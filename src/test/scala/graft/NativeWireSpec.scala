@@ -159,6 +159,9 @@ class NativeWireSpec extends SparkSpec {
       assert(stub.framesSeen > 3)
       assert(stub.queries.forall(_.startsWith(
         "INSERT INTO nats_data_all_streams (subject, data, metaTimestamp, streamSeq)")))
+      // the reference's server-side ceiling (connection.go:55-57) rides
+      // the wire as a settings-as-strings triple
+      assert(stub.settings.contains("max_execution_time" -> "60"))
       val r7 = stub.rows.find(_("subject") == "globex.supprt.u7").get
       assert(r7("data") === """{"text":"ev-7"}""")
       assert(r7("streamSeq") === 7L)

@@ -265,8 +265,13 @@ object NativeBlockCodec {
 
   /** Decode one block body (the stub server's read side — and the proof
     * the encoding is self-describing, not writer-trusting). */
-  def decode(body: Array[Byte]): DecodedBlock = {
-    val in = new java.io.ByteArrayInputStream(body)
+  def decode(body: Array[Byte]): DecodedBlock =
+    decodeStream(new java.io.ByteArrayInputStream(body))
+
+  /** Decode one block directly off a stream — needed for packets whose
+    * blocks ride UNCOMPRESSED with no length prefix (server Log /
+    * ProfileEvents data), where only the parse itself knows the end. */
+  def decodeStream(in: InputStream): DecodedBlock = {
     var field = readVarint(in)
     while (field != 0) {
       field match {
@@ -445,12 +450,28 @@ final class NativeConnection(host: String, port: Int, user: String,
     NativeBlockCodec.decode(NativeFraming.readFrame(in))
   }
 
+  /** ProfileInfo: rows, blocks, bytes, applied_limit, rows_before_limit,
+    * calculated_rows_before_limit. */
+  private def skipProfileInfo(): Unit = {
+    readVarint(in); readVarint(in); readVarint(in)
+    in.read(); readVarint(in); in.read()
+  }
+
+  /** Server Log packets carry a block that is NEVER compressed,
+    * regardless of the query's compression setting. */
+  private def skipLogBlock(): Unit = {
+    readString(in) // table name
+    NativeBlockCodec.decodeStream(in)
+  }
+
   private def awaitHeaderBlock(): Unit = {
     var done = false
     while (!done) readVarint(in) match {
       case ServerData => readServerBlock(); done = true
       case ServerProgress => skipProgress()
       case ServerTableColumns => readString(in); readString(in)
+      case ServerProfileInfo => skipProfileInfo()
+      case ServerLog => skipLogBlock()
       case ServerException => throw readException()
       case other => throw new IOException(s"unexpected packet $other awaiting header")
     }
@@ -462,6 +483,8 @@ final class NativeConnection(host: String, port: Int, user: String,
       case ServerEndOfStream => done = true
       case ServerProgress => skipProgress()
       case ServerData => readServerBlock()
+      case ServerProfileInfo => skipProfileInfo()
+      case ServerLog => skipLogBlock()
       case ServerException => throw readException()
       case other => throw new IOException(s"unexpected packet $other awaiting EOS")
     }

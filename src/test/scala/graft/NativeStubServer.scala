@@ -14,8 +14,12 @@ import graft.sinks.{NativeBlockCodec, NativeFraming, NativeProto}
   * frame goes through [[NativeFraming.readFrame]], so CityHash128
   * checksums are VERIFIED server-side; decoded rows accumulate in
   * [[rows]] for assertions. `failHello = true` turns it into an
-  * auth-rejecting server (Exception packet in place of the hello). */
-final class NativeStubServer(schema: StructType, failHello: Boolean = false) {
+  * auth-rejecting server (Exception packet in place of the hello);
+  * `chatty = true` makes it interleave ProfileInfo and (uncompressed)
+  * Log packets into the INSERT response, as a real server under
+  * `send_logs_level` does — the client must skip them. */
+final class NativeStubServer(schema: StructType, failHello: Boolean = false,
+    chatty: Boolean = false) {
   import NativeProto._
 
   private val server = new ServerSocket(0)
@@ -115,10 +119,30 @@ final class NativeStubServer(schema: StructType, failHello: Boolean = false) {
               }
               block = readDataPacket(in)
             }
-            // progress + end of stream
+            // progress (+ profile/log chatter) + end of stream
             writeVarint(out, ServerProgress)
             writeVarint(out, rows.size.toLong); writeVarint(out, 0L)
             writeVarint(out, 0L)
+            if (chatty) {
+              writeVarint(out, ServerProfileInfo)
+              writeVarint(out, rows.size.toLong) // rows
+              writeVarint(out, 1L) // blocks
+              writeVarint(out, 0L) // bytes
+              out.write(0) // applied_limit
+              writeVarint(out, 0L) // rows_before_limit
+              out.write(0) // calculated_rows_before_limit
+              // Log packet: block rides UNCOMPRESSED, always
+              writeVarint(out, ServerLog)
+              writeString(out, "")
+              out.write(NativeBlockCodec.encode(
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("text",
+                    org.apache.spark.sql.types.StringType, nullable = false))),
+                Seq(new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString("stub log line"))))))
+            }
             writeVarint(out, ServerEndOfStream)
             out.flush()
           case other =>

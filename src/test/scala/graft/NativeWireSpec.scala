@@ -171,6 +171,31 @@ class NativeWireSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("a chatty server (ProfileInfo + uncompressed Log packets) is tolerated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stub = new NativeStubServer(envSchema, chatty = true)
+    try {
+      val cp = Files.createTempDirectory("graft_native_cp3").toString
+      val src = MemoryStream[Env]
+      src.addData((0 until 12).map { i =>
+        Env(s"globex.supprt.u$i", s"""{"n":$i}""",
+          ts("2024-01-15 10:00:00"), i.toLong)
+      }: _*)
+      val q = src.toDF().coalesce(1).writeStream
+        .format("graft.sinks.BatchInsertSinkProvider")
+        .option("url", s"ch://writer:secret@localhost:${stub.port}")
+        .option("wire", "native")
+        .option("table", "nats_data_all_streams")
+        .option("batchSize", 5)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(stub.rows.size === 12)
+    } finally stub.close()
+  }
+
   test("native ping: auth-rejecting server fails the query at start()") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -211,6 +211,33 @@ object SparkEntry {
        |  FROM nrm_t)
        |""".stripMargin
 
+  /** DuckDB fragment: the two-level coarse-quantizer centroid ranking —
+    * mirrors [[graft.operators.Similarity.quantizedRanking]] over a
+    * (cid, cu) centroid CTE named `cents` (identical dot fold, identical
+    * desc/asc-id tiebreaks at every level, so ranks are engine-identical
+    * and everything downstream stays hash-exact). Emits
+    * `ranked(vec_id, u, cid, crn)`. */
+  private def quantizedRankedSql(cents: String): String =
+    s"""ns AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nsup FROM $cents),
+       |sups AS (SELECT cid AS sid, cu AS su FROM (
+       |    SELECT cid, cu, ROW_NUMBER() OVER (ORDER BY cid) AS srn FROM $cents), ns
+       |  WHERE srn <= ns.nsup),
+       |cmap AS (SELECT cid, cu, sid FROM (
+       |    SELECT c.cid, c.cu, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cid
+       |        ORDER BY ${dotUnitSql("c.cu", "s.su")} DESC, s.sid) AS mrn
+       |    FROM $cents c, sups s) WHERE mrn = 1),
+       |vsup AS (SELECT vec_id, u, sid FROM (
+       |    SELECT v.vec_id, v.u, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotUnitSql("v.u", "s.su")} DESC, s.sid) AS srn
+       |    FROM unit_t v, sups s) WHERE srn <= ${graft.operators.Similarity.SuperProbes}),
+       |ranked AS (
+       |  SELECT vsup.vec_id, vsup.u, cmap.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vsup.vec_id
+       |      ORDER BY ${dotUnitSql("vsup.u", "cmap.cu")} DESC, cmap.cid) AS crn
+       |  FROM vsup JOIN cmap USING (sid))""".stripMargin
+
   /** DuckDB fragment: 64-bit SimHash per document — mirrors
     * [[graft.operators.Dedup.simhash]] / [[graft.expressions.SimHash64]]:
     * four seeded 16-bit simhashes concatenated. Seed s ∈ 0..3 prepends
@@ -733,11 +760,7 @@ object SparkEntry {
     "x8_embedding_dups" -> (unitCte +
       s""", nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 125.0) AS BIGINT)) AS k FROM unit_t),
          |cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t, nc WHERE vec_id < k),
-         |ranked AS (
-         |  SELECT v.vec_id, v.u, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotUnitSql("v.u", "c.cu")} DESC, c.cid) AS crn
-         |  FROM unit_t v, cents c),
+         |${quantizedRankedSql("cents")},
          |cells AS (SELECT vec_id, cid AS cell FROM ranked
          |  WHERE crn <= ${graft.operators.Similarity.DupProbes}),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -864,11 +887,7 @@ object SparkEntry {
     "x19_ann_ivf" -> (unitCte +
       s""", nc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
          |cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t, nc WHERE vec_id < k),
-         |ranked AS (
-         |  SELECT v.vec_id, v.u, c.cid, ${dotUnitSql("v.u", "c.cu")} AS cdot,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotUnitSql("v.u", "c.cu")} DESC, c.cid) AS crn
-         |  FROM unit_t v, cents c),
+         |${quantizedRankedSql("cents")},
          |assign AS (SELECT vec_id AS neighbor_id, cid AS cell, u AS nu
          |           FROM ranked WHERE crn = 1),
          |probes AS (SELECT vec_id AS query_id, cid AS cell, u AS qu
@@ -1135,11 +1154,8 @@ object SparkEntry {
     // and search compose hash-exactly because the centroids are
     // bit-equal.
     "x34_ann_trained" -> (unitCte + kmeansCte +
-      s""", ranked AS (
-         |  SELECT v.vec_id, v.u, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotUnitSql("v.u", "c.cu")} DESC, c.cid) AS crn
-         |  FROM unit_t v, c${graft.operators.Similarity.KmeansIters} c),
+      s""", cents AS (SELECT cid, cu FROM c${graft.operators.Similarity.KmeansIters}),
+         |${quantizedRankedSql("cents")},
          |assign AS (SELECT vec_id AS neighbor_id, cid AS cell, u AS nu
          |           FROM ranked WHERE crn = 1),
          |probes AS (SELECT vec_id AS query_id, cid AS cell, u AS qu

@@ -188,11 +188,14 @@ class PlanShapeSpec extends SparkSpec {
         case BuildLeft => j.left
       }
       val s = build.toString
-      // bounded build sides only: the 1-row derived-ncells aggregate, or
-      // the centroid table whose lineage carries the `vec_id < ncells`
-      // cut (corpus-derived cell count — Similarity.standInCentroids)
-      assert(s.contains("ncells"),
-        s"nested-loop build side is not the bounded centroid/ncells table:\n$s")
+      // bounded build sides only: the 1-row derived-ncells/nsup
+      // aggregates, the centroid table whose lineage carries the
+      // `vec_id < ncells` cut (Similarity.standInCentroids), or the
+      // two-level quantizer's ≤⌈√K⌉-row super-centroid slice
+      // (sid/su — appears as a ReusedExchange of the sups broadcast)
+      assert(s.contains("ncells") || s.contains("nsup") ||
+        (s.contains("sid#") && s.contains("su#")),
+        s"nested-loop build side is not a bounded centroid-family table:\n$s")
     }
   }
 

@@ -305,10 +305,18 @@ final class NativeBlockWriter(target: NativeTarget, batchSize: Int,
 
   private def checkDeadline(): Unit = {
     val elapsedSec = (System.nanoTime() - startNanos) / 1e9
-    if (elapsedSec > maxExecutionTimeSec)
+    if (elapsedSec > maxExecutionTimeSec) {
+      // graceful teardown: Cancel packet first (the server stops any
+      // in-flight query promptly), THEN close — not a bare socket abort
+      if (conn != null) {
+        try conn.cancel() catch { case _: IOException => () }
+        try conn.close() catch { case _: IOException => () }
+        conn = null
+      }
       throw new IOException(
         s"max_execution_time (${maxExecutionTimeSec}s) exceeded after " +
         f"$elapsedSec%.1fs on block $blocks")
+    }
   }
 
   private def flush(): Unit = if (buffer.nonEmpty) {

@@ -45,6 +45,7 @@ object NativeProto {
   val ClientHello = 0L
   val ClientQuery = 1L
   val ClientData = 2L
+  val ClientCancel = 3L
   val ClientPing = 4L
 
   val ServerHello = 0L
@@ -64,7 +65,15 @@ object NativeProto {
   val MinRevisionWithServerTimezone = 54058L
   val MinRevisionWithQuotaKey = 54060L
   val MinRevisionWithServerDisplayName = 54372L
+  /** ≥ this (same gate as the display name), every Progress packet
+    * carries written_rows + written_bytes after the 3 read-side fields —
+    * any live server at the pinned revision sends the 5-field shape. */
+  val MinRevisionWithClientWriteInfo = 54372L
   val MinRevisionWithVersionPatch = 54401L
+  /** ≥ this, Progress additionally carries elapsed_ns. Above the pinned
+    * [[ClientRevision]] so never negotiated today; gated anyway so a
+    * future revision bump can't silently desync the stream. */
+  val MinRevisionWithServerQueryTimeInProgress = 54460L
   /** ≥ this, query settings serialize as (name, flags, value-string)
     * triples — the format that lets us ship `max_execution_time` without
     * the pre-54429 typed-binary field encoding. */
@@ -131,6 +140,15 @@ object NativeProto {
     v
   }
 }
+
+/** A server-raised Exception packet, surfaced TYPED so the sink can tell
+  * a ClickHouse-side failure (retryable query error, auth reject,
+  * mid-INSERT abort) from transport-level IO problems. Spark's epoch
+  * retry applies either way; the type is for callers that branch. */
+final case class ClickHouseServerException(code: Int, name: String,
+    serverMessage: String, nested: String)
+    extends IOException(
+      s"ClickHouse exception $code $name: $serverMessage$nested")
 
 /** LZ4 + CityHash128 compressed-frame codec (both directions — the sink
   * client and the stub server share it, but checksum VERIFICATION on read
@@ -351,6 +369,15 @@ final class NativeConnection(host: String, port: Int, user: String,
         if (eff >= MinRevisionWithServerTimezone) readString(in)
         if (eff >= MinRevisionWithServerDisplayName) readString(in)
         if (eff >= MinRevisionWithVersionPatch) readVarint(in)
+        // This client serializes query settings as (name, flags, value)
+        // strings — the only format it speaks. Against an older server
+        // that encoding is a malformed Query packet, so refuse the
+        // handshake with a clear error instead of desyncing later.
+        if (eff < MinRevisionWithSettingsAsStrings)
+          throw new IOException(
+            s"server protocol revision $rev is below the minimum supported " +
+            s"$MinRevisionWithSettingsAsStrings (settings-as-strings); " +
+            "upgrade the server or use the http wire path")
         eff
       case ServerException => throw readException()
       case other => throw new IOException(s"unexpected hello packet $other")
@@ -358,14 +385,14 @@ final class NativeConnection(host: String, port: Int, user: String,
   }
 
   /** Exception packet: code, name, message, stack trace, has_nested. */
-  private def readException(): IOException = {
+  private def readException(): ClickHouseServerException = {
     val code = readInt32(in)
     val name = readString(in)
     val message = readString(in)
     readString(in) // stack trace
     val hasNested = in.read() == 1
     val nested = if (hasNested) s"; nested: ${readException().getMessage}" else ""
-    new IOException(s"ClickHouse exception $code $name: $message$nested")
+    ClickHouseServerException(code, name, message, nested)
   }
 
   def ping(): Unit = {
@@ -373,6 +400,16 @@ final class NativeConnection(host: String, port: Int, user: String,
     var pkt = readVarint(in)
     while (pkt == ServerProgress) { skipProgress(); pkt = readVarint(in) }
     if (pkt != ServerPong) throw new IOException(s"expected Pong, got $pkt")
+  }
+
+  /** Best-effort query cancellation — the graceful path when the writer's
+    * own deadline fires mid-connection: tell the server to stop the
+    * running query (it answers with Exception or EndOfStream, which the
+    * CLOSE discards) instead of just dropping the socket and leaving the
+    * server to notice the half-open TCP peer on its own schedule. */
+  def cancel(): Unit = {
+    writeVarint(out, ClientCancel)
+    out.flush()
   }
 
   /** INSERT one block of buffered rows. */
@@ -392,7 +429,12 @@ final class NativeConnection(host: String, port: Int, user: String,
       settings: Seq[(String, String)] = Nil): Unit = {
     writeVarint(out, ClientQuery)
     writeString(out, "") // query id (server assigns)
-    if (ClientRevision >= MinRevisionWithClientInfo) {
+    // field PRESENCE is gated on the NEGOTIATED revision (min(client,
+    // server)) — the server parses the packet by what it negotiated, so
+    // gating on the pinned ClientRevision would mis-frame the packet
+    // against an older server. (The version fields inside still carry
+    // the client's own version, like every driver.)
+    if (serverRevision >= MinRevisionWithClientInfo) {
       out.write(1) // query kind: initial query
       writeString(out, "") // initial user
       writeString(out, "") // initial query id
@@ -403,8 +445,8 @@ final class NativeConnection(host: String, port: Int, user: String,
       writeString(out, "graft-spark")
       writeVarint(out, 1L); writeVarint(out, 0L)
       writeVarint(out, ClientRevision)
-      if (ClientRevision >= MinRevisionWithQuotaKey) writeString(out, "")
-      if (ClientRevision >= MinRevisionWithVersionPatch) writeVarint(out, 0L)
+      if (serverRevision >= MinRevisionWithQuotaKey) writeString(out, "")
+      if (serverRevision >= MinRevisionWithVersionPatch) writeVarint(out, 0L)
     }
     // settings as strings (≥54429): the server-side query ceiling the
     // reference configures (`connection.go:55-57`) rides the wire, like
@@ -441,8 +483,16 @@ final class NativeConnection(host: String, port: Int, user: String,
   }
 
   private def skipProgress(): Unit = {
-    // rows, bytes, total_rows (all varints at this revision)
+    // read-side: rows, bytes, total_rows (all varints)
     readVarint(in); readVarint(in); readVarint(in)
+    // write-side (≥54372 — always true at the pinned revision, so every
+    // LIVE server sends it; reading only 3 fields here desyncs the
+    // stream on the first real Progress packet)
+    if (serverRevision >= MinRevisionWithClientWriteInfo) {
+      readVarint(in); readVarint(in) // written_rows, written_bytes
+    }
+    if (serverRevision >= MinRevisionWithServerQueryTimeInProgress)
+      readVarint(in) // elapsed_ns
   }
 
   private def readServerBlock(): NativeBlockCodec.DecodedBlock = {

@@ -17,9 +17,18 @@ import graft.sinks.{NativeBlockCodec, NativeFraming, NativeProto}
   * auth-rejecting server (Exception packet in place of the hello);
   * `chatty = true` makes it interleave ProfileInfo and (uncompressed)
   * Log packets into the INSERT response, as a real server under
-  * `send_logs_level` does — the client must skip them. */
+  * `send_logs_level` does — the client must skip them. `serverRevision`
+  * lets a spec impersonate an older server (the client must refuse the
+  * handshake below settings-as-strings, not mis-frame the Query packet).
+  * `failInsertOnce = true` raises a mid-INSERT Exception packet (after
+  * consuming the first data block, in place of EndOfStream) exactly once
+  * — the rows of that failed statement are NOT recorded, mirroring a
+  * server that aborted the insert; subsequent attempts succeed, so a
+  * retrying epoch can be asserted end-to-end. */
 final class NativeStubServer(schema: StructType, failHello: Boolean = false,
-    chatty: Boolean = false) {
+    chatty: Boolean = false,
+    serverRevision: Long = NativeProto.ClientRevision,
+    failInsertOnce: Boolean = false) {
   import NativeProto._
 
   private val server = new ServerSocket(0)
@@ -30,6 +39,8 @@ final class NativeStubServer(schema: StructType, failHello: Boolean = false,
   val queries = new ArrayBuffer[String]()
   val settings = new ArrayBuffer[(String, String)]()
   @volatile var framesSeen = 0
+  @volatile var cancelsSeen = 0
+  @volatile private var failedOnce = false
 
   private val acceptThread = new Thread(() => {
     try while (!server.isClosed) {
@@ -63,8 +74,8 @@ final class NativeStubServer(schema: StructType, failHello: Boolean = false,
       writeVarint(out, ServerHello)
       writeString(out, "GraftStubClickHouse")
       writeVarint(out, 23L); writeVarint(out, 8L)
-      writeVarint(out, ClientRevision) // same pinned revision
-      val eff = math.min(clientRev, ClientRevision)
+      writeVarint(out, serverRevision)
+      val eff = math.min(clientRev, serverRevision)
       if (eff >= MinRevisionWithServerTimezone) writeString(out, "UTC")
       if (eff >= MinRevisionWithServerDisplayName) writeString(out, "stub")
       if (eff >= MinRevisionWithVersionPatch) writeVarint(out, 0L)
@@ -111,40 +122,73 @@ final class NativeStubServer(schema: StructType, failHello: Boolean = false,
               NativeBlockCodec.encode(schema, Seq.empty))
             out.flush()
             // data blocks until the empty terminator
+            val stmtRows = new ArrayBuffer[Map[String, Any]]()
+            var aborted = false
             var block = readDataPacket(in)
-            while (block.rows > 0) {
+            while (!aborted && block.rows > 0) {
               val cols = block.columns
               (0 until block.rows).foreach { r =>
-                rows += cols.map(c => c.name -> c.values(r)).toMap
+                stmtRows += cols.map(c => c.name -> c.values(r)).toMap
               }
-              block = readDataPacket(in)
+              if (failInsertOnce && !failedOnce) {
+                // a real mid-INSERT failure (quota, memory, readonly):
+                // Exception in place of further reads — the statement's
+                // rows are lost server-side
+                failedOnce = true
+                aborted = true
+                writeVarint(out, ServerException)
+                writeInt32(out, 241) // MEMORY_LIMIT_EXCEEDED
+                writeString(out, "DB::Exception")
+                writeString(out, "Memory limit (for query) exceeded")
+                writeString(out, "") // stack trace
+                out.write(0) // no nested
+                out.flush()
+              } else block = readDataPacket(in)
             }
-            // progress (+ profile/log chatter) + end of stream
-            writeVarint(out, ServerProgress)
-            writeVarint(out, rows.size.toLong); writeVarint(out, 0L)
-            writeVarint(out, 0L)
-            if (chatty) {
-              writeVarint(out, ServerProfileInfo)
-              writeVarint(out, rows.size.toLong) // rows
-              writeVarint(out, 1L) // blocks
-              writeVarint(out, 0L) // bytes
-              out.write(0) // applied_limit
-              writeVarint(out, 0L) // rows_before_limit
-              out.write(0) // calculated_rows_before_limit
-              // Log packet: block rides UNCOMPRESSED, always
-              writeVarint(out, ServerLog)
-              writeString(out, "")
-              out.write(NativeBlockCodec.encode(
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("text",
-                    org.apache.spark.sql.types.StringType, nullable = false))),
-                Seq(new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(Array[Any](
-                    org.apache.spark.unsafe.types.UTF8String
-                      .fromString("stub log line"))))))
+            if (aborted) {
+              // drain what the client had already queued for this
+              // statement (terminator included) so the connection state
+              // machine stays aligned if the client keeps the socket
+              var drain = readDataPacket(in)
+              while (drain.rows > 0) drain = readDataPacket(in)
+            } else {
+              rows ++= stmtRows
+              // progress (5-field shape: every real server at the
+              // negotiated revision appends written_rows/written_bytes —
+              // the client desyncs here if it reads only 3) + chatter +
+              // end of stream
+              writeVarint(out, ServerProgress)
+              writeVarint(out, rows.size.toLong); writeVarint(out, 0L)
+              writeVarint(out, 0L)
+              if (eff >= MinRevisionWithClientWriteInfo) {
+                writeVarint(out, stmtRows.size.toLong) // written_rows
+                writeVarint(out, 0L) // written_bytes
+              }
+              if (chatty) {
+                writeVarint(out, ServerProfileInfo)
+                writeVarint(out, rows.size.toLong) // rows
+                writeVarint(out, 1L) // blocks
+                writeVarint(out, 0L) // bytes
+                out.write(0) // applied_limit
+                writeVarint(out, 0L) // rows_before_limit
+                out.write(0) // calculated_rows_before_limit
+                // Log packet: block rides UNCOMPRESSED, always
+                writeVarint(out, ServerLog)
+                writeString(out, "")
+                out.write(NativeBlockCodec.encode(
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("text",
+                      org.apache.spark.sql.types.StringType, nullable = false))),
+                  Seq(new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(Array[Any](
+                      org.apache.spark.unsafe.types.UTF8String
+                        .fromString("stub log line"))))))
+              }
+              writeVarint(out, ServerEndOfStream)
+              out.flush()
             }
-            writeVarint(out, ServerEndOfStream)
-            out.flush()
+          case ClientCancel =>
+            cancelsSeen += 1
           case other =>
             throw new IOException(s"stub: unexpected client packet $other")
         }

@@ -46,6 +46,37 @@ class NativeWireSpec extends SparkSpec {
       CityHash102.cityHash128(big.slice(100, 300), 0, 200))
   }
 
+  test("cityhash128: pinned digests across every length path") {
+    // Fixed-input digests pinning the v1.0.2 transcription. Honest
+    // provenance: generated FROM this implementation (no independent
+    // v1.0.2 implementation or live server exists in this offline
+    // environment — external cross-validation stays env-gated with the
+    // live-interop items), so they cannot prove the original
+    // transcription, but they turn any future drift — a refactor, a
+    // "cleanup" of a magic rotation constant, a sign bug on another
+    // JVM — into a loud failure instead of a silent one that only a
+    // live server's CHECKSUM_DOESNT_MATCH would catch. One vector per
+    // length class: 0-3, 4-7, 8-16, 17-127 (CityMurmur), ≥128 (main
+    // loop), plus a 512-byte binary input.
+    val vectors = Seq[(String, Long, Long)](
+      ("", 0x3df09dfc64c09a2bL, 0x3cb540c392e51e29L),
+      ("a", 0xd27139a1afe01ad0L, 0xfd7e8ee2e4c86cf6L),
+      ("abc", 0x900ff195577748feL, 0x13a9176355b20d7eL),
+      ("message digest", 0x4c397a83875a0fb6L, 0x6abc0522bfe3f26bL),
+      ("abcdefghijklmnopqrstuvwxyz", 0xdcd5e0cb498f7abcL, 0x1e3091cc0d3bea6cL),
+      ("The quick brown fox jumps over the lazy dog",
+        0x69102202d326a2fdL, 0xe4b1346bbee531a1L),
+      ("1234567890" * 10, 0x921c0a0f9a35210eL, 0x7e18002a2b32761bL))
+    vectors.foreach { case (s, lo, hi) =>
+      val b = s.getBytes("UTF-8")
+      assert(CityHash102.cityHash128(b, 0, b.length) === (lo, hi),
+        s"drift at input '${s.take(20)}' (len ${b.length})")
+    }
+    val big = Array.tabulate[Byte](512)(i => ((i * 131 + 7) & 0xff).toByte)
+    assert(CityHash102.cityHash128(big, 0, 512) ===
+      (0x4e068d6c18e32b94L, 0xdd63cee6b9e29e3aL))
+  }
+
   test("cityhash128: no trivial collisions across 20k short keys") {
     val seen = scala.collection.mutable.HashSet[(Long, Long)]()
     (0 until 20000).foreach { i =>
@@ -226,5 +257,79 @@ class NativeWireSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       NativeTarget("localhost", 9000, "t; DROP TABLE x", "u", "p")
     }
+  }
+
+  // ---- revision negotiation, mid-stream failure, cancel ---------------
+
+  test("a server below settings-as-strings is refused at handshake, " +
+      "not sent a mis-framed Query packet") {
+    val stub = new NativeStubServer(envSchema,
+      serverRevision = graft.sinks.NativeProto.MinRevisionWithSettingsAsStrings - 1)
+    try {
+      val e = intercept[IOException] {
+        NativeTarget("localhost", stub.port, "t", "u", "p").connect()
+      }
+      assert(e.getMessage.contains("below the minimum supported"))
+      assert(e.getMessage.contains("54429"))
+      // nothing past the hello ever went out
+      assert(stub.queries.isEmpty && stub.framesSeen === 0)
+    } finally stub.close()
+  }
+
+  test("mid-INSERT server Exception surfaces typed; a fresh connection " +
+      "(the epoch retry) lands the rows exactly once") {
+    import graft.sinks.ClickHouseServerException
+    val stub = new NativeStubServer(envSchema, failInsertOnce = true)
+    try {
+      val target = NativeTarget("localhost", stub.port, "nats_data_all_streams",
+        "writer", "secret")
+      val row = new GenericInternalRow(Array[Any](
+        UTF8String.fromString("globex.supprt.u1"),
+        UTF8String.fromString("""{"n":1}"""),
+        1705312800000000L, 1L))
+      val c1 = target.connect()
+      val e = intercept[ClickHouseServerException] {
+        try c1.insert("nats_data_all_streams", envSchema, Seq(row), 60)
+        finally c1.close()
+      }
+      assert(e.code === 241)
+      assert(e.name === "DB::Exception")
+      assert(e.getMessage.contains("Memory limit"))
+      // the aborted statement's rows were NOT recorded server-side
+      assert(stub.rows.isEmpty)
+      // at-least-once: the retry re-sends the SAME rows on a fresh
+      // connection and they land exactly once
+      val c2 = target.connect()
+      try c2.insert("nats_data_all_streams", envSchema, Seq(row), 60)
+      finally c2.close()
+      assert(stub.rows.size === 1)
+      assert(stub.rows.head("streamSeq") === 1L)
+    } finally stub.close()
+  }
+
+  test("writer deadline: Cancel packet rides out before the close") {
+    import graft.sinks.NativeBlockWriter
+    val stub = new NativeStubServer(envSchema)
+    try {
+      val target = NativeTarget("localhost", stub.port, "nats_data_all_streams",
+        "writer", "secret")
+      val w = new NativeBlockWriter(target, batchSize = 1,
+        maxExecutionTimeSec = 1, schema = envSchema)
+      def row(i: Int) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s"globex.supprt.u$i"),
+        UTF8String.fromString(s"""{"n":$i}"""),
+        1705312800000000L, i.toLong))
+      w.write(row(0)) // batchSize=1: flushes, connection opens, insert OK
+      Thread.sleep(1200) // blow the 1 s deadline
+      val e = intercept[IOException] { w.write(row(1)) }
+      assert(e.getMessage.contains("max_execution_time"))
+      // the Cancel packet reached the server before the socket closed
+      val deadlineMs = System.currentTimeMillis() + 5000
+      while (stub.cancelsSeen == 0 && System.currentTimeMillis() < deadlineMs)
+        Thread.sleep(20)
+      assert(stub.cancelsSeen === 1)
+      assert(stub.rows.size === 1) // only the pre-deadline block landed
+      w.close() // idempotent: connection already torn down
+    } finally stub.close()
   }
 }

@@ -102,14 +102,19 @@ object Service {
     // a daemon re-dial loop with backoff in continuous mode.
     if (opts.contains("capture")) {
       val subject = cfg.subjects.headOption.getOrElse("globex.>")
+      // the reference's durable push consumer (`main.go:86`): created on
+      // the first run via $JS.API, resumed (cursor intact) on restarts;
+      // against a core-NATS-only broker capture falls back to plain SUB
+      val durable = Some("nats-clickhouse-durable")
       if (opts.contains("once")) {
-        val n = graft.sources.NatsCapture.capture(cfg.natsUrl, subject, backlog)
+        val n = graft.sources.NatsCapture.capture(cfg.natsUrl, subject,
+          backlog, durable = durable)
         log.info("nats capture", "url" -> cfg.natsUrl, "rows" -> n)
       } else {
         val t = new Thread(() => while (true) {
           try {
-            val n = graft.sources.NatsCapture
-              .capture(cfg.natsUrl, subject, backlog, maxWaitMs = 5000)
+            val n = graft.sources.NatsCapture.capture(cfg.natsUrl, subject,
+              backlog, maxWaitMs = 5000, durable = durable)
             if (n > 0) log.info("nats capture", "rows" -> n)
           } catch {
             case e: Exception =>

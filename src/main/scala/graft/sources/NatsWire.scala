@@ -18,6 +18,17 @@ final case class JsMeta(stream: String, consumer: String,
     numDelivered: Long, streamSeq: Long, consumerSeq: Long,
     timestampNanos: Long, numPending: Long)
 
+/** One durable consumer's server-side state, as reported by the
+  * `$JS.API.CONSUMER.INFO`/`CREATE` responses ([[JetStreamApi]]): the
+  * push-delivery target (deliver subject + queue group), the delivery
+  * cursor, and the ack floor the server redelivers above. `created`
+  * records whether THIS call created the consumer (first run) or
+  * resumed an existing one. */
+final case class JsConsumerInfo(stream: String, name: String,
+    deliverSubject: String, deliverGroup: String,
+    deliveredStreamSeq: Long, ackFloorStreamSeq: Long,
+    numPending: Long, created: Boolean)
+
 object NatsWire {
 
   /** `nats://host:port` (port defaults to 4222, the public NATS port) —
@@ -110,6 +121,42 @@ final class NatsSocketClient(host: String, port: Int,
     out.write(payload); out.write('\r'); out.write('\n'); out.flush()
   }
 
+  /** The request half of NATS request-reply:
+    * `PUB <subject> <reply-to> <#bytes>`. */
+  def publishRequest(subject: String, replyTo: String,
+      payload: Array[Byte]): Unit = {
+    send(s"PUB $subject $replyTo ${payload.length}", flush = false)
+    out.write(payload); out.write('\r'); out.write('\n'); out.flush()
+  }
+
+  /** `UNSUB <sid>` — drop a subscription (throwaway request inboxes). */
+  def unsubscribe(sid: String): Unit = send(s"UNSUB $sid")
+
+  /** One request-reply round trip over a throwaway `_INBOX.…`
+    * subscription — the transport under every `$JS.API.…` call
+    * ([[JetStreamApi]]). Returns None on timeout. Deliveries for OTHER
+    * sids arriving mid-request are dropped; callers do lifecycle
+    * requests BEFORE subscribing to data subjects (as this client's
+    * capture path does), so nothing real is ever in flight here. */
+  def request(subject: String, payload: Array[Byte],
+      timeoutMs: Long = 5000): Option[Array[Byte]] = {
+    val inboxSid = s"_req${System.nanoTime()}"
+    val inbox = s"_INBOX.graft.${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    subscribe(inbox, inboxSid)
+    publishRequest(subject, inbox, payload)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var res: Option[Array[Byte]] = None
+    var waiting = true
+    while (waiting && System.currentTimeMillis() < deadline)
+      next(deadline) match {
+        case Some(m) if m.sid == inboxSid => res = Some(m.payload); waiting = false
+        case Some(_) => () // foreign sid — see scaladoc
+        case None => waiting = false
+      }
+    unsubscribe(inboxSid)
+    res
+  }
+
   /** Ack a JetStream delivery: empty publish to its reply subject. */
   def ack(msg: NatsMsg): Unit =
     msg.reply.foreach(publish(_, Array.emptyByteArray))
@@ -187,6 +234,112 @@ final class NatsSocketClient(host: String, port: Int,
   }
 }
 
+/** The JetStream consumer-lifecycle API over the core wire — what
+  * `nats.Durable("monitor")` does under the hood in the reference
+  * (`main.go:90-94`): request-reply against the `$JS.API.CONSUMER.*`
+  * subjects (public JetStream wire API, docs.nats.io/reference). First
+  * run CREATES the durable; later runs find it via INFO and resume its
+  * server-side delivery cursor, so a restart never re-reads the stream
+  * from scratch and unacked deliveries redeliver (at-least-once, B5).
+  *
+  * JSON in/out is handled with targeted field extraction rather than a
+  * parser dependency: the response grammar is fixed by the server and
+  * the five fields read here are flat or one level deep. */
+object JetStreamApi {
+
+  def infoSubject(stream: String, durable: String): String =
+    s"$$JS.API.CONSUMER.INFO.$stream.$durable"
+
+  def createSubject(stream: String, durable: String): String =
+    s"$$JS.API.CONSUMER.DURABLE.CREATE.$stream.$durable"
+
+  private def strField(json: String, name: String): Option[String] =
+    s""""$name"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  private def longField(json: String, name: String): Option[Long] =
+    s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+
+  /** stream_seq inside a named one-level object (`delivered` /
+    * `ack_floor` both carry one). */
+  private def seqIn(json: String, obj: String): Long =
+    s""""$obj"\\s*:\\s*\\{([^}]*)\\}""".r.findFirstMatchIn(json)
+      .flatMap(m => longField(m.group(1), "stream_seq")).getOrElse(0L)
+
+  /** Parse a consumer INFO/CREATE response body. `Left` carries the
+    * API error (`{"error":{"code":404,…}}`) as "code description". */
+  private[graft] def parseConsumerInfo(json: String, created: Boolean)
+      : Either[String, JsConsumerInfo] =
+    s""""error"\\s*:\\s*\\{([^}]*)\\}""".r.findFirstMatchIn(json) match {
+      case Some(err) =>
+        val code = longField(err.group(1), "code").getOrElse(0L)
+        val desc = strField(err.group(1), "description").getOrElse("")
+        Left(s"$code $desc")
+      case None =>
+        Right(JsConsumerInfo(
+          stream = strField(json, "stream_name").getOrElse(""),
+          name = strField(json, "name").getOrElse(""),
+          deliverSubject = strField(json, "deliver_subject").getOrElse(""),
+          deliverGroup = strField(json, "deliver_group").getOrElse(""),
+          deliveredStreamSeq = seqIn(json, "delivered"),
+          ackFloorStreamSeq = seqIn(json, "ack_floor"),
+          numPending = longField(json, "num_pending").getOrElse(0L),
+          created = created))
+    }
+
+  /** Resolve which stream owns `subject` — `$JS.API.STREAM.NAMES` with a
+    * subject filter, the same lookup the nats.go client runs when
+    * `nats.Durable(...)` is given no explicit stream. None when the
+    * server doesn't answer (not a JetStream server) or no stream covers
+    * the subject. */
+  def streamNameFor(client: NatsSocketClient, subject: String,
+      timeoutMs: Long = 5000): Option[String] = {
+    val req = s"""{"subject":"${JsonSafe(subject)}"}"""
+    client.request("$JS.API.STREAM.NAMES",
+      req.getBytes(StandardCharsets.UTF_8), timeoutMs)
+      .map(b => new String(b, StandardCharsets.UTF_8))
+      .flatMap(json =>
+        """"streams"\s*:\s*\[\s*"([^"]+)"""".r.findFirstMatchIn(json)
+          .map(_.group(1)))
+  }
+
+  /** INFO-then-CREATE: resume the durable if the server knows it
+    * (preserving its delivery cursor and deliver subject), create it on
+    * 404 — the exact first-run/restart behavior of the reference's
+    * `nats.Durable(...)` subscribe. Explicit-ack push consumer with a
+    * deliver group (the queue-subscribe seam) and a filter subject. */
+  def ensureDurable(client: NatsSocketClient, stream: String,
+      durable: String, filterSubject: String, deliverSubject: String,
+      deliverGroup: String, timeoutMs: Long = 5000): JsConsumerInfo = {
+    def ask(subject: String, payload: String, created: Boolean)
+        : Either[String, JsConsumerInfo] =
+      client.request(subject,
+        payload.getBytes(StandardCharsets.UTF_8), timeoutMs) match {
+        case None => Left(s"timeout awaiting $subject")
+        case Some(b) =>
+          parseConsumerInfo(new String(b, StandardCharsets.UTF_8), created)
+      }
+    ask(infoSubject(stream, durable), "", created = false) match {
+      case Right(info) => info
+      case Left(err) if err.startsWith("404") =>
+        val cfg =
+          s"""{"stream_name":"${JsonSafe(stream)}","config":{""" +
+          s""""durable_name":"${JsonSafe(durable)}",""" +
+          s""""deliver_subject":"${JsonSafe(deliverSubject)}",""" +
+          s""""deliver_group":"${JsonSafe(deliverGroup)}",""" +
+          s""""filter_subject":"${JsonSafe(filterSubject)}",""" +
+          s""""ack_policy":"explicit"}}"""
+        ask(createSubject(stream, durable), cfg, created = true).fold(
+          e => throw new IOException(s"consumer create failed: $e"),
+          identity)
+      case Left(err) =>
+        throw new IOException(s"consumer info failed: $err")
+    }
+  }
+
+  private def JsonSafe(s: String): String = graft.util.JsonText.escape(s)
+}
+
 /** The `nats://` → replay-backlog bridge: dial, subscribe (queue-grouped
   * like the reference's durable consumer), drain deliveries into ONE
   * envelope JSONL file, atomically renamed into the backlog directory
@@ -206,18 +359,40 @@ object NatsCapture {
 
   /** Drain up to `maxMsgs` (or until `maxWaitMs` of idle) from `subject`
     * into `backlogDir/<filePrefix>-<millis>.jsonl`. Returns the number of
-    * captured rows (0 writes no file). */
+    * captured rows (0 writes no file).
+    *
+    * `durable = Some(name)` runs the consumer LIFECYCLE first: resolve
+    * the stream owning `subject` ([[JetStreamApi.streamNameFor]]), then
+    * [[JetStreamApi.ensureDurable]] (create on first run, resume on
+    * restart), then subscribe to the consumer's deliver subject instead
+    * of the raw data subject — exactly what the reference's
+    * `js.QueueSubscribe(subject, group, …, nats.Durable(dur))` does
+    * (`main.go:86-94`). When no stream covers the subject (a core-NATS
+    * server), capture falls back to the plain subscription. */
   def capture(url: String, subject: String, backlogDir: String,
       queue: Option[String] = Some("nats-clickhouse-delivery-group"),
       maxMsgs: Int = 1000, maxWaitMs: Long = 2000,
-      filePrefix: String = "capture"): Long = {
+      filePrefix: String = "capture",
+      durable: Option[String] = None): Long = {
     val (host, port) = NatsWire.parseUrl(url)
       .fold(e => throw new IOException(e), identity)
     val client = new NatsSocketClient(host, port,
       readTimeoutMs = math.min(maxWaitMs, Int.MaxValue.toLong).toInt)
     client.connect()
     try {
-      client.subscribe(subject, sid = "1", queue = queue)
+      val dataSubject = durable.flatMap { dur =>
+        JetStreamApi.streamNameFor(client, subject, maxWaitMs).map { stream =>
+          val info = JetStreamApi.ensureDurable(client, stream, dur,
+            filterSubject = subject,
+            deliverSubject = s"_INBOX.graft.$dur.deliver",
+            deliverGroup = queue.getOrElse(""),
+            timeoutMs = maxWaitMs)
+          // resume uses the deliver subject the consumer was CREATED
+          // with (the server keeps pushing there), not the default
+          info.deliverSubject
+        }
+      }.getOrElse(subject)
+      client.subscribe(dataSubject, sid = "1", queue = queue)
       val deadline = System.currentTimeMillis() + maxWaitMs
       val acc = Seq.newBuilder[NatsMsg]
       var n = 0

@@ -235,4 +235,125 @@ class NatsWireSpec extends AnyFunSuite {
     val c = new NatsSocketClient("127.0.0.1", port, connectTimeoutMs = 500)
     intercept[java.io.IOException] { c.connect() }
   }
+
+  // ---- JetStream consumer lifecycle ($JS.API.CONSUMER.*) -------------
+
+  import graft.sources.JetStreamApi
+
+  private val Group = "nats-clickhouse-delivery-group"
+
+  test("consumer lifecycle: first run CREATES the durable (INFO 404 -> " +
+      "DURABLE.CREATE), delivery flows with $JS.ACK metadata") {
+    val broker = new StubJetStreamBroker("EVENTS", Seq(
+      ("globex.supprt.u1", """{"k":1}"""),
+      ("globex.supprt.u2", """{"k":2}"""),
+      ("globex.supprt.u3", """{"k":3}""")))
+    try {
+      val c = new NatsSocketClient("127.0.0.1", broker.port, readTimeoutMs = 1500)
+      c.connect()
+      val info = JetStreamApi.ensureDurable(c, "EVENTS", "monitor",
+        filterSubject = "globex.>",
+        deliverSubject = "_INBOX.graft.monitor.deliver",
+        deliverGroup = Group)
+      assert(info.created, "first run must CREATE the consumer")
+      assert(info.stream === "EVENTS" && info.name === "monitor")
+      assert(info.deliverSubject === "_INBOX.graft.monitor.deliver")
+      assert(info.deliverGroup === Group)
+      // the wire saw INFO first (404), then the durable create
+      assert(broker.infoRequests.size() === 1)
+      assert(broker.createRequests.size() === 1)
+      // push delivery to the DELIVER subject, metadata in the ACK reply
+      c.subscribe(info.deliverSubject, sid = "7", queue = Some(Group))
+      val got = Iterator.continually(c.next()).takeWhile(_.isDefined)
+        .flatten.toList
+      assert(got.map(_.subject) ===
+        List("globex.supprt.u1", "globex.supprt.u2", "globex.supprt.u3"))
+      val metas = got.flatMap(_.reply).flatMap(NatsWire.jetStreamMeta)
+      assert(metas.map(_.streamSeq) === List(1L, 2L, 3L))
+      assert(metas.forall(m => m.numDelivered == 1L && m.stream == "EVENTS"))
+      got.foreach(c.ack)
+      c.close()
+    } finally broker.close()
+  }
+
+  test("consumer lifecycle: reconnect RESUMES the durable (no re-create), " +
+      "preserving the cursor; unacked deliveries redeliver with " +
+      "num_delivered > 1 for the dedup stage downstream") {
+    val broker = new StubJetStreamBroker("EVENTS", Seq(
+      ("globex.supprt.u1", """{"k":1}"""),
+      ("globex.supprt.u2", """{"k":2}"""),
+      ("globex.supprt.u3", """{"k":3}""")))
+    try {
+      // session 1: create, drain all three, ack ONLY the first — then
+      // "crash" (close without acking 2 and 3)
+      val c1 = new NatsSocketClient("127.0.0.1", broker.port, readTimeoutMs = 1500)
+      c1.connect()
+      val i1 = JetStreamApi.ensureDurable(c1, "EVENTS", "monitor",
+        "globex.>", "_INBOX.graft.monitor.deliver", Group)
+      assert(i1.created)
+      c1.subscribe(i1.deliverSubject, sid = "1", queue = Some(Group))
+      val first = Iterator.continually(c1.next()).takeWhile(_.isDefined)
+        .flatten.toList
+      assert(first.size === 3)
+      c1.ack(first.head) // seq 1 acked; 2 and 3 die with the session
+      Thread.sleep(100) // let the ack PUB land before the socket drops
+      c1.close()
+
+      // session 2: the restart. INFO finds the durable — no CREATE —
+      // with the cursor where session 1 left it; subscribing to the SAME
+      // deliver subject redelivers exactly the unacked tail, marked
+      // num_delivered=2 (what ReplaySource's dedup keys on, B5)
+      val c2 = new NatsSocketClient("127.0.0.1", broker.port, readTimeoutMs = 1500)
+      c2.connect()
+      val i2 = JetStreamApi.ensureDurable(c2, "EVENTS", "monitor",
+        "globex.>", "_INBOX.graft.SHOULD-NOT-BE-USED", Group)
+      assert(!i2.created, "restart must RESUME, not re-create")
+      assert(broker.createRequests.size() === 1, "exactly one create ever")
+      assert(i2.deliverSubject === "_INBOX.graft.monitor.deliver",
+        "resume must return the deliver subject the consumer was created with")
+      assert(i2.ackFloorStreamSeq === 1L)
+      assert(i2.deliveredStreamSeq === 3L)
+      c2.subscribe(i2.deliverSubject, sid = "1", queue = Some(Group))
+      val second = Iterator.continually(c2.next()).takeWhile(_.isDefined)
+        .flatten.toList
+      val metas = second.flatMap(_.reply).flatMap(NatsWire.jetStreamMeta)
+      assert(metas.map(_.streamSeq) === List(2L, 3L), "only the unacked tail")
+      assert(metas.forall(_.numDelivered === 2L))
+      second.foreach(c2.ack)
+      c2.close()
+    } finally broker.close()
+  }
+
+  test("capture with jetStream lifecycle: two capture runs land every " +
+      "stream seq exactly once across backlog files") {
+    val dir = Files.createTempDirectory("graft_js_cap").toString
+    val broker = new StubJetStreamBroker("EVENTS",
+      (1 to 5).map(i => (s"globex.supprt.u$i", s"""{"k":$i}""")))
+    try {
+      // first capture run: resolves the stream from the subject
+      // (STREAM.NAMES), creates the durable, drains, acks after write
+      val n1 = NatsCapture.capture(s"nats://127.0.0.1:${broker.port}",
+        "globex.>", dir, maxMsgs = 3, maxWaitMs = 1500,
+        durable = Some("monitor"))
+      assert(n1 === 3)
+      // second run resumes the SAME durable: only the unacked tail
+      val n2 = NatsCapture.capture(s"nats://127.0.0.1:${broker.port}",
+        "globex.>", dir, maxMsgs = 10, maxWaitMs = 1500,
+        durable = Some("monitor"))
+      assert(n2 === 2)
+      assert(broker.createRequests.size() === 1)
+      // both backlog files together carry stream seqs 1..5, once each
+      val files = Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".jsonl")).toList.sortBy(_.toString)
+      assert(files.size === 2)
+      val seqs = files.flatMap { f =>
+        val reader = new ReplayReader(ReplayPartition(f.toString, 0, 100))
+        val rows = Iterator.continually(reader.next()).takeWhile(identity)
+          .map(_ => reader.get().getLong(3)).toList
+        reader.close()
+        rows
+      }
+      assert(seqs.sorted === List(1L, 2L, 3L, 4L, 5L))
+    } finally broker.close()
+  }
 }

@@ -29,28 +29,45 @@ object Views {
     "client_code", "project_code", "user_id", "session_id",
     "message_from", "message_to", "message_type", "message_context")
 
-  def deriveAnalytics(raw: DataFrame): DataFrame = {
+  /** The SHARED MV core: ClickHouse '' / epoch-0 defaults over the four
+    * extracted payload keys (however they were parsed — the one thing
+    * the two flavors differ in) plus the 8 subject segments. Both
+    * flavors parse the payload exactly ONCE per row upstream of this. */
+  private def analyticsColumns(text: org.apache.spark.sql.Column,
+      meta: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      ts: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq(
+      col("timestamp"), col("subject"), col("chat_id"),
+      col("metadata"), col("data"),
+      chString(text).as("message_text"),
+      chString(meta).as("message_meta"),
+      chString(id).as("message_id"),
+      chEpochTimestamp(ts).as("message_timestamp")
+    ) ++ segNames.zipWithIndex.map { case (name, i) =>
+      subjectSegment(col("subject"), i + 1).as(name)
+    }
+
+  def deriveAnalytics(raw: DataFrame): DataFrame =
     // json_tuple parses the payload ONCE for all four keys —
     // get_json_object would re-parse it per key on the hottest projection
     // in the pipeline (values and null semantics are identical; the
-    // ClickHouse '' / epoch-0 defaults wrap the raw extracts below)
+    // ClickHouse '' / epoch-0 defaults wrap the raw extracts in the
+    // shared core)
     raw
       .select(col("*"),
         json_tuple(col("data"), "text", "meta", "id", "timestamp")
           .as(Seq("_jx_text", "_jx_meta", "_jx_id", "_jx_ts")))
-      .select(
-        Seq(
-          col("timestamp"), col("subject"), col("chat_id"),
-          col("metadata"), col("data"),
-          chString(col("_jx_text")).as("message_text"),
-          chString(col("_jx_meta")).as("message_meta"),
-          chString(col("_jx_id")).as("message_id"),
-          chEpochTimestamp(col("_jx_ts")).as("message_timestamp")
-        ) ++ segNames.zipWithIndex.map { case (name, i) =>
-          subjectSegment(col("subject"), i + 1).as(name)
-        }: _*
-      )
-  }
+      .select(analyticsColumns(col("_jx_text"), col("_jx_meta"),
+        col("_jx_id"), col("_jx_ts")): _*)
+
+  /** Flavor switch: the Variant derivation is the PRIMARY path (the
+    * engine-native mapping of the analytics table's `data JSON` column);
+    * the `json_tuple` string path stays as the fallback for engines or
+    * readers without VariantType. Output schema and values are identical
+    * either way — `StreamingSpec` pins the equivalence streaming-vs-
+    * batch, and `r4`/`r10` oracle-gate one flavor each. */
+  def deriveAnalytics(raw: DataFrame, variant: Boolean): DataFrame =
+    if (variant) deriveAnalyticsVariant(raw) else deriveAnalytics(raw)
 
   require(Schemas.analyticsDerived.size == 12)
 
@@ -72,22 +89,11 @@ object Views {
   def deriveAnalyticsVariant(raw: DataFrame): DataFrame =
     raw
       .withColumn("_dv", try_parse_json(col("data")))
-      .select(
-        Seq(
-          col("timestamp"), col("subject"), col("chat_id"),
-          col("metadata"), col("data"),
-          chString(try_variant_get(col("_dv"), "$.text", "string"))
-            .as("message_text"),
-          chString(try_variant_get(col("_dv"), "$.meta", "string"))
-            .as("message_meta"),
-          chString(try_variant_get(col("_dv"), "$.id", "string"))
-            .as("message_id"),
-          chEpochTimestamp(try_variant_get(col("_dv"), "$.timestamp", "string"))
-            .as("message_timestamp")
-        ) ++ segNames.zipWithIndex.map { case (name, i) =>
-          subjectSegment(col("subject"), i + 1).as(name)
-        }: _*
-      )
+      .select(analyticsColumns(
+        try_variant_get(col("_dv"), "$.text", "string"),
+        try_variant_get(col("_dv"), "$.meta", "string"),
+        try_variant_get(col("_dv"), "$.id", "string"),
+        try_variant_get(col("_dv"), "$.timestamp", "string")): _*)
 
   /** Q1 physical layout: month partition column for
     * `PARTITION BY toYYYYMM(timestamp)` (`init.sql:18,31,45,95`). At scale

@@ -72,9 +72,17 @@ object NatsLikeStream {
     * (K2: ack-after-write ⇒ at-least-once).
     *
     * Output layout under `warehouse`: `raw/` and `analytics/` parquet
-    * tables, each month-partitioned like the reference MergeTree tables. */
+    * tables, each month-partitioned like the reference MergeTree tables.
+    *
+    * `variantAnalytics` picks the analytics-MV flavor (default: the
+    * VariantType single-parse derivation — the engine-native mapping of
+    * the analytics table's `data JSON` column; `false` = the
+    * `json_tuple` string path). Values are identical either way
+    * (`StreamingSpec` pins it); the switch exists for readers of the
+    * parquet output that can't consume what a Variant column parses. */
   def start(envelopes: DataFrame, warehouse: String, checkpoint: String,
-      trigger: Trigger = BatchTimeout): StreamingQuery =
+      trigger: Trigger = BatchTimeout,
+      variantAnalytics: Boolean = true): StreamingQuery =
     envelopes.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -86,7 +94,7 @@ object NatsLikeStream {
           Views.withMonth(raw)
             .write.mode("append").partitionBy("month")
             .parquet(s"$warehouse/raw")
-          Views.withMonth(Views.deriveAnalytics(raw))
+          Views.withMonth(Views.deriveAnalytics(raw, variantAnalytics))
             .write.mode("append").partitionBy("month")
             .parquet(s"$warehouse/analytics")
         } finally raw.unpersist()

@@ -283,6 +283,29 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS variant_mv")
   }
 
+  test("streaming MV cascade: the PRIMARY (variant) flavor and the " +
+      "string-path fallback write identical analytics tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def runCascade(variant: Boolean): org.apache.spark.sql.DataFrame = {
+      val wh = Files.createTempDirectory("graft_flavor_wh").toString
+      val cp = Files.createTempDirectory("graft_flavor_cp").toString
+      val src = MemoryStream[Env]
+      src.addData(envs(0, 25): _*)
+      val q = NatsLikeStream.start(src.toDF(), wh, cp,
+        Trigger.AvailableNow(), variantAnalytics = variant)
+      q.awaitTermination()
+      spark.read.parquet(s"$wh/analytics")
+    }
+    val primary = runCascade(variant = true)
+    val fallback = runCascade(variant = false)
+    assert(primary.columns.sorted.toSeq === fallback.columns.sorted.toSeq)
+    val key = primary.columns.sorted.map(col).toIndexedSeq
+    assert(primary.select(key: _*).orderBy(key: _*).collect().map(_.toSeq).toSeq ===
+      fallback.select(key: _*).orderBy(key: _*).collect().map(_.toSeq).toSeq)
+  }
+
   test("redelivery end-to-end: a crashed epoch replays (NumDelivered>1) " +
       "and dedup + ack-after-write yield effectively-once in the sink") {
     import spark.implicits._

@@ -302,7 +302,7 @@ object SparkEntry {
          |m$i AS (SELECT vec_id, u, cid AS cell FROM a$i WHERE rn = 1),
          |s$i AS (
          |  SELECT cell, i - 1 AS pos,
-         |    CAST(CAST(SUM(CAST(floor(u[i] * 1000000.0 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE)
+         |    V2D(SUM(CAST(floor(u[i] * 1000000.0 + 0.5) AS BIGINT)))
          |      / (1000000.0 * COUNT(*)) AS cval
          |  FROM m$i CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix
          |  GROUP BY 1, 2),
@@ -337,8 +337,11 @@ object SparkEntry {
     graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * same parquet tables. Omit for non-SQL-expressible ops. Written in the
+    * [[graft.queries.OracleDialect]] macro dialect (`V2D`/`DEC6`/`DEC0`) so
+    * the exact-decimal-sum-to-double bridge is lowered in one place;
+    * `expandAll` below is that single lowering point. */
+  def oracleSql: Map[String, String] = graft.queries.OracleDialect.expandAll(Map(
     "r1_ingest_raw" -> (envCte +
       """SELECT * FROM raw ORDER BY sequence"""),
 
@@ -457,11 +460,11 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
-        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+        |  V2D(SUM(DEC6(l_quantity))) AS sum_qty,
+        |  V2D(SUM(DEC6(l_extendedprice))) AS sum_base_price,
+        |  V2D(SUM(DEC6(l_extendedprice * (1 - l_discount)))) AS sum_disc_price,
+        |  V2D(SUM(DEC6(l_quantity))) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        |  V2D(SUM(DEC6(l_discount))) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -470,7 +473,7 @@ object SparkEntry {
 
     "q2_filter_agg" ->
       """SELECT
-        |  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  V2D(SUM(DEC6(l_extendedprice * l_discount))) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -478,7 +481,7 @@ object SparkEntry {
 
     "q3_join_topk" ->
       """SELECT o_orderkey, o_orderdate,
-        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
+        |  V2D(SUM(DEC6(l_extendedprice * (1 - l_discount)))) AS revenue
         |FROM lineitem, orders, customer
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND c_mktsegment = 'BUILDING'
@@ -489,14 +492,14 @@ object SparkEntry {
 
     "q4_broadcast_join" ->
       """SELECT p_brand, COUNT(*) AS n_items,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+        |  V2D(SUM(DEC6(l_extendedprice))) AS sum_price,
+        |  V2D(SUM(DEC6(l_quantity))) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q5_multi_join" ->
       """SELECT n_name,
-        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
+        |  V2D(SUM(DEC6(l_extendedprice * (1 - l_discount)))) AS revenue
         |FROM lineitem, orders, supplier, customer, nation, region
         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -507,7 +510,7 @@ object SparkEntry {
 
     "q6_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |  V2D(SUM(DEC6(o_totalprice))) AS sum_price
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
@@ -515,7 +518,7 @@ object SparkEntry {
 
     "q7_anti_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
-        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_acctbal,
+        |  V2D(SUM(DEC6(c_acctbal))) AS sum_acctbal,
         |  MIN(c_custkey) AS min_custkey
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -533,24 +536,24 @@ object SparkEntry {
 
     "q9_window_running" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+        |  V2D(SUM(DEC6(l_quantity)) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS running_qty
         |FROM lineitem WHERE l_suppkey < 10
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
     "q10_distinct_agg" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  COUNT(DISTINCT c_nationkey) AS n_nations,
-        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
+        |  V2D(SUM(DEC6(c_acctbal))) AS sum_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q11_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |  COUNT(*) AS n_orders,
-        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |  V2D(SUM(DEC6(o_totalprice))) AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
@@ -571,8 +574,8 @@ object SparkEntry {
     "q13_event_windows" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS avg_value
+        |  V2D(SUM(DEC6(value))) AS sum_value,
+        |  V2D(SUM(DEC6(value))) / CAST(COUNT(value) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q14_sessionize" ->
@@ -592,18 +595,18 @@ object SparkEntry {
         |)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |  V2D(SUM(DEC6(value))) AS sum_value
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
     "q17_pivot" ->
       """SELECT o_orderpriority,
-        |  coalesce(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
-        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE), 0.0) AS sum_f,
-        |  coalesce(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
-        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE), 0.0) AS sum_o,
-        |  coalesce(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
-        |    THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE), 0.0) AS sum_p
+        |  coalesce(V2D(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN DEC6(o_totalprice) END)), 0.0) AS sum_f,
+        |  coalesce(V2D(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN DEC6(o_totalprice) END)), 0.0) AS sum_o,
+        |  coalesce(V2D(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN DEC6(o_totalprice) END)), 0.0) AS sum_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q18_percentiles" ->
@@ -618,8 +621,8 @@ object SparkEntry {
     // must not change results (decimal accumulation is associative).
     "q19_salted_agg" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  V2D(SUM(DEC6(l_quantity))) AS sum_qty,
+        |  V2D(SUM(DEC6(l_extendedprice))) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -856,7 +859,7 @@ object SparkEntry {
     "x15_asof_join" ->
       """WITH views AS (
         |  SELECT user_id, ts, max(event_id) AS view_event_id,
-        |    CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS view_value
+        |    V2D(SUM(DEC6(value))) AS view_value
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |clicks AS (SELECT user_id, event_id, ts, value FROM events
         |           WHERE event_type = 'click')
@@ -875,9 +878,9 @@ object SparkEntry {
         |           WHERE event_type = 'click')
         |SELECT c.user_id, c.event_id, c.ts,
         |  COUNT(v.vts) AS n_views_1h,
-        |  CAST(CAST(SUM(CASE WHEN v.vts IS NOT NULL
-        |    THEN CAST(v.value AS DECIMAL(25,6))
-        |    ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS VARCHAR) AS DOUBLE) AS sum_view_value_1h
+        |  V2D(SUM(CASE WHEN v.vts IS NOT NULL
+        |    THEN DEC6(v.value)
+        |    ELSE DEC6(0.0) END)) AS sum_view_value_1h
         |FROM clicks c LEFT JOIN views v
         |  ON c.user_id = v.user_id
         |  AND v.vts > c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
@@ -921,8 +924,8 @@ object SparkEntry {
 
     "x17_udaf_wavg" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS wavg_price,
+        |  V2D(SUM(DEC6(l_extendedprice * l_quantity)))
+        |    / V2D(SUM(DEC6(l_quantity))) AS wavg_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -990,7 +993,7 @@ object SparkEntry {
          |    CAST(stop_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS stop_ratio,
          |    sqrt(CAST(total_tokens AS DOUBLE)) AS root_toks
          |  FROM s),
-         |n AS (SELECT CAST(CAST(SUM(CAST(root_toks AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS norm FROM r)
+         |n AS (SELECT V2D(SUM(DEC6(root_toks))) AS norm FROM r)
          |SELECT source, n_docs, total_tokens, stop_tokens, stop_ratio,
          |  root_toks / norm AS weight
          |FROM r, n ORDER BY source""".stripMargin,
@@ -1212,14 +1215,14 @@ object SparkEntry {
     // Mirrors Relational.corrSubquery (same ANSI text modulo view names).
     "q20_corr_subquery" ->
       """SELECT
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / 7.0
+        |  V2D(SUM(DEC6(l_extendedprice))) / 7.0
         |    AS avg_yearly,
         |  COUNT(*) AS n_rows
         |FROM lineitem l JOIN part p ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (
-        |    SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6)))
-        |        AS VARCHAR) AS DOUBLE) / COUNT(*))
+        |    SELECT 0.2 * (V2D(SUM(DEC6(l2.l_quantity))
+        |       ) / COUNT(*))
         |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |""".stripMargin,
 
@@ -1229,7 +1232,7 @@ object SparkEntry {
         |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
         |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
         |  COUNT(*) AS n_cust,
-        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |  V2D(SUM(DEC6(c_acctbal))) AS sum_bal
         |FROM customer c
         |JOIN nation n ON c_nationkey = n_nationkey
         |JOIN region r ON n_regionkey = r_regionkey
@@ -1241,13 +1244,13 @@ object SparkEntry {
     "q15_moving_avg" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n_orders,
-        |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS dec_price
+        |    SUM(DEC6(o_totalprice)) AS dec_price
         |  FROM orders GROUP BY 1
         |)
         |SELECT day, n_orders,
-        |  CAST(dec_price AS DOUBLE) AS sum_price,
-        |  CAST(CAST(SUM(n_orders) OVER w7 AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_orders,
-        |  CAST(CAST(SUM(dec_price) OVER w7 AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_price
+        |  V2D(dec_price) AS sum_price,
+        |  V2D(SUM(n_orders) OVER w7) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_orders,
+        |  V2D(SUM(dec_price) OVER w7) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS ma7_price
         |FROM daily
         |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
@@ -1353,7 +1356,7 @@ object SparkEntry {
          |SELECT *, boiler_frac < 0.5 AS keep FROM f ORDER BY doc_id""".stripMargin),
 
     // Mirrors Quantization.covarianceStats: elements quantized to
-    // floor(v*1e6 + 0.5) longs, exact DECIMAL(25,0) sums, then the SAME
+    // floor(v*1e6 + 0.5) longs, exact DEC0 sums, then the SAME
     // fixed-order correctly-rounded double divisions — bit-identical
     // means/moments/covariances. The oracle pairs via a vec_id self-join
     // where the Spark side re-explodes each row's own array (join-free);
@@ -1367,17 +1370,17 @@ object SparkEntry {
          |  FROM embeddings
          |  CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix),
          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
-         |ds AS (SELECT i, SUM(CAST(sv AS DECIMAL(25,0))) AS sum_i
+         |ds AS (SELECT i, SUM(DEC0(sv)) AS sum_i
          |       FROM s GROUP BY 1),
          |p AS (SELECT a.i AS i, b.i AS j,
-         |        SUM(CAST(a.sv * b.sv AS DECIMAL(25,0))) AS spp
+         |        SUM(DEC0(a.sv * b.sv)) AS spp
          |      FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.i <= b.i
          |      GROUP BY 1, 2),
          |f AS (
          |  SELECT p.i, p.j, n.n_vecs,
-         |    CAST(di.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i,
-         |    CAST(dj.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_j,
-         |    CAST(p.spp AS DOUBLE) / (CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE))
+         |    V2D(di.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i,
+         |    V2D(dj.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_j,
+         |    V2D(p.spp) / (CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE))
          |      / CAST(n.n_vecs AS DOUBLE) AS m2
          |  FROM p JOIN ds di ON di.i = p.i JOIN ds dj ON dj.i = p.j
          |  CROSS JOIN n)
@@ -1413,7 +1416,7 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
          |  CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_oov,
-         |  CAST(CAST(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
+         |  V2D(SUM(CASE WHEN vocab_id IS NULL THEN 1 ELSE 0 END))
          |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
          |  array_to_string(list(id ORDER BY pos), ',') AS ids_csv
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -1588,17 +1591,17 @@ object SparkEntry {
          |  CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix),
          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
          |st AS (
-         |  SELECT i, SUM(CAST(sv AS DECIMAL(25,0))) AS sum_i,
-         |    SUM(CAST(sv * sv AS DECIMAL(25,0))) AS sumsq_i
+         |  SELECT i, SUM(DEC0(sv)) AS sum_i,
+         |    SUM(DEC0(sv * sv)) AS sumsq_i
          |  FROM s GROUP BY 1),
          |f AS (
          |  SELECT s.vec_id, s.i,
          |    CAST(s.sv AS DOUBLE) / $sc.0 AS v_q,
-         |    CAST(st.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i,
-         |    CAST(st.sumsq_i AS DOUBLE) / (CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE))
+         |    V2D(st.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i,
+         |    V2D(st.sumsq_i) / (CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE))
          |      / CAST(n.n_vecs AS DOUBLE)
-         |      - (CAST(st.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE))
-         |        * (CAST(st.sum_i AS DOUBLE) / $sc.0 / CAST(n.n_vecs AS DOUBLE)) AS var_i
+         |      - (V2D(st.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE))
+         |        * (V2D(st.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE)) AS var_i
          |  FROM s JOIN st ON st.i = s.i CROSS JOIN n)
          |SELECT vec_id, CAST(i AS BIGINT) AS dim, v_q, mean_i, var_i,
          |  CASE WHEN var_i <= 0.0 THEN 0.0
@@ -1607,5 +1610,5 @@ object SparkEntry {
     }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
-  )
+  ))
 }

@@ -6,6 +6,16 @@
 # entire signal. This gate is the one-line insurance against that class
 # of loss; it deliberately runs only Test/compile (fast, ~10 s warm),
 # not the full suite -- correctness belongs to tools/check.py.
+#
+# `gate.sh --sf1 [query ...]` runs the sf1 scale-regression gate instead
+# (tools/scale_gate.py): correctness at 10x the bench SF plus a per-query
+# linearity budget (sf1 time <= 15x sf0.1 time). Slow (~15 min full
+# battery; seconds-to-minutes for a named query subset) -- run it after
+# touching any operator's partitioning/cell/cap constants, not per-commit.
 set -e
 cd "$(dirname "$0")/.."
+if [ "$1" = "--sf1" ]; then
+  shift
+  exec python3 tools/scale_gate.py "$@"
+fi
 exec sbt -batch Test/compile

@@ -27,17 +27,36 @@ events.ts stays timestamp[ns] (graft.queries.Tables.events depends on
 the nanosAsLong read path).
 
 Usage: python3 tools/gen_sf1.py [outDir]   (default testdata/sf1)
+
+`--copies N` scales further (N x sf0.1; default 10 = sf1) and
+`--tables a,b` restricts generation — the VERDICT r6 #6 sf10 spot-run
+of the dedup/ANN families needs only documents+embeddings at 100 x:
+
+  python3 tools/gen_sf1.py testdata/sf10 --copies 100 \
+      --tables documents,embeddings
 """
-import sys
+import argparse
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+_ap = argparse.ArgumentParser()
+_ap.add_argument("out", nargs="?", default="testdata/sf1")
+_ap.add_argument("--copies", type=int, default=10)
+_ap.add_argument("--tables", default="",
+                 help="comma-separated subset; default all")
+_args = _ap.parse_args()
+
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf1"
-COPIES = 10
+OUT = _args.out
+COPIES = _args.copies
+ONLY = set(filter(None, _args.tables.split(",")))
 SEED = 42_000_001
+
+
+def wanted(name):
+    return not ONLY or name in ONLY
 
 # Row groups sized so every table yields MANY input splits (Spark assigns
 # one task per row group when byte-range splitting can't cut inside a
@@ -95,50 +114,66 @@ def key_name(prefix, key_col):
 def main():
     # fixed dims: straight copies
     for name in ("region", "nation"):
-        t = load(name)
-        write(name, t, t.schema)
+        if wanted(name):
+            t = load(name)
+            write(name, t, t.schema)
 
-    replicate("customer", {"c_custkey": 15000},
-              renames={"c_name": lambda c: key_name("Customer", c["c_custkey"])})
-    replicate("supplier", {"s_suppkey": 1000},
-              renames={"s_name": lambda c: key_name("Supplier", c["s_suppkey"])})
-    replicate("part", {"p_partkey": 20000})
-    replicate("orders", {"o_orderkey": 150000, "o_custkey": 15000})
-    replicate("lineitem",
-              {"l_orderkey": 150000, "l_partkey": 20000, "l_suppkey": 1000})
-    replicate("events", {"event_id": 100000, "user_id": 1500})
+    if wanted("customer"):
+        replicate("customer", {"c_custkey": 15000},
+                  renames={"c_name": lambda c: key_name("Customer", c["c_custkey"])})
+    if wanted("supplier"):
+        replicate("supplier", {"s_suppkey": 1000},
+                  renames={"s_name": lambda c: key_name("Supplier", c["s_suppkey"])})
+    if wanted("part"):
+        replicate("part", {"p_partkey": 20000})
+    if wanted("orders"):
+        replicate("orders", {"o_orderkey": 150000, "o_custkey": 15000})
+    if wanted("lineitem"):
+        replicate("lineitem",
+                  {"l_orderkey": 150000, "l_partkey": 20000, "l_suppkey": 1000})
+    if wanted("events"):
+        replicate("events", {"event_id": 100000, "user_id": 1500})
 
     rng = np.random.default_rng(SEED)
 
-    # documents: fresh draw from the observed process
-    src_docs = load("documents")
-    vocab = sorted({w for txt in src_docs.column("text").to_pylist()
-                    if txt is not None for w in txt.split(" ")})
-    langs, lang_counts = np.unique(
-        np.array(src_docs.column("lang").to_pylist()), return_counts=True)
-    lang_p = lang_counts / lang_counts.sum()
-    n_docs = src_docs.num_rows * COPIES
-    lengths = rng.integers(10, 101, size=n_docs)
-    vocab_arr = np.array(vocab)
-    texts = [" ".join(vocab_arr[rng.integers(0, len(vocab_arr), size=n)])
-             for n in lengths]
-    # planted exact dups at the observed rate (8 per 5000 docs, group size 2)
-    n_dups = 8 * COPIES
-    dup_to = rng.choice(np.arange(n_docs // 2, n_docs), size=n_dups, replace=False)
-    dup_from = rng.integers(0, n_docs // 2, size=n_dups)
-    for a, b in zip(dup_to, dup_from):
-        texts[a] = texts[b]
-    doc_lang = rng.choice(langs, size=n_docs, p=lang_p)
-    doc_src = np.char.add("src", rng.integers(0, 20, size=n_docs).astype(str))
-    write("documents", pa.table({
-        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(doc_lang, pa.string()),
-        "source": pa.array(doc_src, pa.string()),
-        "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
-    }), src_docs.schema)
+    if not wanted("documents") and not wanted("embeddings"):
+        return
 
-    # embeddings: fresh uniform random unit vectors
+    if wanted("documents"):
+        # documents: fresh draw from the observed process
+        src_docs = load("documents")
+        vocab = sorted({w for txt in src_docs.column("text").to_pylist()
+                        if txt is not None for w in txt.split(" ")})
+        langs, lang_counts = np.unique(
+            np.array(src_docs.column("lang").to_pylist()), return_counts=True)
+        lang_p = lang_counts / lang_counts.sum()
+        n_docs = src_docs.num_rows * COPIES
+        lengths = rng.integers(10, 101, size=n_docs)
+        vocab_arr = np.array(vocab)
+        texts = [" ".join(vocab_arr[rng.integers(0, len(vocab_arr), size=n)])
+                 for n in lengths]
+        # planted exact dups at the observed rate (8 per 5000 docs, group size 2)
+        n_dups = 8 * COPIES
+        dup_to = rng.choice(np.arange(n_docs // 2, n_docs), size=n_dups, replace=False)
+        dup_from = rng.integers(0, n_docs // 2, size=n_dups)
+        for a, b in zip(dup_to, dup_from):
+            texts[a] = texts[b]
+        doc_lang = rng.choice(langs, size=n_docs, p=lang_p)
+        doc_src = np.char.add("src", rng.integers(0, 20, size=n_docs).astype(str))
+        write("documents", pa.table({
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(doc_lang, pa.string()),
+            "source": pa.array(doc_src, pa.string()),
+            "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
+        }), src_docs.schema)
+
+    if not wanted("embeddings"):
+        return
+
+    # embeddings: fresh uniform random unit vectors. Dedicated stream so a
+    # --tables subset draws identical data to the full run.
+    rng = np.random.default_rng(SEED + 1)
     src_emb = load("embeddings")
     n_vec = src_emb.num_rows * COPIES
     dim = len(src_emb.column("embedding")[0])

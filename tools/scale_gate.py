@@ -23,6 +23,16 @@ Usage:
   python3 tools/scale_gate.py [--budget 15] [--floor 2.0]
                               [--skip-correctness] [query ...]
 
+`--base-dir`/`--big-dir` rescope the pair to any two SFs — the VERDICT
+r6 #6 sf10 spot-run of the dedup/ANN families is
+
+  python3 tools/scale_gate.py --base-dir testdata/sf1 \
+      --big-dir testdata/sf10 --skip-correctness x1_dedup_exact ...
+
+(correctness at the big SF is optional there: the DuckDB oracle's
+inverted-index SQL is itself minutes-scale at 500 k docs, while the
+bench linearity contract is the signal the spot-run exists for).
+
 Exit 0 = within contract; exit 1 = correctness or budget violation.
 NEVER run while another sbt/bench JVM is active (steal inflates times).
 """
@@ -62,10 +72,14 @@ def main():
     ap.add_argument("--floor", type=float, default=2.0,
                     help="sf1 seconds below which the ratio is not judged")
     ap.add_argument("--skip-correctness", action="store_true")
+    ap.add_argument("--base-dir", default=SF01,
+                    help="small-SF dir (ratio denominator)")
+    ap.add_argument("--big-dir", default=SF1,
+                    help="large-SF dir (correctness + ratio numerator)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
-    if not os.path.isdir(SF1):
+    if args.big_dir == SF1 and not os.path.isdir(SF1):
         print("testdata/sf1 missing — generating (deterministic, ~1 min)")
         if run([sys.executable, "tools/gen_sf1.py"]).returncode != 0:
             sys.exit("gen_sf1.py failed")
@@ -76,21 +90,25 @@ def main():
         vout = "/tmp/scale_gate_verify"
         run(["rm", "-rf", vout])
         v = run(["sbt", "-batch",
-                 f"runMain graft.Verify {SF1} {vout} " + " ".join(args.queries)])
+                 f"runMain graft.Verify {args.big_dir} {vout} "
+                 + " ".join(args.queries)])
         if v.returncode != 0:
-            sys.exit("Verify failed at sf1")
-        chk = [sys.executable, "tools/check.py", SF1, vout]
+            sys.exit(f"Verify failed at {args.big_dir}")
+        chk = [sys.executable, "tools/check.py", args.big_dir, vout]
         if args.queries:
             oracle = json.load(open(os.path.join(vout, "oracle_sql.json")))
             skip = sorted(set(oracle) - set(args.queries))
             if skip:
                 chk += ["--skip", ",".join(skip)]
         if run(chk).returncode != 0:
-            failures.append("sf1 correctness: check.py reported failures")
+            failures.append(
+                f"{args.big_dir} correctness: check.py reported failures")
 
-    base = bench(SF01, args.queries)
-    big = bench(SF1, args.queries)
-    print(f"\n{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  budget {args.budget}x")
+    base = bench(args.base_dir, args.queries)
+    big = bench(args.big_dir, args.queries)
+    bl = os.path.basename(args.base_dir.rstrip("/"))
+    gl = os.path.basename(args.big_dir.rstrip("/"))
+    print(f"\n{'query':28s} {bl:>8s} {gl:>8s} {'ratio':>7s}  budget {args.budget}x")
     for q in sorted(big):
         b, g = base.get(q), big[q]
         if b is None:
@@ -100,7 +118,7 @@ def main():
         if g > args.floor and ratio > args.budget:
             verdict = "FAIL"
             failures.append(
-                f"{q}: sf1 {g:.2f}s is {ratio:.1f}x its sf0.1 {b:.2f}s "
+                f"{q}: {gl} {g:.2f}s is {ratio:.1f}x its {bl} {b:.2f}s "
                 f"(> {args.budget}x budget) — super-linear scale shape")
         print(f"{q:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}x  {verdict}")
 

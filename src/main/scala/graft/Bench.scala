@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,20 +28,43 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
+    // FAIL LOUDLY. Round 7 shipped a 15-query outage as "total 89 s, rc=0"
+    // because every exception here was swallowed: a query that throws was
+    // recorded as a ~0.06 s success. Every failure now lands in the
+    // emitted JSON ("errors") and flips the exit code.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def errMsg(e: Throwable): String = {
+      val m = Option(e.getMessage).getOrElse("").trim
+      val s = if (m.nonEmpty) m else e.getClass.getName
+      s.linesIterator.next().take(300)
+    }
+    // Analysis pre-check (plan only, no execution): a query broken at
+    // analysis time — the round-7 failure mode — is caught in
+    // milliseconds here and excluded from the timed battery instead of
+    // polluting it with sub-100ms "successes".
+    val analyzed = selected.toSeq.sortBy(_._1).filter { case (name, fn) =>
+      try { fn(spark, sfDir).schema; true }
+      catch { case e: Throwable => errors(name) = errMsg(e); false }
+    }
     // Warm the JVM/codegen/scan paths on one of the queries actually under
     // measurement, so the first timed query isn't billed for session init.
-    selected.headOption.foreach { case (_, fn) =>
-      try { run(fn) } catch { case _: Throwable => () }
+    // A warmup-only execution failure is still a failure — record it.
+    analyzed.headOption.foreach { case (name, fn) =>
+      try { run(fn) }
+      catch { case e: Throwable => errors.getOrElseUpdate(name, errMsg(e)) }
       util.OperatorCaches.release(spark)
     }
     // Report min of two runs per query: steady-state cost, de-noised from
     // JIT warmup of interpreted expression paths and this host's sporadic
     // multi-second hypervisor scheduling stalls (observed 60s+ idle-wait
     // outliers on otherwise-4s queries, uncorrelated with plan shape).
-    def one(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def one(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
+      if (errors.contains(name)) return Double.NaN // don't re-run known-broken
       val t0 = System.nanoTime()
-      try { run(fn) } catch { case _: Throwable => () }
+      try { run(fn) }
+      catch { case e: Throwable => errors(name) = errMsg(e) }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop operator-level persist() caches THROUGH the CacheManager
       // (Dataset.unpersist clears the plan→cache mapping; a raw-RDD
@@ -61,12 +85,12 @@ object Bench {
     // number. The back-to-back formulation this replaces sampled runs
     // inside the same burst (measured: the same query 4-6× inflated in
     // consecutive runs, while clean in a battery run minutes later).
-    val sorted = selected.toSeq.sortBy(_._1)
-    val pass1 = sorted.map { case (name, fn) => name -> one(fn) }.toMap
-    val pass2 = sorted.map { case (name, fn) => name -> one(fn) }.toMap
+    val sorted = analyzed
+    val pass1 = sorted.map { case (name, fn) => name -> one(name, fn) }.toMap
+    val pass2 = sorted.map { case (name, fn) => name -> one(name, fn) }.toMap
     val medians = scala.collection.mutable.Map.empty[String, Double]
     val firstPass = sorted.map { case (name, fn) =>
-      val t3 = one(fn)
+      val t3 = one(name, fn)
       val samples = Seq(pass1(name), pass2(name), t3).sorted
       medians(name) = samples(1)
       (name, fn, samples.head, System.nanoTime())
@@ -105,10 +129,10 @@ object Bench {
       var best = best2
       var measuredAt = firstAt
       var retries = 0
-      while (best > threshold && retries < 2) {
+      while (best > threshold && retries < 2 && !errors.contains(name)) {
         val elapsed = (System.nanoTime() - measuredAt) / 1e9
         if (elapsed < 25.0) Thread.sleep(((25.0 - elapsed) * 1000).toLong)
-        best = math.min(best, one(fn))
+        best = math.min(best, one(name, fn))
         // refresh: the SECOND retry's decorrelation window must be
         // measured from the first retry, not from the original battery
         // pass — otherwise back-to-back retries land inside the same
@@ -117,15 +141,30 @@ object Bench {
         retries += 1
       }
       name -> best
+    }.filterNot { case (name, _) => errors.contains(name) }
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMed = results.map { case (k, _) => s"\"" + k + "\":" + medians(k) }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + jsonEsc(v) + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMed =
       if (results.nonEmpty) results.map(r => medians(r._1)).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    // A bench with ANY failed query must not look like a success to the
+    // driver or to gate.sh — rc=0 with failures is how round 7 went blind.
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, v) => System.err.println(s"BENCH FAIL $k: $v") }
+      sys.exit(1)
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the driver-generated parquet corpus (TESTDATA.md). Plain
   * parquet scans — filters/projections in the queries push down into these
@@ -17,13 +17,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and floor-divide to microseconds —
-    * the same truncation DuckDB applies when it loads the column. */
+  /** `events.ts` has shipped as three different physical types across
+    * corpus generations — INT64 TIMESTAMP(NANOS) (reads as `long` under
+    * `nanosAsLong`, or as `timestamp_ntz` on builds where that conf is a
+    * no-op), and TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * `timestamp_ntz`). Dispatch on the LOADED schema instead of assuming
+    * one: long → floor-divide nanos to micros (the truncation DuckDB
+    * applies); ntz → reinterpret as an instant under the UTC session TZ
+    * (value-identical to DuckDB's naive read). Every downstream consumer
+    * sees one canonical `ts: timestamp`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other — " +
+          "extend Tables.events dispatch for this corpus generation")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

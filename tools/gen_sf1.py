@@ -22,9 +22,10 @@ we derive sf1 under the REPO's testdata/ dir (never /root/testdata):
   spread ~1, center-norm ~1/sqrt(n), zero planted near-dup pairs),
   labels uniform 0..9.
 
-Physical parquet types are preserved via schema casts -- in particular
-events.ts stays timestamp[ns] (graft.queries.Tables.events depends on
-the nanosAsLong read path).
+Physical parquet types are preserved via schema casts -- whatever type
+the source corpus generation uses for events.ts (int64 nanos through
+round 6, timestamp[us] NTZ since round 7's environment shift) carries
+through, and graft.queries.Tables.events schema-dispatches on load.
 
 Usage: python3 tools/gen_sf1.py [outDir]   (default testdata/sf1)
 

@@ -68,9 +68,9 @@ def bench(sf_dir, queries):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget", type=float, default=15.0,
-                    help="max sf1/sf0.1 per-query time ratio (10x data)")
+                    help="max big/base per-query time ratio (10x data)")
     ap.add_argument("--floor", type=float, default=2.0,
-                    help="sf1 seconds below which the ratio is not judged")
+                    help="big-SF seconds below which the ratio is not judged")
     ap.add_argument("--skip-correctness", action="store_true")
     ap.add_argument("--base-dir", default=SF01,
                     help="small-SF dir (ratio denominator)")
@@ -79,10 +79,18 @@ def main():
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
+    # Path-normalize before comparing: `--big-dir testdata/sf1` must hit
+    # the same auto-generation branch as the absolute default spelling.
+    args.big_dir = os.path.abspath(args.big_dir)
+    args.base_dir = os.path.abspath(args.base_dir)
     if args.big_dir == SF1 and not os.path.isdir(SF1):
         print("testdata/sf1 missing — generating (deterministic, ~1 min)")
         if run([sys.executable, "tools/gen_sf1.py"]).returncode != 0:
             sys.exit("gen_sf1.py failed")
+    for d in (args.base_dir, args.big_dir):
+        if not os.path.isdir(d):
+            sys.exit(f"SF dir does not exist: {d} — generate it first "
+                     "(tools/gen_sf1.py <dir> [--copies N] [--tables a,b])")
 
     failures = []
 

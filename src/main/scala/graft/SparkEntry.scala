@@ -681,18 +681,29 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Mirrors Dedup.ngramJaccardFrom: n carried through the explode, and
-    // the corpus-derived stop-shingle cut (df <= max(MaxShingleDf,
-    // ceil(N/100)) — Dedup.dfCapExpr) applied before the join, derived
-    // here with the same scalar-subquery pattern as x8/x19's ncells.
+    // the two composed stop-shingle cuts applied before the join — the
+    // fractional boilerplate cap (df <= max(MaxShingleDf, ceil(N/100)) —
+    // Dedup.dfCapExpr) and the linear candidate-volume budget (keep
+    // ascending-df histogram classes while cumulative cnt*df^2 <=
+    // MaxCandidateVolumePerDoc*N), both derived with the same
+    // scalar-subquery pattern as x8/x19's ncells.
     "x3_ngram_jaccard" -> (shingleCte +
       s""", cap AS (SELECT GREATEST(${graft.operators.Dedup.MaxShingleDf},
-         |    CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS df_cap
+         |    CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS df_cap,
+         |    COUNT(*) * ${graft.operators.Dedup.MaxCandidateVolumePerDoc}
+         |      AS vol_budget
          |  FROM sh WHERE len(sh) > 0),
          |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s
          |         FROM sh WHERE len(sh) > 0),
-         |cut AS (SELECT doc_id, n, s FROM (
-         |  SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM ex), cap
-         |  WHERE df <= cap.df_cap),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
+         |hist AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM dft GROUP BY df),
+         |keepmax AS (SELECT COALESCE(MAX(df), 0) AS df_keep FROM (
+         |    SELECT df, SUM(cnt * df * df) OVER (ORDER BY df) AS cum
+         |    FROM hist), cap
+         |  WHERE cum <= cap.vol_budget AND df <= cap.df_cap),
+         |cut AS (SELECT doc_id, n, s FROM ex JOIN dft USING (s), keepmax
+         |  WHERE dft.df <= keepmax.df_keep),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(COUNT(*) AS BIGINT) AS inter,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.queries.Tables
@@ -86,6 +87,29 @@ object Dedup {
   private[graft] def dfCapExpr(n: Column): Column =
     greatest(lit(MaxShingleDf.toLong),
       ceil(n.cast("double") / 100.0).cast("long"))
+
+  /** Candidate-VOLUME budget for [[ngramJaccard]]: the inverted-index
+    * self-join may emit at most this many rows (Σ df² over kept
+    * shingles) per corpus DOCUMENT, i.e. total join volume ≤ budget·N —
+    * strictly linear in corpus size no matter how degenerate the
+    * vocabulary. The round-8 sf10 spot-run measured why the fractional
+    * [[dfCapExpr]] alone is not enough: on the synthetic corpus the
+    * vocabulary is FIXED (~30k distinct shingles), so every shingle's df
+    * grows ∝N while the 1% cap also grows ∝N — nothing is ever cut and
+    * Σ df² goes quadratic (measured vol/doc 558 → 4,749 → 47,091 at
+    * sf0.1/sf1/sf10; the sf10 join is ~2.4·10¹⁰ rows, a single bench run
+    * exceeded 85 min before being aborted). The budget keeps the
+    * LOWEST-df (most discriminative) shingle classes and drops the rest:
+    * exactly the stop-shingle ranking, but cut at a work bound instead
+    * of a popularity fraction. 2000 keeps every SF the driver measures
+    * uncut (sf0.01 ≈ 60, sf0.1 = 558) — behavior-preserving where
+    * recorded history exists — while sf1 (4,749) now trims to its
+    * most-discriminative half and sf10 becomes linear. A natural-text
+    * corpus (power-law dfs, vocabulary growing with N) stays far below
+    * the budget and is untouched; only vocabulary-degenerate corpora pay
+    * the trim, and for those "most shingles are boilerplate" is the
+    * correct reading. */
+  private[graft] val MaxCandidateVolumePerDoc = 2000L
 
   /** (doc_id, sh) with non-empty shingle sets, from an arbitrary
     * (doc_id, text) relation — the testable core.
@@ -239,12 +263,14 @@ object Dedup {
     *    task before the filter can drop it (a boilerplate phrase in 10M
     *    documents = 10M rows through one spilling window task). The
     *    aggregate shrinks the hot key map-side to per-partition partials,
-    *    and the occurrence rows then STREAM through the join; the join
-    *    bounds every surviving key's candidate fan-out to cap²/2. The
-    *    1%-of-corpus cap makes "boilerplate" a fraction, not a count —
-    *    the worst-case candidate volume S·(N/100)²/2 is the inherent
-    *    cost of all-pairs similarity under a fractional df cut, paid
-    *    only by corpora whose vocabulary is degenerate relative to N;
+    *    and the occurrence rows then STREAM through the join. Two cuts
+    *    compose: the fractional 1%-of-corpus boilerplate cap
+    *    ([[dfCapExpr]]) and the LINEAR volume budget
+    *    ([[MaxCandidateVolumePerDoc]]) — keep lowest-df shingle classes
+    *    until Σ df² reaches budget·N, so total join volume is ≤ budget·N
+    *    at ANY corpus/vocabulary ratio (the fractional cap alone went
+    *    quadratic on the fixed-vocabulary corpus — see the budget's
+    *    scaladoc for the sf10 measurement that forced this);
     *  - the self-join and the (doc_a, doc_b) groupBy are the only other
     *    shuffles.
     *
@@ -259,10 +285,12 @@ object Dedup {
   /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation. */
   private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame = {
     val sh = shingleTableFrom(docs)
-    // corpus-derived stop-shingle cap ([[dfCapExpr]]): a 1-row aggregate
+    // corpus-derived stop-shingle cap ([[dfCapExpr]]) and the linear
+    // volume budget ([[MaxCandidateVolumePerDoc]]·N): a 1-row aggregate
     // cross-joined in as a broadcast — declarative, no driver collect,
-    // and the oracle derives the identical value with a scalar subquery
-    val cap = sh.agg(dfCapExpr(count(lit(1))).as("df_cap"))
+    // and the oracle derives the identical values with scalar subqueries
+    val cap = sh.agg(dfCapExpr(count(lit(1))).as("df_cap"),
+      (count(lit(1)) * MaxCandidateVolumePerDoc).as("vol_budget"))
     val ex = sh
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s"))
@@ -270,9 +298,24 @@ object Dedup {
     // join-back so only keep-able shingles ship. Unhinted — its
     // cardinality is the distinct-shingle count (corpus-sized), so only
     // AQE may choose broadcast.
-    val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // Keep threshold: the largest df value whose cumulative Σ cnt·df²
+    // (ascending df) stays within the volume budget, never above the
+    // fractional boilerplate cap. Derived over the df HISTOGRAM — one
+    // row per distinct df value, bounded by max df, so the global
+    // running-sum window is a tiny single-partition stage (NOT a
+    // corpus-sized window; the corpus-sized relation is dfTab, which
+    // only ever flows through hash aggregates and joins).
+    val hist = dfTab.groupBy("df").agg(count(lit(1)).as("cnt"))
+    val keep = hist
+      .withColumn("cum",
+        sum(col("cnt") * col("df") * col("df")).over(Window.orderBy("df")))
       .join(broadcast(cap))
-      .filter(col("df") <= col("df_cap"))
+      .filter(col("cum") <= col("vol_budget") && col("df") <= col("df_cap"))
+      .agg(coalesce(max(col("df")), lit(0L)).as("df_keep"))
+    val dfCounts = dfTab
+      .join(broadcast(keep))
+      .filter(col("df") <= col("df_keep"))
       .select("s")
     // Materialized once: both self-join sides read it, and a broadcast
     // resolution of the join would otherwise recompute the shingle

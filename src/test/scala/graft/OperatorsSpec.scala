@@ -119,6 +119,26 @@ class OperatorsSpec extends SparkSpec {
     assert(hot.count() === 0)
   }
 
+  test("ngram jaccard: linear candidate-volume budget cuts degenerate " +
+      "corpora the fractional cap cannot") {
+    import spark.implicits._
+    // n identical 65-word docs: 63 distinct shingles, each df = n —
+    // under the fractional cap (df <= max(32, ceil(n/100)) for n <= 32)
+    // but with candidate volume 63·n². The budget boundary sits between
+    // n=31 (63·961 = 60,543 <= 2000·31 = 62,000 — everything kept, all
+    // pairs identical) and n=32 (63·1024 = 64,512 > 64,000 — the only
+    // df class is dropped, output empty, join volume bounded).
+    val text = (1 to 65).map(i => s"t$i").mkString(" ")
+    def corpus(n: Int) =
+      (1 to n).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val under = Dedup.ngramJaccardFrom(corpus(31)).collect()
+    assert(under.length === 31 * 30 / 2)
+    assert(under.forall(_.getAs[Double]("jaccard") == 1.0))
+    graft.util.OperatorCaches.release(spark)
+    assert(Dedup.ngramJaccardFrom(corpus(32)).count() === 0)
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("embedding dups: exact precision over IVF candidates (subset of true pairs)") {
     import graft.functions.VectorFunctions._
     val dups = Similarity.embeddingDups(spark, Sf).cache()

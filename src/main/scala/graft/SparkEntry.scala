@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, Quantization, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, ProductQuantization, Quantization, Similarity, TemporalJoins, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -131,7 +131,10 @@ object SparkEntry {
     "x42_dialog_assembly" -> (Curation.dialogAssembly _),
     "x43_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "x44_quality_gate" -> (Curation.qualityGate _),
-    "x45_standardize" -> (Quantization.standardize _)
+    "x45_standardize" -> (Quantization.standardize _),
+    "x46_pq_encode" -> (ProductQuantization.pqEncode _),
+    "x47_ann_pq" -> ((s: SparkSession, d: String) =>
+      ProductQuantization.adcTopK(s, d))
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -237,6 +240,32 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY vsup.vec_id
        |      ORDER BY ${dotUnitSql("vsup.u", "cmap.cu")} DESC, cmap.cid) AS crn
        |  FROM vsup JOIN cmap USING (sid))""".stripMargin
+
+  /** DuckDB fragment: product-quantization codebook + encoding — mirrors
+    * [[graft.operators.ProductQuantization.encodeFrom]] over `unit_t`:
+    * per-subspace stand-in codebook (first [[graft.operators.ProductQuantization.CodebookSize]]
+    * vectors' subvectors), squared-L2 distances as the same sequential
+    * fold as [[graft.expressions.VecL2Sq]], argmin with the lower-code
+    * tiebreak (ROW_NUMBER here = `min(struct(d2, code))` on the Spark
+    * side — identical (qerr, code)-lexicographic selection). Emits
+    * `enc(vec_id, sub, code, qerr, rn)`; consumers filter `rn = 1`. */
+  private val pqCte: String = {
+    val m = graft.operators.ProductQuantization.NumSubspaces
+    val sd = graft.operators.ProductQuantization.SubDim
+    val k = graft.operators.ProductQuantization.CodebookSize
+    s""", subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |cb AS (SELECT sub, vec_id AS code,
+       |    u[(sub*$sd+1):(sub*$sd+$sd)] AS cvec
+       |  FROM unit_t, subs WHERE vec_id < $k),
+       |sv AS (SELECT vec_id, sub, u[(sub*$sd+1):(sub*$sd+$sd)] AS svec
+       |  FROM unit_t, subs),
+       |pqd AS (SELECT vec_id, sub, code,
+       |    list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, ${sd + 1}),
+       |      i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i])), (x, y) -> x + y) AS qerr
+       |  FROM sv JOIN cb USING (sub)),
+       |enc AS (SELECT vec_id, sub, code, qerr, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id, sub ORDER BY qerr, code) AS rn FROM pqd)""".stripMargin
+  }
 
   /** DuckDB fragment: 64-bit SimHash per document — mirrors
     * [[graft.operators.Dedup.simhash]] / [[graft.expressions.SimHash64]]:
@@ -1618,6 +1647,39 @@ object SparkEntry {
          |  CASE WHEN var_i <= 0.0 THEN 0.0
          |       ELSE (v_q - mean_i) / sqrt(var_i) END AS z
          |FROM f ORDER BY vec_id, dim""".stripMargin
+    },
+
+    // Mirrors ProductQuantization.pqEncode: stand-in codebook + argmin
+    // encode (pqCte), qerr as the identical sequential L2² fold.
+    "x46_pq_encode" -> (unitCte + pqCte +
+      """SELECT vec_id, sub, code, qerr FROM enc WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin),
+
+    // Mirrors ProductQuantization.adcTopK: per-query LUT of subvector·
+    // codebook dots (same fold as VecDot), ADC as a sequential fold over
+    // subspaces in subspace order, rank by (adc DESC, neighbor_id).
+    "x47_ann_pq" -> {
+      val m = graft.operators.ProductQuantization.NumSubspaces
+      val k = graft.operators.ProductQuantization.CodebookSize
+      val topk = graft.operators.ProductQuantization.TopK
+      unitCte + pqCte +
+      s""", codes AS (SELECT vec_id, array_agg(code ORDER BY sub) AS codes
+         |  FROM enc WHERE rn = 1 GROUP BY 1),
+         |qs AS (SELECT vec_id AS query_id, sub, svec AS qsub
+         |  FROM sv WHERE vec_id < 10),
+         |lutr AS (SELECT query_id, sub, code,
+         |    ${dotUnitSql("qsub", "cvec")} AS lv
+         |  FROM qs JOIN cb USING (sub)),
+         |luta AS (SELECT query_id, array_agg(lv ORDER BY sub, code) AS lut
+         |  FROM lutr GROUP BY 1),
+         |p AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |    list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(0, $m),
+         |      mm -> lut[mm * $k + codes[mm + 1] + 1]), (x, y) -> x + y) AS adc
+         |  FROM luta, codes c WHERE query_id <> c.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id) AS rank FROM p)
+         |SELECT query_id, neighbor_id, adc, rank FROM r
+         |WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
     }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.

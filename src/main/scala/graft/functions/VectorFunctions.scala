@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSql
 import org.apache.spark.sql.functions._
-import graft.expressions.VecDot
+import graft.expressions.{VecDot, VecL2Sq}
 
 /** Embedding-vector primitives over `array<float>`/`array<double>` columns.
   *
@@ -24,6 +24,18 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     GraftSql.column(VecDot(
       GraftSql.expression(asDoubles(a)), GraftSql.expression(asDoubles(b))))
+
+  /** Σ (aᵢ−bᵢ)² — codegen'd tight loop, left-to-right accumulation. */
+  def l2sq(a: Column, b: Column): Column =
+    GraftSql.column(VecL2Sq(
+      GraftSql.expression(asDoubles(a)), GraftSql.expression(asDoubles(b))))
+
+  /** Reference fold for [[l2sq]]: same order, interpreted HOFs. */
+  def l2sqHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Reference fold for [[dot]]: same order, interpreted HOFs. */
   def dotHof(a: Column, b: Column): Column =

@@ -39,7 +39,7 @@ object Similarity {
     * query set must be broadcast-small (it is the broadcast side of every
     * search below — that bound is what makes one corpus pass serve all
     * queries at 100 TB). */
-  private def queryRows(e: DataFrame, querySet: Option[DataFrame]): DataFrame =
+  private[operators] def queryRows(e: DataFrame, querySet: Option[DataFrame]): DataFrame =
     querySet match {
       case None => e.filter(defaultQueryPred)
       case Some(q) =>
@@ -56,7 +56,7 @@ object Similarity {
     * relation 2-4 times (queries, candidates, fetch sides) — without the
     * materialization barrier, project-collapse re-normalizes the corpus
     * once per reference. */
-  private def normalized(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def normalized(spark: SparkSession, sfDir: String): DataFrame =
     OperatorCaches.persist(Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("nrm", norm(col("embedding")))

@@ -134,7 +134,10 @@ object SparkEntry {
     "x45_standardize" -> (Quantization.standardize _),
     "x46_pq_encode" -> (ProductQuantization.pqEncode _),
     "x47_ann_pq" -> ((s: SparkSession, d: String) =>
-      ProductQuantization.adcTopK(s, d))
+      ProductQuantization.adcTopK(s, d)),
+    "x48_semdedup" -> (Similarity.semDedup _),
+    "x49_dup_spans" -> (Dedup.dupSpans _),
+    "x50_quality_classifier" -> (TextAnalysis.qualityClassifier _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1680,7 +1683,87 @@ object SparkEntry {
          |    ORDER BY adc DESC, neighbor_id) AS rank FROM p)
          |SELECT query_id, neighbor_id, adc, rank FROM r
          |WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
-    }
+    },
+
+    // Mirrors Similarity.semDedup: x8's linear-curve cells + two-level
+    // ranking, crn=1 assignment, keep-priority window (cdot ASC, vec_id),
+    // greedy drop of later-ranked similar members.
+    "x48_semdedup" -> (unitCte +
+      s""", nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 125.0) AS BIGINT)) AS k FROM unit_t),
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t, nc WHERE vec_id < k),
+         |${quantizedRankedSql("cents")},
+         |assign AS (SELECT vec_id, u, cid AS cell FROM ranked WHERE crn = 1),
+         |wc AS (SELECT a.vec_id, a.u, a.cell,
+         |    ${dotUnitSql("a.u", "c.cu")} AS cdot
+         |  FROM assign a JOIN cents c ON c.cid = a.cell),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY cdot ASC, vec_id) AS rnk FROM wc),
+         |dr AS (SELECT DISTINCT b.vec_id
+         |  FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
+         |  WHERE ${dotUnitSql("a.u", "b.u")} > ${graft.operators.Similarity.SemDedupThreshold})
+         |SELECT r.vec_id, r.cell, r.cdot, (d.vec_id IS NULL) AS keep
+         |FROM rk r LEFT JOIN dr d ON d.vec_id = r.vec_id
+         |ORDER BY r.vec_id""".stripMargin),
+
+    // Mirrors Dedup.dupSpans: per-position 5-gram polyhash inverted
+    // index, df>=2 cut before the join-back, covered tokens as the
+    // min(K, gap) running-window sum.
+    "x49_dup_spans" -> {
+      val k = graft.operators.Dedup.DupSpanK
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(t) < $k THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(t) - $k + 2),
+         |           i -> array_to_string(t[i:i+${k - 1}], ' ')) END AS grams
+         |  FROM d),
+         |g0 AS (SELECT doc_id, grams,
+         |    unnest(range(1, len(grams) + 1)) AS pos1 FROM base),
+         |g AS (SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
+         |    ${polyhashSql("grams[pos1]")} AS h FROM g0),
+         |dh AS (SELECT h FROM (
+         |    SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY h)
+         |  WHERE ndocs >= 2),
+         |ds AS (SELECT doc_id, pos FROM g JOIN dh USING (h)),
+         |cov AS (SELECT doc_id,
+         |    COUNT(*) AS n_dup_spans,
+         |    CAST(SUM(CASE WHEN gap IS NULL THEN $k
+         |             ELSE LEAST($k, gap) END) AS BIGINT) AS dup_tokens
+         |  FROM (SELECT doc_id, pos,
+         |      pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+         |    FROM ds) GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+         |  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         |  CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+         |    / CAST(b.n_tokens AS DOUBLE) AS dup_token_frac,
+         |  (CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+         |    / CAST(b.n_tokens AS DOUBLE)) < 0.5 AS keep
+         |FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.qualityClassifier: polyhash feature buckets,
+    // multiplicative-scramble integer weights, doc-keyed exact sum, two
+    // fixed-order divisions.
+    "x50_quality_classifier" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |ex AS (SELECT doc_id, unnest(t) AS w FROM d),
+         |s AS (SELECT doc_id,
+         |    (${polyhashSql("w")}) % ${graft.operators.TextAnalysis.ClassifierBuckets} AS bucket
+         |  FROM ex),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM((bucket * ${graft.operators.TextAnalysis.WeightMul})
+         |        % ${graft.operators.TextAnalysis.WeightMod}
+         |      - ${(graft.operators.TextAnalysis.WeightMod - 1) / 2}) AS BIGINT) AS score_sum
+         |  FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, score_sum,
+         |  CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000.0 AS score,
+         |  (CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000.0) > 0.0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

@@ -493,6 +493,83 @@ object Dedup {
     clustered.unionByName(nullSingletons).orderBy("doc_id")
   }
 
+  /** Gram width for [[dupSpans]] — the duplicated-substring unit. The
+    * suffix-array line of work dedups on ~50-token spans; the synthetic
+    * corpus's documents are 10-100 tokens, so 5 keeps the operator
+    * meaningfully exercised (a production corpus raises this constant,
+    * nothing else changes). */
+  val DupSpanK = 5
+
+  /** x49: duplicated-SPAN detection — the span-level complement to
+    * document-level dedup (the suffix-array dedup result, re-expressed as
+    * a Spark plan): find every [[DupSpanK]]-token span that occurs in ≥2
+    * distinct documents, and report per document how many of its tokens
+    * are covered by such spans. Document dedup misses this mass (each doc
+    * is unique; its PARTS are everywhere); training-data pipelines cut or
+    * trim on the covered fraction.
+    *
+    * Scale shape — an inverted index on the span HASH, never a
+    * suffix-array build:
+    *  - spans hash per position with the codegen'd rolling
+    *    [[graft.functions.TextFunctions.polyHash]] — corpus-sized but
+    *    map-only (one long per token position);
+    *  - cross-doc span frequencies are ONE partial-aggregated
+    *    groupBy(hash) (distinct-doc count — Spark's two-phase distinct
+    *    aggregate, partials dedupe map-side), filtered to df ≥ 2 BEFORE
+    *    the join-back, so only duplicated positions ever re-ship;
+    *  - covered-token arithmetic is exact WITHOUT exploding spans to
+    *    tokens: sorted by position within a doc, a span start adds
+    *    min(K, pos − prev_pos) newly-covered tokens (spans overlap iff
+    *    the gap is under K) — a per-DOCUMENT window, bounded by document
+    *    length, never corpus-wide.
+    * Total volume past the scan is (positions with duplicated spans) ≤
+    * corpus token count — linear at any duplication rate. */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansFrom(Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** [[dupSpans]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures plant a shared span across docs and check
+    * the covered-token arithmetic at the overlap boundary). */
+  private[graft] def dupSpansFrom(docsDf: DataFrame): DataFrame = {
+    val k = DupSpanK
+    // Persisted like [[shingleTableFrom]]: the gram builder is an
+    // interpreted HOF read by both the hash explode and the final
+    // n_tokens projection.
+    val base = OperatorCaches.persist(
+      docsDf.filter(col("text").isNotNull)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          ngramsFromTokens(col("toks"), k).as("grams")))
+    val g = base
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        polyHash(col("gram")).as("h"))
+    val dupHashes = g.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("h")
+    val dupStarts = g.join(dupHashes, "h").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = dupStarts
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("added",
+        when(col("gap").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("gap"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("added")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_token_frac",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep", col("dup_token_frac") < 0.5)
+      .select("doc_id", "n_tokens", "n_dup_spans", "dup_tokens",
+        "dup_token_frac", "keep")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs via BANDED Hamming join: the 64-bit signature
     * splits into 4 16-bit chunks; a pair is a candidate iff some chunk
     * matches exactly (pigeonhole: Hamming ≤ 3 ⇒ ≥1 untouched chunk, so

@@ -427,6 +427,65 @@ object Similarity {
     (cents, lastAssign)
   }
 
+  /** Cosine threshold for [[semDedup]] — the [[embeddingDups]] operating
+    * point (SemDeDup's epsilon; a production run sweeps it per-corpus). */
+  val SemDedupThreshold = 0.35
+
+  /** x48: SEMANTIC deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus's embeddings, then inside each
+    * cluster drop every vector that is cosine-similar (>
+    * [[SemDedupThreshold]]) to a higher-keep-priority member. Keep
+    * priority follows the paper: LOW similarity to the cluster centroid
+    * is kept first (the duplicate group's most "outlying" exemplar best
+    * preserves diversity); vec_id breaks ties, and the sweep is the
+    * deterministic greedy pass (dropped if similar to ANY earlier-ranked
+    * member) — SQL-expressible and partitioning-independent.
+    *
+    * Scale shape — everything is bounded per CELL, never corpus-wide:
+    *  - assignment is the two-level [[quantizedRanking]] over the LINEAR
+    *    cell curve ([[dupCellsExpr]]: ~125 vectors/cell at any N), one
+    *    cell per vector (crn = 1 — SemDeDup clusters each point once);
+    *  - the keep-priority window partitions BY CELL — a ~125-row group
+    *    by construction, the bounded-small exception to the
+    *    never-a-corpus-window rule;
+    *  - the pair stage self-joins ON the cell: Σ cellsize² ≈ N·125
+    *    candidate dots — linear in corpus size, one codegen'd
+    *    [[graft.expressions.VecDot]] each.
+    * Output: every vector with its cell, centroid similarity, and keep
+    * flag — the relation a curation pipeline semi-joins against. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normalized(spark, sfDir)
+    val cents = dupCentroids(e)
+    val assign = quantizedRanking(e, cents).filter(col("crn") === 1)
+      .select(col("vec_id"), col("u"), col("cid").as("cell"))
+    // centroid similarity for the keep-priority ranking (the quantizer
+    // ranks by this dot internally but does not expose it; one extra
+    // K-bounded broadcast join + one dot per vector re-derives it)
+    val withC = assign
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cu"))), "cell")
+      .withColumn("cdot", dot(col("u"), col("cu")))
+    val byCell = Window.partitionBy("cell")
+      .orderBy(col("cdot").asc, col("vec_id"))
+    // persisted: both pair-join sides and the final projection read it
+    val ranked = OperatorCaches.persist(
+      withC.withColumn("rnk", row_number().over(byCell))
+        .select("vec_id", "cell", "u", "cdot", "rnk"))
+    val a = ranked.select(col("cell"), col("u").as("ua"),
+      col("rnk").as("rnk_a"))
+    val b = ranked.select(col("cell"), col("vec_id").as("id_b"),
+      col("u").as("ub"), col("rnk").as("rnk_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("rnk_a") < col("rnk_b"))
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .filter(col("cos") > SemDedupThreshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .withColumn("keep", coalesce(col("is_dropped"), lit(false)) === lit(false))
+      .select(col("vec_id"), col("cell"), col("cdot"), col("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs via IVF candidate generation +
     * exact verify — never an all-pairs join. Every vector is assigned to
     * its [[DupProbes]] nearest Voronoi cells (multi-probe raises recall

@@ -388,6 +388,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Feature-hash bucket count for [[qualityClassifier]] (the hashing
+    * trick's dimensionality; fastText-family quality models run 1e5-1e7,
+    * small here so bucket collisions are actually exercised). */
+  val ClassifierBuckets = 4096L
+
+  /** Modulus of the deterministic per-bucket weight derivation (prime, so
+    * the multiplicative scramble cycles through all residues). */
+  private[graft] val WeightMod = 2003L
+
+  /** Knuth's multiplicative-hash constant — scrambles bucket ids into
+    * pseudo-independent weights. */
+  private[graft] val WeightMul = 2654435761L
+
+  /** Fixed-point scale between the integer score sum and the exposed
+    * double score. */
+  val ClassifierScale = 1000.0
+
+  /** x50: LINEAR quality-classifier scoring — the fastText-shaped model
+    * every large pipeline runs to rank documents by "looks like good
+    * text" (CCNet, GPT-3's WebText classifier, LLaMA's quality filter):
+    * hash each token into [[ClassifierBuckets]] feature buckets (the
+    * hashing trick — no vocabulary table exists AT ALL), look up the
+    * bucket's weight, and score the document by its mean token weight;
+    * the keep decision thresholds the score.
+    *
+    * The weights here are derived arithmetically from the bucket id (a
+    * multiplicative scramble into [−1001, 1001]) instead of loaded from
+    * a trained model file — deterministic, so the oracle compare stays
+    * integer-exact; swapping in trained weights changes ONE expression
+    * (or a [[ClassifierBuckets]]-bounded broadcast array lookup) and no
+    * plan shape.
+    *
+    * Scale shape: hash + weight are a narrow codegen projection on the
+    * exploded token stream (the rolling [[graft.functions.TextFunctions.polyHash]]
+    * — no UDF, no dim join: that absence is the hashing trick's point);
+    * the only shuffle is the doc-keyed partial-aggregated sum, exactly
+    * x43's shape minus its vocabulary broadcast. Integer until the final
+    * two fixed-order divisions → hash-exact across engines. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    qualityClassifierFrom(docs(spark, sfDir))
+
+  /** [[qualityClassifier]] over an arbitrary (doc_id, text) relation —
+    * the testable core (fixtures pin the bucket→weight derivation and a
+    * known-score document). */
+  private[graft] def qualityClassifierFrom(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("bucket", polyHash(col("w")) % lit(ClassifierBuckets))
+      .withColumn("wgt",
+        (col("bucket") * lit(WeightMul)) % lit(WeightMod)
+          - lit((WeightMod - 1) / 2))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("score_sum"))
+      .withColumn("score",
+        col("score_sum").cast("double") / col("n_tokens").cast("double")
+          / lit(ClassifierScale))
+      .withColumn("keep", col("score") > 0.0)
+      .select("doc_id", "n_tokens", "score_sum", "score", "keep")
+      .orderBy("doc_id")
+
   /** PII patterns for [[piiScrub]]. Deliberately conservative and
     * engine-portable: character classes, bounded repetition, and groups
     * only — the subset RE2 (DuckDB) and java.util.regex (Spark codegen)

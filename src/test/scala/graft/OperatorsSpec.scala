@@ -676,4 +676,84 @@ class OperatorsSpec extends SparkSpec {
     // doc_freq can never exceed total_count nor the corpus size
     assert(v.forall(r => r.getLong(2) <= r.getLong(1)))
   }
+
+  test("dup spans: planted shared spans, covered-token arithmetic at the overlap boundary") {
+    import spark.implicits._
+    // docs 1/2 share the 5-gram spans "a b c d e" and "b c d e f"
+    // (adjacent starts → overlap merges); doc 4 repeats them NON-adjacent
+    // (gap 10 ≥ K → two full spans); doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x a b c d e f y"),
+      (3L, "p q r s t u v w"),
+      (4L, "a b c d e z1 z2 z3 z4 z5 b c d e f")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.dupSpansFrom(docs)
+      .orderBy("doc_id").collect()
+    // (doc_id, n_tokens, n_dup_spans, dup_tokens)
+    val got = r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 7L, 2L, 6L),   // starts 0,1 → 5 + min(5,1) = 6 covered
+      (2L, 8L, 2L, 6L),
+      (3L, 8L, 0L, 0L),
+      (4L, 15L, 2L, 10L)  // starts 0,10 → 5 + min(5,10) = 10 covered
+    ))
+    // frac/keep consistent with the counts
+    assert(r.forall(x =>
+      math.abs(x.getDouble(4) - x.getLong(3).toDouble / x.getLong(1)) < 1e-15 &&
+        x.getBoolean(5) === (x.getDouble(4) < 0.5)))
+    graft.util.OperatorCaches.release(spark)
+  }
+
+  test("semdedup: full partition; no two kept same-cell vectors are near-dups") {
+    import graft.functions.VectorFunctions.{dot, norm, unit}
+    val sd = Similarity.semDedup(spark, Sf).cache()
+    assert(sd.count() === 500)
+    // the corpus has planted near-dup mass: the sweep must drop SOMETHING
+    // but never everything
+    val nDropped = sd.filter(!col("keep")).count()
+    assert(nDropped > 0 && nDropped < 500)
+    // greedy invariant: two KEPT members of the same cell are never
+    // similar above the threshold (one of them would have dropped the
+    // other) — recompute cosines from the raw table
+    val u = graft.queries.Tables.embeddings(spark, Sf)
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), unit(col("embedding"), col("nrm")).as("u"))
+    val kept = sd.filter(col("keep"))
+      .join(u, "vec_id").select(col("cell"), col("vec_id"), col("u"))
+    val viol = kept.as("a").join(kept.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.u"), col("b.u")))
+      .filter(col("cos") > Similarity.SemDedupThreshold)
+    assert(viol.count() === 0)
+    sd.unpersist()
+    graft.util.OperatorCaches.release(spark)
+  }
+
+  test("quality classifier: pinned weight derivation; score bounds over the corpus") {
+    import spark.implicits._
+    // polyHash("the") computed through the same codegen'd expression,
+    // then the scramble applied driver-side — one doc of three identical
+    // tokens must score exactly 3 x that weight
+    val h = Seq("the").toDF("w")
+      .select(graft.functions.TextFunctions.polyHash(col("w")))
+      .head().getLong(0)
+    val bucket = h % TextAnalysis.ClassifierBuckets
+    val w = (bucket * 2654435761L) % 2003L - 1001L
+    val one = TextAnalysis.qualityClassifierFrom(
+        Seq((7L, "the the the")).toDF("doc_id", "text"))
+      .head()
+    assert(one.getLong(1) === 3L)
+    assert(one.getLong(2) === 3 * w)
+    assert(one.getDouble(3) === 3 * w / 3.0 / 1000.0)
+    // corpus-wide: mean-weight bound |score| <= 1001/1000, keep consistent
+    val q = TextAnalysis.qualityClassifier(spark, Sf).cache()
+    assert(q.count() > 0)
+    assert(q.filter(abs(col("score")) > 1.001).count() === 0)
+    assert(q.filter(col("keep") =!= (col("score") > 0.0)).count() === 0)
+    assert(q.filter(col("score_sum") > col("n_tokens") * 1001L ||
+      col("score_sum") < col("n_tokens") * -1001L).count() === 0)
+    q.unpersist()
+  }
 }

@@ -312,4 +312,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!scrub.toString.contains("HashAggregate"),
       s"aggregation crept into pii scrub:\n$scrub")
   }
+
+  test("round-8 operators: semdedup pairs on the cell, dup-spans unhinted, " +
+      "classifier join-free with doc-partitioned shuffle only") {
+    import graft.operators.TextAnalysis
+    // x48: same contract as embeddingDups — the only admissible broadcast
+    // hints are the bounded centroid family (1-row derived ncells/nsup
+    // aggregates in their lineage); the pair stage is a cell equi-join,
+    // never a cartesian
+    def boundedHint(h: ResolvedHint): Boolean =
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+      }.isDefined
+    val sd = Similarity.semDedup(spark, Sf)
+    assert(logicalHints(sd).forall(boundedHint),
+      "corpus-sized broadcast hint in semDedup")
+    val sdP = physical(sd)
+    assert(!sdP.contains("CartesianProduct"), s"cartesian in semdedup:\n$sdP")
+    assert(sdP.contains("Join [cell#"), s"no cell equi-join in:\n$sdP")
+    // x49: the span index is data-dependent — NO broadcast hints anywhere;
+    // the only window is per-document (the covered-token gap scan)
+    val ds = Dedup.dupSpans(spark, Sf)
+    assert(logicalHints(ds).isEmpty, "hint crept into dupSpans")
+    val dsPlan = withoutAqe {
+      Dedup.dupSpans(spark, Sf).queryExecution.executedPlan
+    }
+    dsPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.toString.contains("doc_id")),
+        s"non-doc-partitioned window in dupSpans:\n$w")
+    }
+    assert(!dsPlan.toString.contains("CartesianProduct"),
+      s"cartesian in dupSpans:\n$dsPlan")
+    // x50: the hashing trick means NO join exists at all — hash+weight are
+    // a projection, the doc-keyed aggregate is the only shuffle
+    val qc = withoutAqe {
+      TextAnalysis.qualityClassifier(spark, Sf).queryExecution.executedPlan
+    }
+    assert(qc.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join crept into quality classifier:\n$qc")
+    assert(qc.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window crept into quality classifier:\n$qc")
+  }
 }

@@ -751,13 +751,29 @@ object SparkEntry {
     "x4_simhash" -> (simhashCte +
       """SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
 
+    // Banded formulation with the chunk-bucket cap, mirroring
+    // Dedup.simhashPairs: (x >> 16c) & 65535 extracts bits 16c..16c+15
+    // identically in both engines regardless of shift signedness (the
+    // mask keeps only the shifted-in-place bits), so buckets and the cap
+    // agree exactly. Pigeonhole: hamming <= 3 ⇒ ≥1 chunk matches, so
+    // below the cap this equals the all-pairs filter it replaced.
     "x5_simhash_pairs" -> (simhashCte +
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  a.simhash AS sim_a, b.simhash AS sim_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      s""", bands AS (
+         |  SELECT doc_id, simhash, p.c, (simhash >> (p.c * 16)) & 65535 AS chunk
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS c) p
+         |), kept AS (
+         |  SELECT c, chunk FROM bands GROUP BY c, chunk
+         |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBandBucket}
+         |), cb AS (
+         |  SELECT b.doc_id, b.simhash, b.c, b.chunk
+         |  FROM bands b JOIN kept USING (c, chunk))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.simhash AS sim_a, b.simhash AS sim_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM cb a JOIN cb b ON a.c = b.c AND a.chunk = b.chunk
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "x6_ann_bruteforce" -> (unitCte +
       s""", q AS (SELECT vec_id AS query_id, u AS qu FROM unit_t WHERE vec_id < 10),

@@ -48,7 +48,8 @@ object Dedup {
     * fewer starve the verify stage. */
   private[graft] val NumMinhashes = 6
 
-  /** Band-bucket size cap for [[minhashLsh]] — the x2 analogue of
+  /** Band-bucket size cap for [[minhashLsh]] AND the chunk-bucket cap
+    * for [[simhashPairs]] (same skew class, same stance) — the x2 analogue of
     * [[MaxShingleDf]]: a band bucket of f docs contributes f·(f−1)/2
     * candidate pairs, so ONE bucket holding a million near-identical
     * documents (mass-duplicated boilerplate; a template page) would
@@ -588,9 +589,33 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 16) & 65535"))
-    val a = banded.select(col("doc_id").as("doc_a"),
+    // Chunk-bucket cap — [[MaxBandBucket]], the same skew guard as
+    // minhashLsh's band buckets and for the same reason: a chunk value
+    // shared by f docs contributes f²/2 candidate rows inside ONE join
+    // key, and on a vocabulary-degenerate corpus signatures COLLIDE en
+    // masse (documents drawn from a small vocabulary concentrate onto
+    // few simhash values) — the round-8 sf10 run measured x5 at 36× for
+    // 10× data (1.9 s → 70 s) from exactly this blow-up. Correctness
+    // stance mirrors minhashLsh's: docs sharing an oversized chunk
+    // bucket are a mass near-identical family whose membership exact()
+    // and dupClusters already capture; the cap costs pair REPORTS within
+    // that family only, and only when no other (uncapped) chunk also
+    // matches. Partial-aggregated sizes filtered BEFORE the join-back —
+    // never a window. Measured bucket curves on the synthetic corpus
+    // (max bucket / Σbucket² / buckets over 256): sf0.1 342 / 8.6e5 / 2,
+    // sf1 3,360 / 8.3e7 / 118, sf10 34,802 / 8.3e9 / 1,166 — the cap is
+    // what turns that Σbucket² candidate volume from quadratic to
+    // ≤ 256·4N. A reported near-dup pair (hamming ≤ 3) shares ≥1 chunk
+    // and typically all 4; it is lost only when EVERY shared chunk's
+    // bucket is oversized.
+    val keptChunks = banded.groupBy("c", "chunk")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBandBucket)
+      .select("c", "chunk")
+    val cut = banded.join(keptChunks, Seq("c", "chunk"))
+    val a = cut.select(col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"), col("c"), col("chunk"))
-    val b = banded.select(col("doc_id").as("doc_b"),
+    val b = cut.select(col("doc_id").as("doc_b"),
       col("simhash").as("sim_b"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
       .filter(col("doc_a") < col("doc_b"))

@@ -490,8 +490,9 @@ object Similarity {
     * exact verify — never an all-pairs join. Every vector is assigned to
     * its [[DupProbes]] nearest Voronoi cells (multi-probe raises recall
     * across cell boundaries); candidate pairs are pairs sharing a cell
-    * (the cell id is the shuffle key), deduped, then verified with ONE
-    * codegen'd dot per pair over unit vectors. Precision is exact;
+    * (the cell id is the shuffle key), verified in-stream with a
+    * codegen'd dot per candidate OCCURRENCE (≤ probes² per pair), then
+    * deduped — survivors only. Precision is exact;
     * recall is approximate (pairs whose probe sets are disjoint are
     * missed — see [[DupProbes]] for the measured curve) and tunable via
     * probes/cells. Candidate volume is Σ cellsize² ≈ probes²·N²/cells
@@ -501,22 +502,31 @@ object Similarity {
     val e = normalized(spark, sfDir)
     val cents = dupCentroids(e)
     // two-level assignment ([[quantizedRanking]]) — with this op's
-    // LINEAR cell curve the old brute-force matrix was the N²/125 term
+    // LINEAR cell curve the old brute-force matrix was the N²/125 term.
+    // The unit vector RIDES THROUGH the cell join (u is selected here,
+    // not fetched later): the round-8 sf10 run measured the alternative —
+    // candidates.distinct() then two corpus joins to fetch ua/ub — at
+    // 3 candidate-pair-scale shuffles (a 112M-row distinct plus two
+    // 112M-row fetch joins dominated x8's 344 s at 200k vectors). With u
+    // carried, the shuffle is the (N·probes)-row cell join ONLY (~550 B
+    // rows — hundreds of MB, not hundreds of millions of rows); the dot
+    // + threshold filter run codegen'd on the join OUTPUT stream before
+    // anything else shuffles, and the dedup ships just the survivors.
+    // Multi-probe duplicate pairs cost duplicate DOTS (≤ probes² per
+    // pair — cheap, fused multiply-adds) instead of a corpus-pair-scale
+    // exchange. Results are identical: the dot is deterministic per
+    // pair, so distinct-after-filter = distinct-before-fetch.
     val cells = quantizedRanking(e, cents)
       .filter(col("crn") <= DupProbes)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val a = cells.select(col("vec_id").as("id_a"), col("cell"))
-    val b = cells.select(col("vec_id").as("id_b"), col("cell"))
-    val cand = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // Unit-vector fetch: unhinted equi-joins (candidate cardinality is
-    // data-dependent; AQE picks broadcast at runtime when size permits).
-    val ua = e.select(col("vec_id").as("id_a"), col("u").as("ua"))
-    val ub = e.select(col("vec_id").as("id_b"), col("u").as("ub"))
-    cand.join(ua, "id_a").join(ub, "id_b")
+      .select(col("vec_id"), col("u"), col("cid").as("cell"))
+    val a = cells.select(col("vec_id").as("id_a"), col("u").as("ua"),
+      col("cell"))
+    val b = cells.select(col("vec_id").as("id_b"), col("u").as("ub"),
+      col("cell"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("ua"), col("ub")))
       .filter(col("cos") > 0.35)
-      .select("id_a", "id_b", "cos")
+      .select("id_a", "id_b", "cos").distinct()
       .orderBy("id_a", "id_b")
   }
 }

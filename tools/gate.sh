@@ -18,8 +18,8 @@ if [ "$1" = "--sf1" ]; then
   shift
   exec python3 tools/scale_gate.py "$@"
 fi
-# Compile (main + test), then the analysis-only smoke: resolve all 77
-# query plans + entry() at sf0.001 (graft.Analyze -- df.schema only, no
+# Compile (main + test), then the analysis-only smoke: resolve every
+# query plan + entry() at sf0.001 (graft.Analyze -- df.schema only, no
 # execution, ~30 s warm). Round 7's events/timestamp_ntz environment
 # shift broke 15 queries at ANALYSIS time and nothing here noticed;
 # this step turns that class of outage into a non-zero gate exit.

@@ -137,7 +137,8 @@ object SparkEntry {
       ProductQuantization.adcTopK(s, d)),
     "x48_semdedup" -> (Similarity.semDedup _),
     "x49_dup_spans" -> (Dedup.dupSpans _),
-    "x50_quality_classifier" -> (TextAnalysis.qualityClassifier _)
+    "x50_quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    "x51_source_cap" -> (Curation.sourceCap _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1779,7 +1780,21 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, score_sum,
          |  CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000.0 AS score,
          |  (CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000.0) > 0.0 AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.sourceCap: the oracle's rank window reproduces
+    // the bounded-heap top-N exactly because the ordering is total
+    // (n_chars DESC, doc_id).
+    "x51_source_cap" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars,
+         |  CASE WHEN rn <= ${graft.operators.Curation.SourceCap} THEN rn END AS src_rank,
+         |  rn <= ${graft.operators.Curation.SourceCap} AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

@@ -367,6 +367,49 @@ object Curation {
     * sort that funnels the largest language through one task — the
     * threshold sampler trades exactness-in-count (binomial noise around
     * the target) for a shuffle-free plan that holds at 100 TB. */
+  /** Per-source keep budget for [[sourceCap]] — 20 bites at every test
+    * SF (25 docs/source); a production crawl sets it per-policy
+    * (RefinedWeb-style domain caps run 1e2-1e5). */
+  val SourceCap = 20
+
+  /** x51: per-SOURCE document caps — the domain-cap rule web-crawl
+    * curation applies so no single site dominates the mix (RefinedWeb,
+    * C4's per-domain limits): keep at most [[SourceCap]] documents per
+    * source, preferring the longest (n_chars DESC, doc_id tiebreak),
+    * and report every document's in-source rank and keep decision.
+    *
+    * This is the EXACT-count per-key top-N that [[langRebalance]]'s
+    * scaladoc rules out as a rank window (`PARTITION BY source` funnels
+    * the hottest domain's every document through one task): the
+    * scale-correct formulation is the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregator — partial-aggregated,
+    * so each map partition reduces to ≤ cap rows per source BEFORE the
+    * shuffle, and the hot source costs O(partitions·cap), not its
+    * document count. The kept set (|sources|·cap rows) joins back to
+    * the corpus UNHINTED: source cardinality grows with a real crawl
+    * (1e8 domains × cap is nothing to broadcast), so only AQE may
+    * choose the build side. Ordering is total (length, then id), so
+    * the kept set is deterministic and the oracle's rank window —
+    * fine at oracle scale — reproduces it exactly. */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val d = docs(spark, sfDir)
+    val topk = udaf(new graft.functions.TopKByScore(SourceCap),
+      ExpressionEncoder[graft.functions.Neighbor]())
+    val kept = d
+      .groupBy("source")
+      .agg(topk(col("n_chars").cast("double"), col("doc_id"), lit(0))
+        .as("nbs"))
+      .select(col("source"), posexplode(col("nbs")).as(Seq("pos", "nb")))
+      .select(col("source"), col("nb.neighbor_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("src_rank"))
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(kept, Seq("source", "doc_id"), "left")
+      .withColumn("keep", col("src_rank").isNotNull)
+      .select("doc_id", "source", "n_chars", "src_rank", "keep")
+      .orderBy("doc_id")
+  }
+
   def langRebalance(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))

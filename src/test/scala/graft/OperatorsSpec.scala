@@ -731,6 +731,26 @@ class OperatorsSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("source cap: exactly cap kept per full source; no dropped doc outranks a kept one") {
+    import graft.operators.Curation
+    val r = Curation.sourceCap(spark, Sf).cache()
+    assert(r.count() === 500)
+    // every test-SF source holds 25 docs > cap=20: exactly cap kept each
+    val perSrc = r.filter(col("keep")).groupBy("source").count()
+    assert(perSrc.filter(col("count") =!= Curation.SourceCap).count() === 0)
+    // ranks are 1..cap within each source, keep ⇔ rank present
+    assert(r.filter(col("keep") =!=
+      (col("src_rank").isNotNull && col("src_rank") <= Curation.SourceCap))
+      .count() === 0)
+    // ordering is honored: no dropped doc is strictly longer than a kept
+    // doc of the same source
+    val keptMin = r.filter(col("keep")).groupBy("source")
+      .agg(min(col("n_chars")).as("min_kept"))
+    assert(r.filter(!col("keep")).join(keptMin, "source")
+      .filter(col("n_chars") > col("min_kept")).count() === 0)
+    r.unpersist()
+  }
+
   test("quality classifier: pinned weight derivation; score bounds over the corpus") {
     import spark.implicits._
     // polyHash("the") computed through the same codegen'd expression,

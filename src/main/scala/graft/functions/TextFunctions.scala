@@ -66,6 +66,17 @@ object TextFunctions {
     array_min(transform(shingleArr,
       s => md5(concat(lit(s"s$seed:"), s))))
 
+  /** The FULL MinHash signature (seeds 0..numHashes-1) in one pass over
+    * the shingle array ([[graft.expressions.MinHashSig]]) — element b is
+    * value-identical to [[minhash]](sh, b), the interpreted reference
+    * the identity spec pins it against. A narrow projection: unlike the
+    * explode → `min(md5)` groupBy it replaces in the LSH pipeline, no
+    * row per shingle ever crosses an exchange. Null for empty/all-null
+    * arrays (matching the exploded doc vanishing from a groupBy). */
+  def minhashSig(shingleArr: Column, numHashes: Int): Column =
+    GraftSql.column(
+      graft.expressions.MinHashSig(GraftSql.expression(shingleArr), numHashes))
+
   /** 64-bit SimHash: four seeded 16-bit simhashes concatenated (seed
     * char `'0'+s` prepended to each token feeds bits 16s..16s+15 —
     * see [[graft.expressions.SimHash64]]). */

@@ -146,22 +146,21 @@ object TextAnalysis {
     * whitespace-normalized text, plus the first MinHash — three sharding/
     * dedup keys.
     *
-    * The MinHash leg explodes shingles to rows and takes a codegen'd
-    * `min(md5(...))` aggregate (values identical to the per-row
-    * `array_min(transform(sh, md5))` HOF, which evaluates interpreted
-    * per element and measured 5-10× slower), then left-joins back so
-    * shingle-less docs keep a null fingerprint like the HOF would give. */
+    * The MinHash leg is the one-pass [[graft.expressions.MinHashSig]]
+    * projection (seed 0 only) — value-identical to the per-row
+    * `array_min(transform(sh, md5))` HOF and to the explode →
+    * `min(md5)` groupBy it previously ran, but with no explode and no
+    * aggregation exchange at all: the whole operator is ONE narrow
+    * projection over the scan. A shingle-less doc gets a null signature
+    * array, whose element access is null — exactly the null fingerprint
+    * the old left-join gave. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val mh = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .groupBy("doc_id")
-      .agg(min(md5(concat(lit("s0:"), col("s")))).as("fp_minhash"))
     d.select(
         col("doc_id"),
         polyHash(col("text")).as("fp"),
-        polyHash(concat_ws(" ", split(col("text"), " +"))).as("fp_norm"))
-      .join(mh, Seq("doc_id"), "left")
-      .select("doc_id", "fp", "fp_norm", "fp_minhash")
+        polyHash(concat_ws(" ", split(col("text"), " +"))).as("fp_norm"),
+        minhashSig(shingles(col("text")), 1)(0).as("fp_minhash"))
       .orderBy("doc_id")
   }
 

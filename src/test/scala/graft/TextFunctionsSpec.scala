@@ -67,6 +67,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0).getString(0) === r2(0).getString(0))
   }
 
+  test("minhashSig == per-seed minhash HOF, element for element") {
+    import spark.implicits._
+    // real-ish variety plus the edge shapes: empty shingle set (short
+    // text), duplicate-heavy text, unicode
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g h i j k l m n o p",
+      "short",
+      "x y z x y z x y z x y z",
+      "héllo wörld ünicode tokens forever and ever amen")
+    val df = texts.toDF("t").select(shingles(col("t")).as("sh"))
+    val n = 6
+    val rows = df.select(
+      minhashSig(col("sh"), n).as("sig"),
+      array((0 until n).map(b => minhash(col("sh"), b)): _*).as("ref"),
+      size(col("sh")).as("nsh")).collect()
+    rows.foreach { r =>
+      if (r.getInt(2) == 0) {
+        // empty set: signature is null, like the exploded doc vanishing
+        // from a groupBy (and like array_min over an empty transform)
+        assert(r.isNullAt(0), "empty shingle set must give a null sig")
+      } else {
+        assert(r.getSeq[String](0) === r.getSeq[String](1))
+      }
+    }
+    // null elements are skipped, matching SQL min's null-ignorance
+    val withNull = spark.sql(
+      "SELECT array('aa bb cc', CAST(NULL AS STRING), 'bb cc dd') AS sh")
+    val got = withNull.select(minhashSig(col("sh"), 2).as("sig"),
+        array(minhash(col("sh"), 0), minhash(col("sh"), 1)).as("ref"))
+      .collect()(0)
+    assert(got.getSeq[String](0) === got.getSeq[String](1))
+  }
+
   test("ngramsFromTokens == sliding-window model (multiplicity kept)") {
     import spark.implicits._
     val cases = Seq("a b a b a", "x", "", "p q r s", "w w w")

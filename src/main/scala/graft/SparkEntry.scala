@@ -682,10 +682,16 @@ object SparkEntry {
     // table, which OOM-killed the sf1 gate at 130 GB (5.7M candidate
     // pairs on the self-similar corpus). The deferred fetch is the same
     // rewrite that makes the Spark side scale.
+    // Band keys and verify fingerprints are the 15-hex-char (60-bit)
+    // md5 prefixes on BOTH engines (Spark carries them as longs via the
+    // bijective hex→long conv, so intersection/bucket counts are
+    // value-identical by construction — see Dedup.minhashLshFrom's
+    // fingerprint-verify docstring).
     "x2_minhash_lsh" -> (shingleCte +
       s""", all_bands AS (
          |  SELECT doc_id, p.band,
-         |    list_min(list_transform(sh, x -> md5('s' || p.band || ':' || x))) AS h
+         |    substring(list_min(list_transform(sh,
+         |      x -> md5('s' || p.band || ':' || x))), 1, 15) AS h
          |  FROM sh, (SELECT unnest(range(0, ${graft.operators.Dedup.NumMinhashes})) AS band) p
          |  WHERE len(sh) > 0
          |), kept AS (

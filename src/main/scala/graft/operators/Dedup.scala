@@ -177,75 +177,171 @@ object Dedup {
     * over the shingle sets — the classic generate→verify LSH shape. Only
     * candidate pairs ever pay the Jaccard cost.
     *
-    * The signature is computed row-wise: shingles explode ONCE to (doc,
-    * shingle) rows, each row computes all six seeded md5s as codegen'd
-    * projections (not interpreted HOF lambdas — ~5× on this stage), and
-    * ONE groupBy(doc_id) takes the six band minimums together — 6× fewer
-    * rows through the aggregation's sort/exchange than a per-band
-    * explode. The tiny post-agg result unpivots back to (doc, band, h).
-    * Values are identical to `array_min(transform(sh, md5(...)))`. */
+    * The signature is computed per DOCUMENT in one pass
+    * ([[graft.expressions.MinHashSig]]): all six seeded band minimums
+    * fall out of a single narrow projection over the shingle array — no
+    * explode, no aggregation exchange. The explode → `min(md5)` groupBy
+    * formulation this replaces shuffled one row per corpus SHINGLE
+    * (24M rows / 1.4e8 md5s at 500 k docs) and was the memory constant
+    * behind x2's 16.4×/decade sf10 entry (BASELINE.md round-8 table) —
+    * the md5 work is the definition and is unchanged, but its shuffle
+    * volume is now zero. Values are identical to
+    * `array_min(transform(sh, md5(...)))` per band (identity-spec'd). */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshFrom(shingleTable(spark, sfDir))
 
   /** [[minhashLsh]] over an arbitrary persisted (doc_id, sh) relation —
     * the testable core (the skew spec drives it with a mass-duplicated
-    * fixture to prove the bucket cap engages). */
+    * fixture to prove the bucket cap engages).
+    *
+    * EXACT-DUPLICATE GROUP COMPRESSION (the production dedup ordering —
+    * run exact dedup before near-dup — folded into one operator without
+    * changing its contract): every stage between the scan and the final
+    * expansion runs over DISTINCT SHINGLE SETS, not documents. Two docs
+    * with the same set have identical signatures, land in identical
+    * buckets, and have identical Jaccard against everything — so the
+    * candidate self-join and the verify stage on raw docs redo the same
+    * work once per duplicate PAIR; on a k-way-duplicated corpus the
+    * within-group verify work alone is quadratic in k, and compression
+    * makes it one group row. NOTE the honest scope: the sf10 gate corpus
+    * is a FRESH vocabulary draw with exact dups planted at only 8 per
+    * 5000 docs (499,200 groups / 500,000 docs — measured), so there the
+    * compression is structurally a no-op costing ~6 s of the ~70 s
+    * operator; the case it exists for is the web-crawl-shaped corpus
+    * where exact duplication is rampant and a doc-level verify melts
+    * down. Per stage:
+    *
+    *  - group key `gk` = md5 of the canonical (sorted, JSON-escaped)
+    *    shingle set — injective up to md5 (the same trust x1's exact
+    *    dedup places in `md5(text)`); one corpus-keyed groupBy builds
+    *    (gk, rep sh array, member count), combining exact dups map-side;
+    *  - signatures/bands/bucket-cap/self-join/verify as before but per
+    *    GROUP, with bucket sizes = sum of member counts (the cap keeps
+    *    its document-level meaning exactly);
+    *  - group self-pairs (gk_a = gk_b, for groups with ≥ 2 members)
+    *    carry the within-group duplicate pairs: n_bands = the group's
+    *    kept-band count, Jaccard trivially 1;
+    *  - the final expansion joins members back on gk — output-sized
+    *    streaming work (the output rows must be emitted regardless;
+    *    nothing per-pair is COMPUTED there, `least/greatest` aside).
+    *
+    * FINGERPRINT VERIFY (the sf10-decisive fix): the verify stage's cost
+    * is not the Jaccard arithmetic but the EXCHANGE PAYLOAD — the two
+    * fetch joins push one row per candidate pair carrying full shingle
+    * STRING arrays (~2 KB a side; at sf10's 60.3M capped candidates
+    * that is a ~240 GB spill, measured 585 s of the pre-fix ~750 s
+    * staged profile).
+    * Shingles therefore verify as 60-bit FINGERPRINTS: fp(s) = the
+    * first 15 hex chars of md5(s) as a long (~8 B/element, built in a
+    * narrow pre-shuffle projection on the O(#groups) side). The map
+    * hex→long is a bijection on its domain, so Spark's long-array
+    * intersection count equals intersection over the 15-char md5
+    * prefixes — which is EXACTLY what the oracle computes (the DuckDB
+    * SQL transforms its lists through the same substring(md5(x),1,15)):
+    * any two shingles that collide at 60 bits collide identically in
+    * both engines, making the comparison exact by construction rather
+    * than up-to-hashing. Band-bucket hashes ride the candidate
+    * self-join the same way (min-signature truncated to the same 60-bit
+    * long, again oracle-mirrored — truncation after the min on both
+    * sides, so no order property is even needed).
+    *
+    * Same answer, proven three ways: the skew/cap fixtures, the DuckDB
+    * oracle, and the sf0.01/0.1/1 hash gates. */
   private[graft] def minhashLshFrom(sh: DataFrame): DataFrame = {
-    val minCols = (0 until NumMinhashes).map(b =>
-      min(md5(concat(lit(s"s$b:"), col("s")))).as(s"h$b"))
-    // The signature table is O(N) SMALL (one row per doc, 6 digests) but
-    // expensive to build (all shingle md5s), and the band self-join reads
-    // it twice — when the join resolves as broadcast the two sides cannot
-    // share a ReusedExchange, so without materialization the whole
-    // signature pipeline runs twice. Persist is the same answer a cluster
-    // deployment uses (signatures as a materialized/bucketed temp table).
+    // (doc_id, gk) membership — a narrow projection (cached: read again
+    // twice by the expansion). to_json escapes shingle content, so the
+    // canonical string is injective; sorting makes it order-independent
+    // (reordered duplicates share a group).
+    val keyed = OperatorCaches.persist(
+      sh.select(col("doc_id"),
+        md5(to_json(array_sort(col("sh")))).as("gk")))
+    // One corpus-keyed shuffle: distinct shingle sets with member count.
+    // first(sh) is safe: all members' arrays hold the SAME SET (order
+    // may differ — intersection/size below are order-independent).
+    val groups = OperatorCaches.persist(
+      sh.select(col("doc_id"), col("sh"),
+          md5(to_json(array_sort(col("sh")))).as("gk"))
+        .groupBy("gk")
+        .agg(count(lit(1)).as("gsz"), first(col("sh")).as("gsh")))
+    // The signature table is O(#groups) SMALL but expensive to build
+    // (all shingle md5s) and read twice by the band self-join — when the
+    // join resolves as broadcast the two sides cannot share a
+    // ReusedExchange, so without materialization the whole signature
+    // pipeline runs twice. Persist is the same answer a cluster
+    // deployment uses (signatures as a materialized temp table).
+    //
+    // The signature stays an ARRAY through the persist: unpacking it to
+    // h0..h5 columns before the cache invites project-collapse to inline
+    // the (deterministic, expensive) MinHashSig call into every element
+    // access — measured 6× the md5 work. posexplode on the cached array
+    // is the band unpivot for free (band = array position).
     val mins = OperatorCaches.persist(
-      sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        .groupBy("doc_id")
-        .agg(minCols.head, minCols.tail: _*))
-    val allBands = mins.select(col("doc_id"), explode(array(
-        (0 until NumMinhashes).map(b =>
-          struct(lit(b).as("band"), col(s"h$b").as("h"))): _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    // Bucket cap ([[MaxBandBucket]]): partial-aggregated bucket sizes,
-    // filtered BEFORE the join-back — the surviving occurrence rows
-    // stream through; the self-join's per-key fan-out is then bounded by
-    // MaxBandBucket²/2 no matter how degenerate the corpus. Deliberately
-    // NOT persisted: both self-join sides re-derive the explode + cut
-    // join from the `mins` cache, which measures 2.5× cheaper at sf0.1
-    // (1.7 s vs 4.2 s) than materializing the joined relation — the
-    // O(N·bands) band table is cheap to rebuild from cached signatures
-    // but costly to write/read through the block manager, the opposite
-    // economics of `mins` itself (cheap to store, expensive to build).
+      groups.select(col("gk"), col("gsz"),
+        minhashSig(col("gsh"), NumMinhashes).as("sig")))
+    // Band keys as 60-bit longs (truncate-after-min, oracle-mirrored):
+    // a (band, long) join key is ~3× smaller than the 32-char hex and
+    // hashes/compares as a primitive through the self-join's exchanges.
+    val allBands = mins.select(col("gk"), col("gsz"),
+      posexplode(col("sig"))).toDF("gk", "gsz", "band", "hs")
+      .select(col("gk"), col("gsz"), col("band"),
+        conv(substring(col("hs"), 1, 15), 16, 10).cast("long").as("h"))
+    // Bucket cap ([[MaxBandBucket]]): partial-aggregated DOCUMENT counts
+    // per bucket (sum of member counts — cap semantics are unchanged),
+    // filtered BEFORE the join-back. Deliberately NOT persisted: both
+    // self-join sides re-derive the explode + cut join from the `mins`
+    // cache, which measured 2.5× cheaper at sf0.1 than materializing
+    // the joined relation — the band table is cheap to rebuild from
+    // cached signatures but costly to push through the block manager.
     val keptBuckets = allBands.groupBy("band", "h")
-      .agg(count(lit(1)).as("bsz"))
+      .agg(sum(col("gsz")).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
       .select("band", "h")
     val bands = allBands.join(keptBuckets, Seq("band", "h"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band", "h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val a = bands.select(col("gk").as("gk_a"), col("gsz").as("gsz_a"),
+      col("band"), col("h"))
+    val b = bands.select(col("gk").as("gk_b"), col("band"), col("h"))
+    // <= keeps the self-pair (within-group duplicates); a singleton
+    // group's self-pair would expand to zero member pairs — cut it here
+    // instead of carrying every unique document through verify.
+    val gcand = a.join(b, Seq("band", "h"))
+      .filter(col("gk_a") < col("gk_b") ||
+        (col("gk_a") === col("gk_b") && col("gsz_a") >= 2))
+      .groupBy("gk_a", "gk_b")
       .agg(count(lit(1)).as("n_bands"))
-    // Shingle fetch for the verify stage: UNHINTED equi-joins on the doc
-    // id. The candidate set is data-dependent (unbounded on a self-similar
-    // corpus), so it must never be force-broadcast; both joins sit behind
-    // shuffles, which lets AQE pick broadcast-hash at runtime when the
-    // candidate side's measured size permits — and degrade to a shuffled
-    // join when it doesn't, instead of OOMing the driver.
-    val withA = shA.join(cand, "doc_a")
-    shB.join(withA, "doc_b")
+    // Fingerprint fetch for the verify stage: UNHINTED equi-joins on the
+    // group key. The candidate set is data-dependent (unbounded on a
+    // self-similar corpus), so it must never be force-broadcast; both
+    // joins sit behind shuffles, which lets AQE pick broadcast-hash at
+    // runtime when the measured sizes permit — and degrade to a shuffled
+    // join when they don't, instead of OOMing the driver. Each side
+    // ships (60-bit fp array, set size), NOT the shingle strings — see
+    // the fingerprint-verify docstring; the fp projection is narrow and
+    // runs on the O(#groups) side before the exchange.
+    def fp(arr: Column): Column = transform(arr,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val gshA = groups.select(col("gk").as("gk_a"), fp(col("gsh")).as("fp_a"),
+      size(col("gsh")).as("na"))
+    val gshB = groups.select(col("gk").as("gk_b"), fp(col("gsh")).as("fp_b"),
+      size(col("gsh")).as("nb"))
+    val gver = gshB.join(gshA.join(gcand, "gk_a"), "gk_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        size(array_intersect(col("fp_a"), col("fp_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-            .cast("double"))
+          (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.02)
-      .select("doc_a", "doc_b", "n_bands", "inter", "jaccard")
+      .select("gk_a", "gk_b", "n_bands", "inter", "jaccard")
+    // Expansion to member pairs: cross-group survivors emit every member
+    // combination (ordered per pair by id); self-pairs emit each
+    // within-group pair once. Output-sized streaming joins on gk.
+    val ma = keyed.select(col("gk").as("gk_a"), col("doc_id").as("da"))
+    val mb = keyed.select(col("gk").as("gk_b"), col("doc_id").as("db"))
+    gver.join(ma, "gk_a").join(mb, "gk_b")
+      .filter(col("gk_a") =!= col("gk_b") || col("da") < col("db"))
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("n_bands"), col("inter"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -252,13 +252,20 @@ class PlanShapeSpec extends SparkSpec {
       "when a SURVIVING bucket is hot") {
     import spark.implicits._
     import graft.util.OperatorCaches
-    // 200 copies (under the 256 cap — the bucket survives into the
-    // self-join) concentrate ~40k candidate rows in 6 hot keys, against
-    // thin chaff. With broadcast off and test-scaled skew thresholds,
-    // AQE must split the oversized partitions (skew=true in the final
-    // plan) — the runtime guard that protects the join between the cap
-    // (quadratic blow-up inside one key) and even load (many keys).
-    val hot = (0 until 200).map(i => (i.toLong, "hotA hotB hotC hotD hotE"))
+    // 200 DISTINCT near-duplicates (a shared 5-token core plus one
+    // unique token each — distinct shingle SETS, so the exact-dup group
+    // compression cannot collapse them): whenever a doc's unique
+    // shingle does not own a band's minimum (~3/4 of docs per band),
+    // the band min is one of the shared shingles' md5s — a hot
+    // (band, h) bucket of ~150 GROUP entries, under the 256 cap so it
+    // survives into the self-join and concentrates ~10k candidate rows
+    // per band in one key, against thin chaff. With broadcast off and
+    // test-scaled skew thresholds, AQE must split the oversized
+    // partitions (skew=true in the final plan) — the runtime guard that
+    // protects the join between the cap (quadratic blow-up inside one
+    // key) and even load (many keys).
+    val hot = (0 until 200).map(i =>
+      (i.toLong, s"hotA hotB hotC hotD hotE uniq$i"))
     val chaff = (1000 until 1050).map(i =>
       (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
     val docs = (hot ++ chaff).toDF("doc_id", "text")

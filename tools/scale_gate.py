@@ -27,7 +27,7 @@ Usage:
 r6 #6 / r7 #5 sf10 spot-run of the dedup/ANN families is
 
   python3 tools/scale_gate.py --base-dir testdata/sf1 \
-      --big-dir testdata/sf10 --skip-correctness --budget 20 \
+      --big-dir testdata/sf10 --skip-correctness \
       x1_dedup_exact x2_minhash_lsh x3_ngram_jaccard x4_simhash \
       x5_simhash_pairs x6_ann_bruteforce x7_ann_lsh x8_embedding_dups \
       x28_dup_clusters x33_kmeans_train x34_ann_trained \
@@ -36,12 +36,11 @@ r6 #6 / r7 #5 sf10 spot-run of the dedup/ANN families is
 (correctness at the big SF is optional there: the DuckDB oracle's
 inverted-index SQL is itself minutes-scale at 500 k docs, while the
 bench linearity contract is the signal the spot-run exists for; both
-sf10 dirs regenerate with gen_sf1.py --copies 100). Budget 20 at this
-decade, not 15: the round-8 table in BASELINE.md measured every family
-at 1.2-10.4x per decade after the x5/x8 fixes EXCEPT x2_minhash_lsh at
-16.4x — its candidate volume is cap-bounded linear, but the signature
-build's 24M-row explode spills at 500k docs (a memory constant, not a
-compounding curve). A future x2 regression past ~20x is a real bug.
+sf10 dirs regenerate with gen_sf1.py --copies 100). The default budget
+15 covers this decade too since round 8's x2 fingerprint-verify fix:
+the BASELINE.md round-8 table now measures every dedup/ANN family at
+1.2-10.4x per decade (x2 was 16.4x before the fix; its worst term was
+the verify joins' shingle-string payload, now 60-bit fingerprints).
 
 Exit 0 = within contract; exit 1 = correctness or budget violation.
 NEVER run while another sbt/bench JVM is active (steal inflates times).

@@ -138,7 +138,10 @@ object SparkEntry {
     "x48_semdedup" -> (Similarity.semDedup _),
     "x49_dup_spans" -> (Dedup.dupSpans _),
     "x50_quality_classifier" -> (TextAnalysis.qualityClassifier _),
-    "x51_source_cap" -> (Curation.sourceCap _)
+    "x51_source_cap" -> (Curation.sourceCap _),
+    "x52_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
+    "x53_ppl_buckets" -> (TextAnalysis.pplBuckets _),
+    "x54_novelty" -> (TextAnalysis.novelty _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -708,7 +711,10 @@ object SparkEntry {
          |  GROUP BY 1, 2
         |), j AS (
         |  SELECT c.doc_a, c.doc_b, c.n_bands,
-        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+        |    CAST(len(list_intersect(
+        |      list_transform(sa.sh, x -> substring(md5(x), 1, 15)),
+        |      list_transform(sb.sh, x -> substring(md5(x), 1, 15))))
+        |      AS BIGINT) AS inter,
         |    len(sa.sh) AS na, len(sb.sh) AS nb
         |  FROM cand c
         |  JOIN sh sa ON sa.doc_id = c.doc_a
@@ -1800,7 +1806,83 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars,
          |  CASE WHEN rn <= ${graft.operators.Curation.SourceCap} THEN rn END AS src_rank,
          |  rn <= ${graft.operators.Curation.SourceCap} AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.bloomDecontaminate: the oracle is the EXACT
+    // formulation — the bloom prefilter only cuts intermediate volume
+    // and must never change the answer, which is precisely what this
+    // comparison proves.
+    "x52_bloom_decontaminate" -> (shingleCte +
+      s""", ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |bench AS (SELECT DISTINCT s FROM ex
+         |  WHERE doc_id < ${graft.operators.Curation.BenchmarkDocs}),
+         |tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM sh
+         |  WHERE len(sh) > 0 AND doc_id >= ${graft.operators.Curation.BenchmarkDocs}),
+         |ov AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM ex e JOIN bench b ON e.s = b.s
+         |  WHERE e.doc_id >= ${graft.operators.Curation.BenchmarkDocs}
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT t.doc_id, t.n_shingles, COALESCE(ov.n_shared, 0) AS n_shared,
+         |    CAST(COALESCE(ov.n_shared, 0) AS DOUBLE)
+         |      / CAST(t.n_shingles AS DOUBLE) AS overlap_frac
+         |  FROM tr t LEFT JOIN ov ON ov.doc_id = t.doc_id)
+         |SELECT doc_id, n_shingles, n_shared, overlap_frac
+         |FROM f
+         |WHERE overlap_frac < ${graft.operators.Curation.ContaminationFrac}
+         |ORDER BY doc_id""".stripMargin),
+
+    // Mirrors TextAnalysis.pplBuckets: x43's scoring plus per-language
+    // quantile_cont terciles (the q18-proven percentile bridge); the
+    // tercile fractions are CAST(..AS DOUBLE)/3 in both engines — a bare
+    // 1.0/3 is DECIMAL division in Spark SQL (truncated q, cuts off by
+    // ~1e-9) while DuckDB's is double; forcing double on both sides
+    // makes the interpolation weights the identical doubles.
+    "x53_ppl_buckets" -> {
+      val sc = graft.operators.TextAnalysis.IdfScale
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM ex GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+         |lm AS (
+         |  SELECT term, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+         |    * $sc + 0.5) AS BIGINT) AS lp_scaled
+         |  FROM counts CROSS JOIN tot),
+         |s AS (
+         |  SELECT e.doc_id, e.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(lp_scaled) AS BIGINT) AS sum_scaled
+         |  FROM ex e JOIN lm USING (term) GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum_scaled AS DOUBLE) / $sc.0 / CAST(n_tokens AS DOUBLE)
+         |      AS avg_logprob
+         |  FROM s),
+         |cuts AS (
+         |  SELECT lang,
+         |    quantile_cont(avg_logprob, CAST(1.0 AS DOUBLE)/3) AS q_tail,
+         |    quantile_cont(avg_logprob, CAST(2.0 AS DOUBLE)/3) AS q_head
+         |  FROM d GROUP BY 1)
+         |SELECT doc_id, d.lang, n_tokens, avg_logprob, q_tail, q_head,
+         |  CASE WHEN avg_logprob <= q_tail THEN 'tail'
+         |       WHEN avg_logprob <= q_head THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM d JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.novelty: min-doc_id-per-shingle join-back.
+    "x54_novelty" -> (shingleCte +
+      """, ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |fs AS (SELECT s, MIN(doc_id) AS first_doc FROM ex GROUP BY 1),
+        |agg AS (
+        |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM ex e JOIN fs USING (s) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty_frac
+        |FROM agg ORDER BY doc_id""".stripMargin)
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

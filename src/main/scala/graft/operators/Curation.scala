@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ChFunctions.dsum
+import graft.functions.SketchFunctions
 import graft.functions.TextFunctions._
 import graft.queries.Tables
+import graft.util.OperatorCaches
 
 /** Corpus-curation operators — the steps between "raw documents" and "a
   * training mix" that every large-scale data pipeline runs after dedup:
@@ -169,6 +171,63 @@ object Curation {
       .withColumn("contaminated", col("overlap_frac") >= ContaminationFrac)
       .select("doc_id", "n_shingles", "n_shared", "overlap_frac",
         "contaminated")
+      .orderBy("doc_id")
+  }
+
+  /** Sizing hint for [[bloomDecontaminate]]'s sketch: expected DISTINCT
+    * eval-set shingles. A real benchmark suite is ~1e6-1e8 n-grams —
+    * still a fixed-size sketch (MBs) however big the training corpus. */
+  val BloomExpectedItems = 100000L
+
+  /** x52: decontamination via a BLOOM-PREFILTERED membership join — the
+    * same train/eval overlap semantics as [[decontaminate]] (x29), but
+    * the scale pattern a 100 TB corpus actually wants when the eval set
+    * is too big to broadcast as exact rows yet tiny next to the corpus:
+    *
+    *  1. the eval side collapses to a constant-size bloom sketch
+    *     (Spark's own `BloomFilterAggregate` — a 1-row binary embedded
+    *     as a scalar subquery, the wiring `InjectRuntimeFilter` itself
+    *     emits and the subquery flavor of x3's one-row-broadcast
+    *     df_cap);
+    *  2. the corpus shingle stream is cut MAP-SIDE by
+    *     `BloomFilterMightContain` before anything shuffles — only
+    *     true hits plus the sketch's false positives survive;
+    *  3. survivors are CONFIRMED against the exact eval shingle set, so
+    *     the output is exact (the bloom affects intermediate volume,
+    *     never answers) and the DuckDB oracle is plain SQL.
+    *
+    * Output: TRAINING docs that pass the contamination gate (overlap
+    * fraction < [[ContaminationFrac]]) — the kept corpus, vs x29's
+    * all-docs flag report.
+    *
+    * Where the exchanges are: the sketch is one global aggregate (1-row
+    * broadcast); the confirm join's build side is the exact eval
+    * shingle set (eval-bounded, unhinted — AQE broadcasts it when it
+    * fits); the per-doc count is one partial-aggregated groupBy over
+    * the POST-cut stream. The corpus-sized stream crosses zero
+    * exchanges before the cut.
+    */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleTableFrom(docs(spark, sfDir))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val benchShingles = OperatorCaches.persist(
+      ex.filter(col("doc_id") < BenchmarkDocs).select("s").distinct())
+    val bloom = benchShingles
+      .agg(SketchFunctions.bloomAgg(col("s"), BloomExpectedItems).as("bf"))
+    val train = sh.filter(col("doc_id") >= BenchmarkDocs)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+    val candidateHits = ex.filter(col("doc_id") >= BenchmarkDocs)
+      .filter(SketchFunctions.bloomMightContain(bloom, col("s")))
+      .select("doc_id", "s")
+    val shared = candidateHits
+      .join(benchShingles, "s") // exact confirm: kills false positives
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .filter(col("overlap_frac") < ContaminationFrac)
+      .select("doc_id", "n_shingles", "n_shared", "overlap_frac")
       .orderBy("doc_id")
   }
 

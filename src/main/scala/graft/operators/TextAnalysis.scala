@@ -331,9 +331,18 @@ object TextAnalysis {
     * per-document aggregation sums exact LONGS and the exposed mean is
     * two fixed-order divisions. Scoring is a corpus explode × BROADCAST
     * LM join (vocab-sized dim) + one doc-keyed groupBy — x39's shape. */
-  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    unigramScores(spark, sfDir)
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .orderBy("doc_id")
+
+  /** The x43 core, carrying `lang` through the per-doc aggregation (a
+    * key extension, not an extra shuffle — lang is functionally
+    * dependent on doc_id) so [[pplBuckets]] can stratify per language
+    * without a second doc-keyed join. */
+  private def unigramScores(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = docs(spark, sfDir).filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
     val counts = OperatorCaches.persist(
       ex.groupBy("term").agg(count(lit(1)).as("c")))
     val total = counts.agg(sum(col("c")).as("total"))
@@ -342,11 +351,86 @@ object TextAnalysis {
         floor(log(col("c").cast("double") / col("total").cast("double"))
           * IdfScale + lit(0.5)).as("lp_scaled"))
     ex.join(broadcast(lm), "term")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp_scaled")).as("sum_scaled"))
       .withColumn("avg_logprob",
         col("sum_scaled").cast("double") / IdfScale / col("n_tokens").cast("double"))
-      .select("doc_id", "n_tokens", "avg_logprob")
+  }
+
+  /** x53: CCNet-style per-language PERPLEXITY BUCKETS — split every
+    * language's documents into head / middle / tail by unigram mean
+    * log-probability terciles (the CCNet curation scheme: "head" is the
+    * most fluent third relative to its own language, and downstream
+    * mixes sample the buckets at different rates). Per-LANGUAGE cuts
+    * matter: absolute log-prob is not comparable across languages, so a
+    * global cut would put all of a rare language in one bucket.
+    *
+    * Scale shape: scoring is x43's shape (vocab broadcast + one doc
+    * keyed groupBy); the tercile cuts are ONE lang-keyed aggregate —
+    * |langs| rows, `percentile` keeps per-group state bounded by
+    * distinct values — joined back BROADCAST (bounded dim, the
+    * legitimate hint); the bucket label is then a narrow projection.
+    * No per-language sort, no window: the rank-and-cut formulation
+    * (ntile over a lang partition) funnels the largest language
+    * through one task — quantile cuts trade exact thirds for binomial
+    * noise and a shuffle-free assignment, the same trade x31 documents.
+    *
+    * Cross-engine: the doc score is x43's bit-exact double; the cuts
+    * are `percentile` ↔ DuckDB `quantile_cont` (the q18-proven
+    * bridge); tercile fractions are `CAST(.. AS DOUBLE)/3` in BOTH
+    * engines — a bare `1.0/3` is DECIMAL division in Spark SQL
+    * (truncated q ⇒ cuts off by ~1e-9 ⇒ boundary docs misbucketed)
+    * while DuckDB's is double. */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = unigramScores(spark, sfDir)
+    // CAST(.. AS DOUBLE)/3, not 1.0/3: a bare fractional literal is
+    // DECIMAL in Spark SQL, and decimal division truncates the tercile
+    // fraction at decimal scale — a DIFFERENT q than the oracle's
+    // double (measured: cuts off by ~1e-9, one boundary doc misbucketed)
+    val cuts = d.groupBy(col("lang").as("k_lang")).agg(
+      expr("percentile(avg_logprob, CAST(1.0 AS DOUBLE)/3)").as("q_tail"),
+      expr("percentile(avg_logprob, CAST(2.0 AS DOUBLE)/3)").as("q_head"))
+    d.join(broadcast(cuts), col("lang") === col("k_lang"))
+      .withColumn("bucket",
+        when(col("avg_logprob") <= col("q_tail"), "tail")
+          .when(col("avg_logprob") <= col("q_head"), "middle")
+          .otherwise("head"))
+      .select("doc_id", "lang", "n_tokens", "avg_logprob",
+        "q_tail", "q_head", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** x54: first-occurrence NOVELTY scoring — for each document, the
+    * fraction of its word 3-gram shingles whose FIRST corpus occurrence
+    * (by doc_id order, the ingestion order) is this document. The
+    * incremental-crawl signal: a fetch whose shingles all appeared in
+    * earlier documents adds nothing even if no single earlier document
+    * duplicates it (cross-document patchwork that pairwise dedup — x2,
+    * x3 — structurally misses).
+    *
+    * Scale shape: first occurrences are ONE partial-aggregated
+    * `groupBy(shingle).agg(min(doc_id))` over the exploded shingle
+    * stream — min combines map-side, so a boilerplate shingle in every
+    * document costs one row per partition, not per document; the
+    * join-back is the same unhinted vocabulary-keyed equi-join as x41's
+    * DF join (AQE picks the build side); the per-doc count is one
+    * doc-keyed groupBy. No window over a doc_id ordering — the naive
+    * "running set of seen shingles" is inherently sequential, while
+    * min-per-shingle is the same answer as an embarrassingly parallel
+    * aggregate. */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = graft.operators.Dedup.shingleTableFrom(docs(spark, sfDir))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val firstSeen = ex.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firstSeen, "s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .select("doc_id", "n_shingles", "n_novel", "novelty_frac")
       .orderBy("doc_id")
   }
 

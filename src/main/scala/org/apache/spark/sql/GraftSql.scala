@@ -15,6 +15,14 @@ object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The analyzed logical plan of a Dataset — for embedding a relation
+    * as a SCALAR SUBQUERY inside a custom expression (the form
+    * `BloomFilterMightContain` demands for its sketch argument; the
+    * same wiring Spark's own `InjectRuntimeFilter` emits). */
+  def analyzedPlan(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Apply a [[SparkSessionExtensions]] configurator's function
     * injections to a fresh registry and return it — lets a spec assert
     * what `spark.sql.extensions=graft.GraftExtensions` would register

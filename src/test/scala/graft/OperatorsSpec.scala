@@ -776,4 +776,78 @@ class OperatorsSpec extends SparkSpec {
       col("score_sum") < col("n_tokens") * -1001L).count() === 0)
     q.unpersist()
   }
+
+  test("bloom decontaminate: identical to the exact x29 kept set; bloom prunes; exact confirm kills FPs") {
+    import graft.operators.Curation
+    val viaBloom = Curation.bloomDecontaminate(spark, Sf).cache()
+    // same kept set and same shared-counts as the exact formulation
+    val exact = Curation.decontaminate(spark, Sf)
+      .filter(!col("contaminated"))
+      .select("doc_id", "n_shingles", "n_shared", "overlap_frac")
+    assert(viaBloom.count() > 0)
+    assert(viaBloom.except(exact).count() === 0)
+    assert(exact.except(viaBloom).count() === 0)
+    // the sketch path is actually in the plan (not optimized away)
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"BloomFilterMightContain missing from plan:\n${plan.take(2000)}")
+    graft.util.OperatorCaches.release(spark)
+    viaBloom.unpersist()
+  }
+
+  test("ppl buckets: per-lang partition into three labeled ranges; cuts ordered; consistent with x43 scores") {
+    val b = TextAnalysis.pplBuckets(spark, Sf).cache()
+    val x43 = TextAnalysis.unigramLogProb(spark, Sf)
+      .select(col("doc_id"), col("avg_logprob").as("ref"))
+    // scores are exactly x43's (the lang key extension changed nothing)
+    assert(b.join(x43, "doc_id").filter(col("avg_logprob") =!= col("ref"))
+      .count() === 0)
+    // cuts ordered, labels consistent with the cut comparisons
+    assert(b.filter(col("q_tail") > col("q_head")).count() === 0)
+    assert(b.filter(col("bucket") === "tail")
+      .filter(col("avg_logprob") > col("q_tail")).count() === 0)
+    assert(b.filter(col("bucket") === "head")
+      .filter(col("avg_logprob") <= col("q_head")).count() === 0)
+    // every lang has all three buckets at this SF, roughly a third each
+    val counts = b.groupBy("lang", "bucket").count().collect()
+    val langs = b.select("lang").distinct().count()
+    assert(counts.length === 3 * langs)
+    // no per-language sort: the assignment must stay window-free
+    val plan = b.queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "rank window crept into ppl bucket assignment")
+    graft.util.OperatorCaches.release(spark)
+    b.unpersist()
+  }
+
+  test("novelty: first doc fully novel; exact duplicate fully stale; counts bounded") {
+    import spark.implicits._
+    val n = TextAnalysis.novelty(spark, Sf).cache()
+    assert(n.filter(col("n_novel") > col("n_shingles")).count() === 0)
+    assert(n.filter(col("novelty_frac") < 0.0 || col("novelty_frac") > 1.0)
+      .count() === 0)
+    // the lowest doc_id with shingles owns all its shingles' first sights
+    val first = n.orderBy("doc_id").head()
+    assert(first.getLong(1) === first.getLong(2),
+      s"first doc must be fully novel: $first")
+    // a planted exact duplicate of an earlier doc has zero novelty; a
+    // unique doc is fully novel (driven through the same corpus + plants)
+    val docs = graft.queries.Tables.documents(spark, Sf)
+      .select("doc_id", "text")
+      .union(Seq((100000L, "a planted duplicate of nothing else here ok"),
+                 (100001L, "a planted duplicate of nothing else here ok"))
+        .toDF("doc_id", "text"))
+    val sh = graft.operators.Dedup.shingleTableFrom(docs)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val fs = ex.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    val planted = ex.join(fs, "s").groupBy("doc_id")
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nv"))
+      .filter(col("doc_id") >= 100000L).orderBy("doc_id").collect()
+    assert(planted(0).getLong(2) === planted(0).getLong(1)) // 100000: all novel
+    assert(planted(1).getLong(2) === 0L)                    // 100001: all stale
+    graft.util.OperatorCaches.release(spark)
+    n.unpersist()
+  }
 }

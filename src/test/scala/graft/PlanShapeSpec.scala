@@ -366,4 +366,48 @@ class PlanShapeSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, s"window crept into quality classifier:\n$qc")
   }
+
+  test("bloom/ppl/novelty: sketch is the only unbounded-free hint, bucket " +
+      "assignment window-free, novelty joins are vocabulary equi-joins") {
+    import graft.operators.{Curation, TextAnalysis}
+    // x52: admissible broadcast hints are (a) the 1-row bloom aggregate
+    // (global agg in lineage) — the declarative one-row-broadcast shape —
+    // and nothing corpus-sized; the sketch probe must survive into the
+    // physical plan (if the optimizer dropped it, the operator would
+    // silently degrade to x29's unfiltered join)
+    def globalAggHint(h: ResolvedHint): Boolean =
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+      }.isDefined
+    val bd = Curation.bloomDecontaminate(spark, Sf)
+    assert(logicalHints(bd).forall(globalAggHint),
+      "corpus-sized broadcast hint in bloomDecontaminate")
+    val bdP = physical(bd)
+    assert(bdP.contains("might_contain"),
+      s"bloom probe missing from physical plan:\n$bdP")
+    assert(!bdP.contains("CartesianProduct"), s"cartesian in x52:\n$bdP")
+    // x53: the per-lang cut join is the only hint (lang-keyed aggregate —
+    // a bounded dim); assignment itself must stay window-free (the ntile
+    // formulation funnels the largest language through one task)
+    val pb = withoutAqe {
+      TextAnalysis.pplBuckets(spark, Sf).queryExecution.executedPlan
+    }
+    assert(pb.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window crept into ppl buckets:\n$pb")
+    assert(!pb.toString.contains("CartesianProduct"), s"cartesian in x53:\n$pb")
+    // x54: data-dependent sizes everywhere — no broadcast hints at all;
+    // both joins are equi-joins (shingle-keyed, then the doc-keyed agg)
+    val nv = TextAnalysis.novelty(spark, Sf)
+    assert(logicalHints(nv).isEmpty, "hint crept into novelty")
+    val nvP = withoutAqe {
+      TextAnalysis.novelty(spark, Sf).queryExecution.executedPlan
+    }
+    assert(!nvP.toString.contains("CartesianProduct"),
+      s"cartesian in x54:\n$nvP")
+    assert(nvP.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window crept into novelty:\n$nvP")
+  }
 }

@@ -1832,12 +1832,13 @@ object SparkEntry {
          |WHERE overlap_frac < ${graft.operators.Curation.ContaminationFrac}
          |ORDER BY doc_id""".stripMargin),
 
-    // Mirrors TextAnalysis.pplBuckets: x43's scoring plus per-language
-    // quantile_cont terciles (the q18-proven percentile bridge); the
-    // tercile fractions are CAST(..AS DOUBLE)/3 in both engines — a bare
-    // 1.0/3 is DECIMAL division in Spark SQL (truncated q, cuts off by
-    // ~1e-9) while DuckDB's is double; forcing double on both sides
-    // makes the interpolation weights the identical doubles.
+    // Mirrors TextAnalysis.pplBuckets: x43's scoring plus RANK-based
+    // per-language terciles in exact integer arithmetic (3*c_le vs n over
+    // per-(lang, score) value groups). No interpolated quantile appears
+    // on either side — the first formulation compared the score against
+    // percentile/quantile_cont cuts, whose ~1-ulp interpolation
+    // difference flipped one boundary doc at sf1. The join keys are
+    // x43's bit-exact doubles.
     "x53_ppl_buckets" -> {
       val sc = graft.operators.TextAnalysis.IdfScale
       s"""WITH ex AS (
@@ -1859,16 +1860,21 @@ object SparkEntry {
          |    CAST(sum_scaled AS DOUBLE) / $sc.0 / CAST(n_tokens AS DOUBLE)
          |      AS avg_logprob
          |  FROM s),
-         |cuts AS (
-         |  SELECT lang,
-         |    quantile_cont(avg_logprob, CAST(1.0 AS DOUBLE)/3) AS q_tail,
-         |    quantile_cont(avg_logprob, CAST(2.0 AS DOUBLE)/3) AS q_head
-         |  FROM d GROUP BY 1)
-         |SELECT doc_id, d.lang, n_tokens, avg_logprob, q_tail, q_head,
-         |  CASE WHEN avg_logprob <= q_tail THEN 'tail'
-         |       WHEN avg_logprob <= q_head THEN 'middle'
-         |       ELSE 'head' END AS bucket
-         |FROM d JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin
+         |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |vc AS (SELECT lang, avg_logprob, CAST(COUNT(*) AS BIGINT) AS vc
+         |       FROM d GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, avg_logprob,
+         |    SUM(vc) OVER (PARTITION BY lang ORDER BY avg_logprob) AS c_le
+         |  FROM vc),
+         |b AS (
+         |  SELECT c.lang, c.avg_logprob,
+         |    CASE WHEN c_le * 3 <= n.n THEN 'tail'
+         |         WHEN c_le * 3 <= n.n * 2 THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM cum c JOIN n USING (lang))
+         |SELECT doc_id, d.lang, n_tokens, d.avg_logprob, bucket
+         |FROM d JOIN b USING (lang, avg_logprob) ORDER BY doc_id""".stripMargin
     },
 
     // Mirrors TextAnalysis.novelty: min-doc_id-per-shingle join-back.

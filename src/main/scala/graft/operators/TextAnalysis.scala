@@ -359,44 +359,55 @@ object TextAnalysis {
 
   /** x53: CCNet-style per-language PERPLEXITY BUCKETS — split every
     * language's documents into head / middle / tail by unigram mean
-    * log-probability terciles (the CCNet curation scheme: "head" is the
-    * most fluent third relative to its own language, and downstream
-    * mixes sample the buckets at different rates). Per-LANGUAGE cuts
-    * matter: absolute log-prob is not comparable across languages, so a
-    * global cut would put all of a rare language in one bucket.
+    * log-probability RANK terciles (the CCNet curation scheme: "head"
+    * is the most fluent third relative to its own language, and
+    * downstream mixes sample the buckets at different rates).
+    * Per-LANGUAGE cuts matter: absolute log-prob is not comparable
+    * across languages, so a global cut would put all of a rare
+    * language in one bucket.
     *
-    * Scale shape: scoring is x43's shape (vocab broadcast + one doc
-    * keyed groupBy); the tercile cuts are ONE lang-keyed aggregate —
-    * |langs| rows, `percentile` keeps per-group state bounded by
-    * distinct values — joined back BROADCAST (bounded dim, the
-    * legitimate hint); the bucket label is then a narrow projection.
-    * No per-language sort, no window: the rank-and-cut formulation
-    * (ntile over a lang partition) funnels the largest language
-    * through one task — quantile cuts trade exact thirds for binomial
-    * noise and a shuffle-free assignment, the same trade x31 documents.
+    * Bucketing is RANK-based in exact integer arithmetic: with n docs
+    * in a language and c_le(s) = how many of them score ≤ s, a doc is
+    * tail iff 3·c_le ≤ n, middle iff 3·c_le ≤ 2n, else head (a tied
+    * score cluster moves as one unit). The first formulation compared
+    * the double score against an interpolated `percentile` cut and was
+    * a knife-edge by construction — Spark's `percentile` and DuckDB's
+    * `quantile_cont` interpolate with ~1-ulp differences, and the sf1
+    * gate caught exactly one boundary doc flipping buckets. Integer
+    * comparisons cannot tie-break differently across engines, and the
+    * join keys (lang, avg_logprob) are x43's bit-exact doubles.
     *
-    * Cross-engine: the doc score is x43's bit-exact double; the cuts
-    * are `percentile` ↔ DuckDB `quantile_cont` (the q18-proven
-    * bridge); tercile fractions are `CAST(.. AS DOUBLE)/3` in BOTH
-    * engines — a bare `1.0/3` is DECIMAL division in Spark SQL
-    * (truncated q ⇒ cuts off by ~1e-9 ⇒ boundary docs misbucketed)
-    * while DuckDB's is double. */
+    * Scale shape: scoring is x43's (vocab broadcast + one doc-keyed
+    * groupBy). The rank cuts compress docs to per-(lang, score) VALUE
+    * GROUPS first (partial-aggregated count), then take one running
+    * sum over that compressed relation — the window's input is bounded
+    * by distinct score values per language, the same state bound the
+    * `percentile` aggregate had in its single reducer, with the
+    * compression done map-side before the exchange. Assignment joins
+    * back on (lang, score) — an unhinted equi-join against a
+    * distinct-values-sized build side. No per-DOC window anywhere (an
+    * ntile over the doc relation would funnel the largest language's
+    * every row through one task). */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val d = unigramScores(spark, sfDir)
-    // CAST(.. AS DOUBLE)/3, not 1.0/3: a bare fractional literal is
-    // DECIMAL in Spark SQL, and decimal division truncates the tercile
-    // fraction at decimal scale — a DIFFERENT q than the oracle's
-    // double (measured: cuts off by ~1e-9, one boundary doc misbucketed)
-    val cuts = d.groupBy(col("lang").as("k_lang")).agg(
-      expr("percentile(avg_logprob, CAST(1.0 AS DOUBLE)/3)").as("q_tail"),
-      expr("percentile(avg_logprob, CAST(2.0 AS DOUBLE)/3)").as("q_head"))
-    d.join(broadcast(cuts), col("lang") === col("k_lang"))
+    val n = d.groupBy(col("lang").as("n_lang")).agg(count(lit(1)).as("n"))
+    val valueCounts = d.groupBy("lang", "avg_logprob")
+      .agg(count(lit(1)).as("vc"))
+    val cum = valueCounts.withColumn("c_le",
+      sum(col("vc")).over(
+        Window.partitionBy("lang").orderBy("avg_logprob")))
+    // langs are a bounded dim — the broadcast of n is the legitimate
+    // hint; the value-group relation stays unhinted (data-dependent).
+    val buckets = cum.join(broadcast(n), col("lang") === col("n_lang"))
       .withColumn("bucket",
-        when(col("avg_logprob") <= col("q_tail"), "tail")
-          .when(col("avg_logprob") <= col("q_head"), "middle")
+        when(col("c_le") * 3 <= col("n"), "tail")
+          .when(col("c_le") * 3 <= col("n") * 2, "middle")
           .otherwise("head"))
-      .select("doc_id", "lang", "n_tokens", "avg_logprob",
-        "q_tail", "q_head", "bucket")
+      .select(col("lang").as("b_lang"), col("avg_logprob").as("b_score"),
+        col("bucket"))
+    d.join(buckets,
+        col("lang") === col("b_lang") && col("avg_logprob") === col("b_score"))
+      .select("doc_id", "lang", "n_tokens", "avg_logprob", "bucket")
       .orderBy("doc_id")
   }
 

@@ -387,15 +387,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(bdP.contains("might_contain"),
       s"bloom probe missing from physical plan:\n$bdP")
     assert(!bdP.contains("CartesianProduct"), s"cartesian in x52:\n$bdP")
-    // x53: the per-lang cut join is the only hint (lang-keyed aggregate —
-    // a bounded dim); assignment itself must stay window-free (the ntile
-    // formulation funnels the largest language through one task)
+    // x53: the per-lang count join is the only hint (lang-keyed
+    // aggregate — a bounded dim). The rank cut's running sum may use a
+    // window ONLY over the per-(lang, score) VALUE-GROUP relation — its
+    // input must have an aggregate below it (the map-side compression
+    // that bounds the window's partition by distinct score values); a
+    // window directly over doc rows would funnel the largest language
+    // through one task.
     val pb = withoutAqe {
       TextAnalysis.pplBuckets(spark, Sf).queryExecution.executedPlan
     }
-    assert(pb.collect {
+    val wins = pb.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, s"window crept into ppl buckets:\n$pb")
+    }
+    assert(wins.size === 1, s"expected exactly the rank-cut window:\n$pb")
+    assert(wins.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isDefined,
+      s"rank-cut window must read the value-group aggregate, not doc rows:\n$pb")
     assert(!pb.toString.contains("CartesianProduct"), s"cartesian in x53:\n$pb")
     // x54: data-dependent sizes everywhere — no broadcast hints at all;
     // both joins are equi-joins (shingle-keyed, then the doc-keyed agg)

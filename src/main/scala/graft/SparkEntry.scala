@@ -141,7 +141,8 @@ object SparkEntry {
     "x51_source_cap" -> (Curation.sourceCap _),
     "x52_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
     "x53_ppl_buckets" -> (TextAnalysis.pplBuckets _),
-    "x54_novelty" -> (TextAnalysis.novelty _)
+    "x54_novelty" -> (TextAnalysis.novelty _),
+    "x55_pmi_collocations" -> (TextAnalysis.pmiCollocations _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1875,6 +1876,34 @@ object SparkEntry {
          |  FROM cum c JOIN n USING (lang))
          |SELECT doc_id, d.lang, n_tokens, d.avg_logprob, bucket
          |FROM d JOIN b USING (lang, avg_logprob) ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.pmiCollocations: adjacent bigrams by list
+    // index (the unnest(range) lateral — DuckDB's spelling of the
+    // zip-with-tail), exact long counts, and PMI through x43's
+    // scaled-integer bridge (raw ln doubles diverge by 1 ulp between
+    // engines on near-1 arguments), total ORDER BY before the LIMIT.
+    "x55_pmi_collocations" -> {
+      import graft.operators.TextAnalysis.{IdfScale, MinPairCount, TopCollocations}
+      s"""WITH ex AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ex)),
+         |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |       FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |  SELECT unnest(t) AS term FROM ex) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni)
+         |SELECT w1, w2, c_ab,
+         |  CAST(floor(ln(CAST(c_ab AS DOUBLE) * CAST(total AS DOUBLE)
+         |      / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)))
+         |    * $IdfScale + 0.5) AS BIGINT) / $IdfScale.0 AS pmi
+         |FROM cb JOIN uni ua ON ua.term = w1 JOIN uni ub ON ub.term = w2
+         |CROSS JOIN tot
+         |WHERE c_ab >= $MinPairCount
+         |ORDER BY pmi DESC, w1, w2 LIMIT $TopCollocations""".stripMargin
     },
 
     // Mirrors TextAnalysis.novelty: min-doc_id-per-shingle join-back.

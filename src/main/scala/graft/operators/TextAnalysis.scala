@@ -445,6 +445,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Minimum bigram occurrences for a [[pmiCollocations]] candidate —
+    * PMI is notoriously unstable on rare pairs (one co-occurrence of two
+    * hapaxes maximizes it), so every serious collocation extraction
+    * floors the pair count. */
+  val MinPairCount = 5L
+  /** Result size for [[pmiCollocations]]. */
+  val TopCollocations = 50
+
+  /** x55: PMI COLLOCATIONS — the top word pairs by pointwise mutual
+    * information over ADJACENT token bigrams, the classic corpus-
+    * analysis step behind phrase vocabularies ("new york" should be one
+    * token) and tokenizer pre-merge candidates.
+    * pmi(a,b) = ln(c_ab · T / (c_a · c_b)).
+    *
+    * Scale shape: bigrams come from a narrow per-row `zip_with` of the
+    * token array with its own tail — NO self-join on position (the
+    * (doc, pos) ⋈ (doc, pos+1) formulation shuffles the corpus twice to
+    * compute what is a per-row adjacency); both count relations are
+    * partial-aggregated groupBys (vocab- and bigram-vocab-sized). The
+    * unigram side joins back BROADCAST (vocab-sized dim — x43's lm
+    * precedent), T is a 1-row cross join, and the final top-k is
+    * orderBy+limit — Spark plans `TakeOrderedAndProject`, per-partition
+    * heaps + one k-row merge, never a global sort.
+    *
+    * Cross-engine: counts are exact longs; the PMI goes through x43's
+    * scaled-integer bridge — `floor(ln(·)·IdfScale + 0.5)` as a LONG,
+    * exposed as the scaled-back double — because a raw `ln` double is
+    * NOT cross-engine stable here (measured: 1-ulp divergence between
+    * Spark's and DuckDB's log on a near-1 argument at sf0.01; x43's
+    * single-ratio arguments happened to agree, these don't). The ORDER
+    * BY is total (scaled pmi DESC, then the pair), so the k-boundary
+    * cut is deterministic and mirrored. */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = OperatorCaches.persist(
+      docs(spark, sfDir).filter(col("text").isNotNull)
+        .select(tokens(col("text")).as("t")))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = OperatorCaches.persist(
+      toks.select(explode(col("t")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c")))
+    val total = uni.agg(sum(col("c")).as("total"))
+    val ua = uni.select(col("term").as("w1"), col("c").as("c_a"))
+    val ub = uni.select(col("term").as("w2"), col("c").as("c_b"))
+    cb.filter(col("c_ab") >= MinPairCount)
+      .join(broadcast(ua), "w1")
+      .join(broadcast(ub), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_scaled",
+        floor(log(col("c_ab").cast("double") * col("total").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
+          * IdfScale + lit(0.5)).cast("long"))
+      .withColumn("pmi", col("pmi_scaled").cast("double") / IdfScale)
+      .select("w1", "w2", "c_ab", "pmi")
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(TopCollocations)
+  }
+
   /** Document-frequency threshold for [[boilerplate]]: a shingle in more
     * than this many documents counts as boilerplate. */
   val BoilerplateDf = 3L

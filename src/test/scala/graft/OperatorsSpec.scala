@@ -825,6 +825,24 @@ class OperatorsSpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("pmi collocations: exactly top-k, floor count respected, ordering total and descending") {
+    import graft.operators.TextAnalysis
+    val p = TextAnalysis.pmiCollocations(spark, Sf).cache()
+    val rows = p.collect()
+    assert(rows.length === TextAnalysis.TopCollocations)
+    assert(rows.forall(_.getLong(2) >= TextAnalysis.MinPairCount))
+    // ordering is (pmi desc, w1, w2) — total, so the k-cut is stable
+    val key = rows.map(r => (-r.getDouble(3), r.getString(0), r.getString(1)))
+    assert(key.sameElements(key.sorted), "result not in (pmi desc, pair) order")
+    // PMI sanity: a pair can't have higher count than either word; the
+    // scaled bridge means every pmi is an exact multiple of 1/IdfScale
+    assert(rows.forall(r =>
+      (r.getDouble(3) * TextAnalysis.IdfScale).round.toDouble ===
+        r.getDouble(3) * TextAnalysis.IdfScale))
+    p.unpersist()
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("novelty: first doc fully novel; exact duplicate fully stale; counts bounded") {
     import spark.implicits._
     val n = TextAnalysis.novelty(spark, Sf).cache()

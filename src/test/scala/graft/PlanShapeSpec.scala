@@ -406,6 +406,21 @@ class PlanShapeSpec extends SparkSpec {
     }.isDefined,
       s"rank-cut window must read the value-group aggregate, not doc rows:\n$pb")
     assert(!pb.toString.contains("CartesianProduct"), s"cartesian in x53:\n$pb")
+    // x55: the top-k must be TakeOrderedAndProject (per-partition heaps,
+    // k-row merge), never a global Sort feeding a limit; bigrams must be
+    // a per-row zip (no position self-join — the only joins are the
+    // vocab-keyed unigram fetches and the 1-row total)
+    val pc = withoutAqe {
+      graft.operators.TextAnalysis.pmiCollocations(spark, Sf)
+        .queryExecution.executedPlan
+    }
+    assert(pc.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"top-k is not TakeOrderedAndProject in x55:\n$pc")
+    val sortsAboveAgg = pc.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(sortsAboveAgg.isEmpty, s"global sort crept into x55:\n$pc")
     // x54: data-dependent sizes everywhere — no broadcast hints at all;
     // both joins are equi-joins (shingle-keyed, then the doc-keyed agg)
     val nv = TextAnalysis.novelty(spark, Sf)

@@ -142,7 +142,8 @@ object SparkEntry {
     "x52_bloom_decontaminate" -> (Curation.bloomDecontaminate _),
     "x53_ppl_buckets" -> (TextAnalysis.pplBuckets _),
     "x54_novelty" -> (TextAnalysis.novelty _),
-    "x55_pmi_collocations" -> (TextAnalysis.pmiCollocations _)
+    "x55_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
+    "x56_bpe_merge" -> (TextAnalysis.bpeMergeStep _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1905,6 +1906,34 @@ object SparkEntry {
          |WHERE c_ab >= $MinPairCount
          |ORDER BY pmi DESC, w1, w2 LIMIT $TopCollocations""".stripMargin
     },
+
+    // Mirrors TextAnalysis.bpeMergeStep: weighted adjacent symbol-pair
+    // counts over the vocabulary, argmax with the same total tie-break,
+    // and the double-gap replace merge (both engines' replace scan
+    // left-to-right non-overlapping — identical by construction).
+    "x56_bpe_merge" ->
+      s"""WITH w AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS term
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(term) > 0 GROUP BY 1),
+         |seq AS (SELECT term, c,
+         |  array_to_string(string_split(term, ''), ' ') AS s FROM w),
+         |pairs AS (
+         |  SELECT t[i] AS p1, t[i + 1] AS p2, CAST(SUM(c) AS BIGINT) AS pc
+         |  FROM (SELECT c, string_split(s, ' ') AS t,
+         |               unnest(range(1, len(string_split(s, ' ')))) AS i
+         |        FROM seq)
+         |  GROUP BY 1, 2),
+         |best AS (SELECT p1, p2, pc FROM pairs
+         |         ORDER BY pc DESC, p1, p2 LIMIT 1)
+         |SELECT term, c, s,
+         |  trim(replace(replace(
+         |    ' ' || replace(s, ' ', '  ') || ' ',
+         |    ' ' || p1 || '  ' || p2 || ' ',
+         |    ' ' || p1 || p2 || ' '), '  ', ' ')) AS merged,
+         |  p1, p2, pc
+         |FROM seq CROSS JOIN best ORDER BY term""".stripMargin,
 
     // Mirrors TextAnalysis.novelty: min-doc_id-per-shingle join-back.
     "x54_novelty" -> (shingleCte +

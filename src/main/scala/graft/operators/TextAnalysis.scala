@@ -508,6 +508,62 @@ object TextAnalysis {
       .limit(TopCollocations)
   }
 
+  /** x56: one BPE MERGE ROUND — the hot loop of byte-pair-encoding
+    * tokenizer training as a single declarative plan: count adjacent
+    * SYMBOL pairs across the word vocabulary weighted by word frequency,
+    * pick the most frequent pair (deterministic tie-break: count desc,
+    * then the pair), and apply the merge to every word's symbol
+    * sequence. Output: per word, its pre- and post-merge segmentation
+    * plus the chosen pair — exactly the state a trainer would carry
+    * into the next round.
+    *
+    * Scale shape: the only corpus-sized stage is the word-count groupBy
+    * (partial-aggregated; everything after runs on the VOCABULARY —
+    * pair counting is a per-row zip over ≤|word| symbols, argmax is
+    * `TakeOrderedAndProject` with k=1, and the merge application is a
+    * narrow projection against the 1-row broadcast winner). A training
+    * loop iterates this plan with the merged sequences as input — the
+    * same plan-only-loop shape as x33's Lloyd iterations.
+    *
+    * Merge semantics, mirrored cross-engine: the symbol sequence is a
+    * space-joined string; gaps are doubled before the substitution so
+    * one `replace` pass merges ALL disjoint occurrences leftmost-first
+    * ('e r e r' → 'er er'; with single gaps the consumed boundary space
+    * would hide every second occurrence), then gaps collapse back.
+    * Both engines' `replace` scan left-to-right non-overlapping, so the
+    * outputs are identical by construction. */
+  def bpeMergeStep(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergeFrom(OperatorCaches.persist(
+      docs(spark, sfDir).filter(col("text").isNotNull)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("c"))))
+
+  /** [[bpeMergeStep]] over an arbitrary (term, c) word-count relation —
+    * the testable core (the spec plants symbol runs like `erer` to pin
+    * the all-disjoint-leftmost merge semantics). */
+  private[graft] def bpeMergeFrom(w: DataFrame): DataFrame = {
+    val seq = w.select(col("term"), col("c"),
+      concat_ws(" ", split(col("term"), "")).as("s"))
+    val chars = seq.select(col("c"), split(col("s"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = chars.select(col("c"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("p1"), b.as("p2")))).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum(col("c")).as("pc"))
+    val best = pairs.orderBy(desc("pc"), col("p1"), col("p2")).limit(1)
+    seq.crossJoin(broadcast(best))
+      .withColumn("merged", expr(
+        """trim(replace(replace(
+          |  ' ' || replace(s, ' ', '  ') || ' ',
+          |  ' ' || p1 || '  ' || p2 || ' ',
+          |  ' ' || p1 || p2 || ' '), '  ', ' '))""".stripMargin))
+      .select("term", "c", "s", "merged", "p1", "p2", "pc")
+      .orderBy("term")
+  }
+
   /** Document-frequency threshold for [[boilerplate]]: a shingle in more
     * than this many documents counts as boilerplate. */
   val BoilerplateDf = 3L

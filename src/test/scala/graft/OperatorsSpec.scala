@@ -843,6 +843,26 @@ class OperatorsSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("bpe merge: picks the weighted argmax pair and merges all disjoint occurrences leftmost-first") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // (e,r) dominates by weight; 'erer' must merge BOTH occurrences,
+    // 'rere' only the one disjoint leftmost-first occurrence at pos 2,
+    // 'eer' the rightmost via leftmost scan ('e e r' -> 'e er')
+    val w = Seq(("erer", 100L), ("rere", 50L), ("eer", 30L), ("ab", 1L))
+      .toDF("term", "c")
+    val out = TextAnalysis.bpeMergeFrom(w).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out("erer") === "er er")
+    assert(out("rere") === "r er e")
+    assert(out("eer") === "e er")
+    assert(out("ab") === "a b") // untouched by the (e,r) merge
+    val row = TextAnalysis.bpeMergeFrom(w).head()
+    assert(row.getString(4) === "e" && row.getString(5) === "r")
+    // pc = 2*100 (erer) + 1*50 (rere) + 1*30 (eer)
+    assert(row.getLong(6) === 280L)
+  }
+
   test("novelty: first doc fully novel; exact duplicate fully stale; counts bounded") {
     import spark.implicits._
     val n = TextAnalysis.novelty(spark, Sf).cache()

@@ -143,7 +143,17 @@ object SparkEntry {
     "x53_ppl_buckets" -> (TextAnalysis.pplBuckets _),
     "x54_novelty" -> (TextAnalysis.novelty _),
     "x55_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
-    "x56_bpe_merge" -> (TextAnalysis.bpeMergeStep _)
+    "x56_bpe_merge" -> (TextAnalysis.bpeMergeStep _),
+    // batch flavor of the STREAMING first-seen dedup (same code path,
+    // single-batch state; StreamingSpec drives the stateful/TTL side)
+    "x57_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.CorpusStream.firstSeenDedup(s,
+          graft.queries.Tables.documents(s, dir)
+            .withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_seconds(
+                org.apache.spark.sql.functions.col("doc_id"))),
+          armTtl = false)
+        .toDF().orderBy("doc_id"))
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1934,6 +1944,21 @@ object SparkEntry {
          |    ' ' || p1 || p2 || ' '), '  ', ' ')) AS merged,
          |  p1, p2, pc
          |FROM seq CROSS JOIN best ORDER BY term""".stripMargin,
+
+    // Mirrors CorpusStream.firstSeenDedup's batch flavor: first-seen
+    // rank per content hash (doc_id order — unique, so the rank is
+    // deterministic).
+    "x57_stream_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS text_hash
+        |  FROM documents)
+        |SELECT doc_id, text_hash,
+        |  MIN(doc_id) OVER (PARTITION BY text_hash) AS first_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id)
+        |    AS BIGINT) AS dup_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1
+        |    AS keep
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.novelty: min-doc_id-per-shingle join-back.
     "x54_novelty" -> (shingleCte +

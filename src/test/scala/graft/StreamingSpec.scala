@@ -350,7 +350,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() === 10)
     assert(got.select("sequence").distinct().count() === 10)
   }
+
+  test("firstSeenDedup: online verdicts, state across restarts, event-time TTL forgetting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("graft_dedup_cp").toString
+    val src = MemoryStream[Doc]
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.DedupVerdict]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStream
+        .firstSeenDedup(spark, src.toDF(), ttlMs = 3600L * 1000)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.DedupVerdict], _: Long) =>
+          verdicts.synchronized { verdicts ++= ds.collect() }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val t0 = ts("2024-01-15 10:00:00").getTime
+    def at(minutes: Long) = new Timestamp(t0 + minutes * 60000)
+    // batch 1: A twice + B — online ranks within one batch
+    src.addData(Doc(1, "aaa", at(0)), Doc(2, "bbb", at(0)), Doc(3, "aaa", at(1)))
+    run()
+    val byId = () => verdicts.synchronized { verdicts.map(v => v.doc_id -> v).toMap }
+    assert(byId()(1).keep && byId()(1).dup_rank === 1)
+    assert(byId()(2).keep)
+    assert(!byId()(3).keep && byId()(3).dup_rank === 2 && byId()(3).first_id === 1)
+    // batch 2 = a RESTARTED query (new run, same checkpoint): the hash
+    // state survived — a later duplicate still points at doc 1
+    src.addData(Doc(4, "aaa", at(10)))
+    run()
+    assert(!byId()(4).keep && byId()(4).dup_rank === 3 && byId()(4).first_id === 1)
+    // batches 3+4: advance the watermark far past aaa's TTL (1 h after
+    // its last sight at t+10 min) WITHOUT touching the key — batch 4's
+    // watermark (derived from batch 3's max event time) is what fires
+    // the timeout and drops the entry
+    src.addData(Doc(5, "zzz", at(200)))
+    run()
+    src.addData(Doc(6, "yyy", at(201)))
+    run()
+    // batch 5: the SAME content re-arrives after the forget — a fresh
+    // first sighting, not duplicate rank 4
+    src.addData(Doc(7, "aaa", at(202)))
+    run()
+    assert(byId()(7).keep, s"aaa state must have aged out: ${byId()(7)}")
+    assert(byId()(7).dup_rank === 1 && byId()(7).first_id === 7)
+  }
 }
+
+/** Document row for the streaming-dedup spec. */
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
 /** Crash latch for the redelivery spec (top-level: shared between the
   * driver and local-mode executor threads in one JVM). */

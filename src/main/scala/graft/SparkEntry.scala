@@ -154,6 +154,11 @@ object SparkEntry {
                 org.apache.spark.sql.functions.col("doc_id"))),
           armTtl = false)
         .toDF().orderBy("doc_id"))
+    ,
+    "x58_ann_recall" -> (Similarity.annRecall _),
+    "x59_latest_state" -> (Relational.latestState _),
+    "x60_winsorize" -> (Relational.winsorize _),
+    "x61_shuffle_shards" -> (Curation.shuffleShards _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -1971,7 +1976,94 @@ object SparkEntry {
         |  FROM ex e JOIN fs USING (s) GROUP BY 1)
         |SELECT doc_id, n_shingles, n_novel,
         |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty_frac
-        |FROM agg ORDER BY doc_id""".stripMargin)
+        |FROM agg ORDER BY doc_id""".stripMargin),
+
+    // Mirrors Similarity.annRecall: exact top-k (x6's ranking, cut at
+    // RecallK) intersected with the IVF top-k (x19's probe/rank pipeline,
+    // same stand-in centroids) — counts and ppm in exact integers.
+    "x58_ann_recall" -> (unitCte +
+      s""", q AS (SELECT vec_id AS query_id, u AS qu FROM unit_t WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, u AS nu FROM unit_t),
+         |ep AS (
+         |  SELECT query_id, neighbor_id, ${dotUnitSql("qu", "nu")} AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |er AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM ep),
+         |exact3 AS (SELECT query_id, neighbor_id FROM er
+         |           WHERE rank <= ${graft.operators.Similarity.RecallK}),
+         |nc AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM unit_t, nc WHERE vec_id < k),
+         |${quantizedRankedSql("cents")},
+         |assign AS (SELECT vec_id AS neighbor_id, cid AS cell, u AS nu2
+         |           FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell, u AS qu2
+         |           FROM ranked WHERE crn <= 2 AND vec_id < 10),
+         |ip AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    ${dotUnitSql("p.qu2", "a.nu2")} AS cos
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |    AND p.query_id <> a.neighbor_id),
+         |ir AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM ip),
+         |ivf3 AS (SELECT query_id, neighbor_id FROM ir
+         |         WHERE rank <= ${graft.operators.Similarity.RecallK}),
+         |h AS (SELECT e.query_id, COUNT(*) AS n_hits
+         |      FROM exact3 e JOIN ivf3 i
+         |        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |      GROUP BY 1),
+         |ex AS (SELECT query_id, COUNT(*) AS n_exact FROM exact3 GROUP BY 1)
+         |SELECT ex.query_id, ex.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+         |  COALESCE(h.n_hits, 0) * 1000000 // ${graft.operators.Similarity.RecallK} AS recall_ppm
+         |FROM ex LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin),
+
+    // Mirrors Relational.latestState: the rank-window formulation selects
+    // the identical row the Spark side's max(struct(ts, event_id, value))
+    // picks (ts DESC, event_id DESC lexicographic max).
+    "x59_latest_state" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events
+        |  FROM events)
+        |SELECT user_id, event_type, ts AS last_ts,
+        |  event_id AS last_event_id, value AS last_value, n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // Mirrors Relational.winsorize: quantile_cont = Spark's exact
+    // interpolated `percentile` (q18 precedent); the clipped sum/avg go
+    // through the decimal bridge like every double aggregate.
+    "x60_winsorize" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    quantile_cont(value, ${graft.queries.Relational.WinsorLo}) AS lo,
+         |    quantile_cont(value, ${graft.queries.Relational.WinsorHi}) AS hi
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+         |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+         |  MIN(b.lo) AS lo, MIN(b.hi) AS hi,
+         |  V2D(SUM(DEC6(LEAST(GREATEST(e.value, b.lo), b.hi)))) AS sum_winsorized,
+         |  V2D(SUM(DEC6(LEAST(GREATEST(e.value, b.lo), b.hi)))) / CAST(COUNT(*) AS DOUBLE) AS avg_winsorized
+         |FROM events e JOIN b USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // Mirrors Curation.shuffleShards (epoch 1): the same rolling char
+    // hash over the salted doc_id strings, shard by mod, in-shard rank
+    // by (order_h, doc_id).
+    "x61_shuffle_shards" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    ${polyhashSql("'e1:' || CAST(doc_id AS VARCHAR)")} % ${graft.operators.Curation.NumShards} AS shard,
+         |    ${polyhashSql("'o1:' || CAST(doc_id AS VARCHAR)")} AS order_h
+         |  FROM documents)
+         |SELECT doc_id, shard, order_h,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY order_h, doc_id) AS BIGINT) AS pos
+         |FROM a ORDER BY shard, pos""".stripMargin
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

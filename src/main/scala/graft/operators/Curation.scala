@@ -486,4 +486,45 @@ object Curation {
       .select("doc_id", "lang", "bucket", "threshold", "keep")
       .orderBy("doc_id")
   }
+
+  /** Shard count for [[shuffleShards]]. In production this is
+    * corpus_size / target_shard_docs (WebDataset-style shards of ~10k
+    * docs); fixed here so the per-shard positions are comparable across
+    * SFs in specs. */
+  val NumShards = 8
+
+  /** x61: deterministic epoch shuffle — the global random-order shard
+    * assignment a training run needs before writing sequence shards.
+    * Each doc gets shard = H(epoch, doc_id) mod S and an in-shard
+    * position by a second independent hash, so the full corpus is a
+    * reproducible permutation keyed ONLY by (epoch, doc_id) — re-running
+    * the pipeline, or re-sharding after a failure, yields byte-identical
+    * shards, and changing `epoch` reshuffles everything.
+    *
+    * Scale shape: the assignment is a pure map over the scan (no state,
+    * no sampling pass); the in-shard ordering is a per-shard window,
+    * which at 100 TB is exactly the `repartition(shard)` +
+    * `sortWithinPartitions(order_h)` write path — S grows with the
+    * corpus (docs/10k), so a shard stays one task's worth of data by
+    * construction and no global sort ever happens. */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleShardsFrom(docs(spark, sfDir), 1)
+
+  /** [[shuffleShards]] over an arbitrary (doc_id) relation and epoch
+    * (specs check epoch-1 vs epoch-2 orders are decorrelated and each is
+    * a permutation). */
+  private[graft] def shuffleShardsFrom(d: DataFrame, epoch: Int): DataFrame = {
+    val assigned = d.select(
+      col("doc_id"),
+      pmod(polyHash(concat(lit(s"e$epoch:"), col("doc_id").cast("string"))),
+        lit(NumShards)).as("shard"),
+      polyHash(concat(lit(s"o$epoch:"), col("doc_id").cast("string")))
+        .as("order_h"))
+    assigned
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard")
+          .orderBy(col("order_h"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shard", "order_h", "pos")
+      .orderBy("shard", "pos")
+  }
 }

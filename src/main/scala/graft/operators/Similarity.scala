@@ -529,4 +529,37 @@ object Similarity {
       .select("id_a", "id_b", "cos").distinct()
       .orderBy("id_a", "id_b")
   }
+
+  /** Cutoff for [[annRecall]]'s recall@k (both rankings truncated to k). */
+  val RecallK = 3
+
+  /** x58: ANN index self-evaluation — recall@k of the IVF index
+    * ([[ivfTopK]]) against the exact brute-force ranking
+    * ([[bruteForceTopK]]) on the same query set. This is the metric an
+    * index deployment tunes nprobe/ncells against; computing it IN the
+    * engine (rather than exporting both rankings) keeps the corpus
+    * passes on the cluster and ships only per-query counts.
+    *
+    * Scale shape: both inputs are k-rows-per-query by construction, so
+    * everything past the two index scans is |queries|·k-sized — the
+    * intersection join and both counts are broadcast-trivial at any
+    * corpus size; the cost IS the two scans under evaluation.
+    * `recall_ppm` is exact integer arithmetic (hits·10⁶ div k), so the
+    * gate stays hash-exact with no float division. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir)
+      .filter(col("rank") <= RecallK)
+      .select("query_id", "neighbor_id")
+    val approx = ivfTopK(spark, sfDir)
+      .filter(col("rank") <= RecallK)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $RecallK"))
+      .select("query_id", "n_exact", "n_hits", "recall_ppm")
+      .orderBy("query_id")
+  }
 }

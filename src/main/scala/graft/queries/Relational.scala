@@ -448,4 +448,69 @@ object Relational {
           .as("ap25_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** x59: CDC-style last-write-wins compaction — the latest event per
+    * (user_id, event_type), the "current state" view every changelog
+    * consumer materializes. Deliberately an AGGREGATE, not a rank
+    * window: `max(struct(ts, event_id, value))` selects the
+    * lexicographically-latest row with map-side partial merge, so the
+    * shuffle carries one row per (partition, key) instead of the full
+    * history a `ROW_NUMBER PARTITION BY key` window would sort — the
+    * difference between O(keys) and O(events) exchange volume on a
+    * 100 TB changelog. `event_id` breaks ts ties deterministically
+    * (the oracle's ORDER BY ts DESC, event_id DESC). */
+  def latestState(spark: SparkSession, sfDir: String): DataFrame =
+    latestStateFrom(Tables.events(spark, sfDir))
+
+  /** [[latestState]] over an arbitrary events relation (fixtures plant
+    * ts ties and out-of-order arrivals). */
+  private[graft] def latestStateFrom(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "event_type")
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("n_events"))
+      .orderBy("user_id", "event_type")
+
+  /** Winsorization clip quantiles for [[winsorize]] (p05/p95). */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** x60: robust scaling — winsorize `value` per event_type at exact
+    * p05/p95 and re-aggregate. Structure: a per-group percentile pass
+    * derives the clip bounds (10 groups → a broadcast-back join, the
+    * same derive-then-broadcast shape as [[graft.operators.Quantization.standardize]]),
+    * then the clip itself is a pure map over the scan and the summary
+    * re-agg is partial. Exact `percentile` buffers a group's values in
+    * one task — fine for bounded per-group cardinality; at 100 TB-sized
+    * groups swap the bounds pass to `approx_percentile` (q22's sketch)
+    * without touching the clip/re-agg stages. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame =
+    winsorizeFrom(Tables.events(spark, sfDir))
+
+  /** [[winsorize]] over an arbitrary events relation (fixtures pin the
+    * clip-boundary arithmetic: values AT the bound are not clipped). */
+  private[graft] def winsorizeFrom(events: DataFrame): DataFrame = {
+    val bounds = events.groupBy("event_type").agg(
+      expr(s"percentile(value, $WinsorLo)").as("lo"),
+      expr(s"percentile(value, $WinsorHi)").as("hi"))
+    events.select("event_type", "value")
+      .join(broadcast(bounds), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum((col("value") < col("lo")).cast("long")).as("n_clipped_lo"),
+        sum((col("value") > col("hi")).cast("long")).as("n_clipped_hi"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        dsum(col("w")).as("sum_winsorized"),
+        davg(col("w")).as("avg_winsorized"))
+      .orderBy("event_type")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, ProductQuantization, Quantization, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, EventAnalytics, Multimodal, ProductQuantization, Quantization, Similarity, TemporalJoins, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -158,7 +158,10 @@ object SparkEntry {
     "x58_ann_recall" -> (Similarity.annRecall _),
     "x59_latest_state" -> (Relational.latestState _),
     "x60_winsorize" -> (Relational.winsorize _),
-    "x61_shuffle_shards" -> (Curation.shuffleShards _)
+    "x61_shuffle_shards" -> (Curation.shuffleShards _),
+    "x62_retention" -> (EventAnalytics.retentionCohorts _),
+    "x63_funnel" -> (EventAnalytics.funnel _),
+    "x64_anomaly" -> (EventAnalytics.valueAnomalies _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2063,7 +2066,79 @@ object SparkEntry {
          |SELECT doc_id, shard, order_h,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
          |    ORDER BY order_h, doc_id) AS BIGINT) AS pos
-         |FROM a ORDER BY shard, pos""".stripMargin
+         |FROM a ORDER BY shard, pos""".stripMargin,
+
+    // Mirrors EventAnalytics.retentionCohorts: day-truncated first-seen
+    // cohorts, per-(cohort, offset) distinct-active counts, broadcast-back
+    // cohort sizes. The (user, day) pre-distinct CTE is the SQL analogue
+    // of the Spark side's per-user collect_set.
+    "x62_retention" ->
+      """WITH pu AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day
+        |  FROM events GROUP BY 1, 2),
+        |fu AS (SELECT user_id, MIN(day) AS cohort_day FROM pu GROUP BY 1),
+        |sz AS (SELECT cohort_day, COUNT(*) AS cohort_users FROM fu GROUP BY 1),
+        |agg AS (
+        |  SELECT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, p.day) AS BIGINT) AS day_offset,
+        |    COUNT(*) AS n_active
+        |  FROM pu p JOIN fu f USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset,
+        |  CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(s.cohort_users AS BIGINT) AS cohort_users,
+        |  CAST(a.n_active AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+        |    AS retention
+        |FROM agg a JOIN sz s USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // Mirrors EventAnalytics.funnel: each stage's first-completion time is
+    // the conditional MIN over events of that type strictly after the
+    // previous stage's time, chained per user.
+    "x63_funnel" -> {
+      val Seq(st1, st2, st3) = EventAnalytics.FunnelStages
+      s"""WITH s1 AS (
+         |  SELECT user_id, MIN(ts) AS t_prev FROM events
+         |  WHERE event_type = '$st1' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t_prev
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = '$st2' AND e.ts > s1.t_prev GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t_prev
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = '$st3' AND e.ts > s2.t_prev GROUP BY 1),
+         |c AS (
+         |  SELECT 1 AS stage_idx, '$st1' AS stage, COUNT(*) AS n_users FROM s1
+         |  UNION ALL SELECT 2, '$st2', COUNT(*) FROM s2
+         |  UNION ALL SELECT 3, '$st3', COUNT(*) FROM s3),
+         |f AS (SELECT n_users AS n_first FROM c WHERE stage_idx = 1)
+         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+         |  CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_users AS DOUBLE) / CAST(n_first AS DOUBLE) AS frac_of_first
+         |FROM c, f ORDER BY stage_idx""".stripMargin
+    },
+
+    // Mirrors EventAnalytics.valueAnomalies: exact decimal Σv/Σv² through
+    // the V2D bridge, then the identical double expression tree for
+    // mean/sd/z (multiplication, division, and sqrt are all correctly
+    // rounded IEEE ops, so both engines produce the same bits).
+    "x64_anomaly" ->
+      s"""WITH st AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    V2D(SUM(DEC6(value))) AS s1,
+         |    V2D(SUM(DEC6(value * value))) AS s2
+         |  FROM events GROUP BY 1),
+         |m AS (
+         |  SELECT event_type,
+         |    s1 / CAST(n AS DOUBLE) AS mean,
+         |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+         |      / CAST(n - 1 AS DOUBLE)) AS sd
+         |  FROM st)
+         |SELECT e.event_id, e.event_type, e.value, m.mean, m.sd,
+         |  (e.value - m.mean) / m.sd AS z
+         |FROM events e JOIN m USING (event_type)
+         |WHERE abs((e.value - m.mean) / m.sd) > ${EventAnalytics.AnomalyZ}
+         |ORDER BY e.event_type, e.event_id""".stripMargin
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

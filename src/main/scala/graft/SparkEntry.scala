@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, EventAnalytics, Multimodal, ProductQuantization, Quantization, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, EventAnalytics, Frequency, Multimodal, ProductQuantization, Quantization, Similarity, TemporalJoins, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -161,7 +161,11 @@ object SparkEntry {
     "x61_shuffle_shards" -> (Curation.shuffleShards _),
     "x62_retention" -> (EventAnalytics.retentionCohorts _),
     "x63_funnel" -> (EventAnalytics.funnel _),
-    "x64_anomaly" -> (EventAnalytics.valueAnomalies _)
+    "x64_anomaly" -> (EventAnalytics.valueAnomalies _),
+    "x65_heavy_hitters" -> (Frequency.heavyHitters _),
+    "x66_char_entropy" -> (Frequency.charEntropy _),
+    "x67_bm25" -> (Frequency.bm25 _),
+    "x68_containment" -> (Dedup.ngramContainment _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2138,7 +2142,113 @@ object SparkEntry {
          |  (e.value - m.mean) / m.sd AS z
          |FROM events e JOIN m USING (event_type)
          |WHERE abs((e.value - m.mean) / m.sd) > ${EventAnalytics.AnomalyZ}
-         |ORDER BY e.event_type, e.event_id""".stripMargin
+         |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    // Mirrors Frequency.heavyHitters: the Misra–Gries phases are a pure
+    // optimization (candidate superset + exact recount), so the oracle is
+    // the naive exact formulation with the same 1/(capacity+1) threshold.
+    "x65_heavy_hitters" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS term
+         |  FROM toks WHERE len(t) >= 2),
+         |tot AS (SELECT COUNT(*) AS total FROM bg),
+         |c AS (SELECT term, COUNT(*) AS cnt FROM bg GROUP BY 1)
+         |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(total AS BIGINT) AS total,
+         |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS freq
+         |FROM c, tot WHERE cnt * ${Frequency.MgCapacity + 1} > total
+         |ORDER BY cnt DESC, term""".stripMargin,
+
+    // Mirrors Frequency.charEntropy: per-count ln quantized to scaled
+    // integers (the x43 move), H assembled from exact longs with two
+    // final correctly-rounded double ops.
+    "x66_char_entropy" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, '') AS chars
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |c AS (SELECT doc_id, CAST(len(chars) AS BIGINT) AS n,
+         |  list_transform(list_distinct(chars),
+         |    ch -> CAST(len(list_filter(chars, x -> x = ch)) AS BIGINT)) AS cnts
+         |  FROM d),
+         |s AS (SELECT doc_id, n, CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+         |  list_reduce([CAST(0 AS BIGINT)] || list_transform(cnts,
+         |    c2 -> c2 * CAST(floor(ln(CAST(c2 AS DOUBLE)) * ${TextAnalysis.IdfScale}.0 + 0.5) AS BIGINT)),
+         |    (a, b) -> a + b) AS s_scaled,
+         |  CAST(floor(ln(CAST(n AS DOUBLE)) * ${TextAnalysis.IdfScale}.0 + 0.5) AS BIGINT) AS lnn_scaled
+         |  FROM c)
+         |SELECT doc_id, n AS n_chars, n_distinct_chars,
+         |  CAST(lnn_scaled * n - s_scaled AS DOUBLE)
+         |    / (${TextAnalysis.IdfScale}.0 * CAST(n AS DOUBLE)) AS entropy_nats
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Frequency.bm25: idf ln-quantized once per term, each
+    // (doc, term) contribution re-quantized before the per-doc integer
+    // sum; the scaled integer score is also the rank key. The 2.2 / 1.2
+    // / 0.25 / 0.75 literals are parse-identical on both sides.
+    "x67_bm25" -> {
+      val sc = TextAnalysis.IdfScale
+      val qList = Frequency.QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |dd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dd),
+         |m AS (SELECT doc_id, dl, unnest(t) AS term FROM dd),
+         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM m WHERE term IN ($qList) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |idf AS (SELECT term,
+         |  CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) + 1.0) * $sc.0 + 0.5) AS BIGINT)
+         |    AS idf_scaled,
+         |  CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         |  FROM dfq, st),
+         |ctr AS (SELECT tf.doc_id,
+         |  CAST(floor((CAST(idf_scaled AS DOUBLE) / $sc.0) *
+         |    (CAST(tf AS DOUBLE) * 2.2) /
+         |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |      (CAST(dl AS DOUBLE) / avgdl))) * $sc.0 + 0.5) AS BIGINT) AS cs
+         |  FROM tf JOIN idf USING (term)),
+         |sc2 AS (SELECT doc_id, SUM(cs) AS score_scaled,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit FROM ctr GROUP BY 1),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank FROM sc2)
+         |SELECT doc_id, CAST(score_scaled AS DOUBLE) / $sc.0 AS score,
+         |  n_terms_hit, rank
+         |FROM r WHERE rank <= ${Frequency.Bm25TopK} ORDER BY rank""".stripMargin
+    },
+
+    // Mirrors Dedup.ngramContainment: x3's candidate CTEs verbatim, only
+    // the scoring expression differs (inter / min(|A|,|B|)).
+    "x68_containment" -> (shingleCte +
+      s""", cap AS (SELECT GREATEST(${graft.operators.Dedup.MaxShingleDf},
+         |    CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS df_cap,
+         |    COUNT(*) * ${graft.operators.Dedup.MaxCandidateVolumePerDoc}
+         |      AS vol_budget
+         |  FROM sh WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s
+         |         FROM sh WHERE len(sh) > 0),
+         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
+         |hist AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM dft GROUP BY df),
+         |keepmax AS (SELECT COALESCE(MAX(df), 0) AS df_keep FROM (
+         |    SELECT df, SUM(cnt * df * df) OVER (ORDER BY df) AS cum
+         |    FROM hist), cap
+         |  WHERE cum <= cap.vol_budget AND df <= cap.df_cap),
+         |cut AS (SELECT doc_id, n, s FROM ex JOIN dft USING (s), keepmax
+         |  WHERE dft.df <= keepmax.df_keep),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter,
+         |    MAX(a.n) AS n_a, MAX(b.n) AS n_b
+         |  FROM cut a JOIN cut b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, n_a, n_b,
+         |  CAST(inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE) AS containment
+         |FROM inter
+         |WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)
+         |  >= ${graft.operators.Dedup.ContainmentTau}
+         |ORDER BY doc_a, doc_b""".stripMargin)
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

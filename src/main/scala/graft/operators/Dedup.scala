@@ -379,8 +379,45 @@ object Dedup {
     ngramJaccardFrom(Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** Minimum containment score for [[ngramContainment]]. */
+  private[graft] val ContainmentTau = 0.5
+
+  /** x68: asymmetric near-dup — documents whose shingle set is largely
+    * CONTAINED in another's (quotes, sub-documents, boilerplate-wrapped
+    * copies), which symmetric Jaccard misses when the host document is
+    * much larger (inter/union stays small while inter/|smaller| ≈ 1).
+    * Shares [[ngramJaccardFrom]]'s entire candidate machinery — the
+    * DF-capped inverted index and the linear volume budget — so the
+    * candidate volume is ∝ N by the same construction; only the final
+    * scoring expression differs: inter / min(|A|,|B|) ≥ [[ContainmentTau]]. */
+  def ngramContainment(spark: SparkSession, sfDir: String): DataFrame =
+    ngramContainmentFrom(Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** [[ngramContainment]] over an arbitrary (doc_id, text) relation. */
+  private[graft] def ngramContainmentFrom(docs: DataFrame): DataFrame =
+    shinglePairStatsFrom(docs)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= ContainmentTau)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "containment")
+      .orderBy("doc_a", "doc_b")
+
   /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation. */
-  private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame =
+    shinglePairStatsFrom(docs)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.03)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared candidate generation for [[ngramJaccardFrom]] and
+    * [[ngramContainmentFrom]]: DF-capped inverted index → co-occurrence
+    * counts per surviving pair, with each side's full shingle count. */
+  private def shinglePairStatsFrom(docs: DataFrame): DataFrame = {
     val sh = shingleTableFrom(docs)
     // corpus-derived stop-shingle cap ([[dfCapExpr]]) and the linear
     // volume budget ([[MaxCandidateVolumePerDoc]]·N): a 1-row aggregate
@@ -427,12 +464,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.03)
-      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** 64-bit SimHash per document: four seeded polynomial token hashes

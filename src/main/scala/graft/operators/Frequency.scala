@@ -184,10 +184,15 @@ object Frequency {
       .groupBy("doc_id")
       .agg(sum(col("contrib_scaled")).as("score_scaled"),
         count(lit(1)).as("n_terms_hit"))
-    scored
+    // top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, k-row merge) — a rank window over the full scored relation
+    // would funnel every scored doc through one task. The rank is then
+    // a window over the already-limited k rows (bounded by construction).
+    val top = scored
+      .orderBy(desc("score_scaled"), col("doc_id")).limit(Bm25TopK)
+    top
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("score_scaled"), col("doc_id"))).cast("long"))
-      .filter(col("rank") <= Bm25TopK)
       .select(col("doc_id"),
         (col("score_scaled").cast("double") / sc).as("score"),
         col("n_terms_hit"), col("rank"))

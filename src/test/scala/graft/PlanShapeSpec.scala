@@ -434,4 +434,82 @@ class PlanShapeSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, s"window crept into novelty:\n$nvP")
   }
+
+  test("event-analytics + frequency batch: aggregate-backed broadcasts only, " +
+      "semi-join recount in x65, map-only entropy, bounded-window bm25") {
+    import graft.operators.{EventAnalytics, Frequency}
+    // every broadcast hint in x62–x64 must sit on an AGGREGATE-derived
+    // relation (cohort sizes keyed by calendar day, per-stage 1-row
+    // counts, per-type moment table) — never on a raw corpus relation
+    def aggBackedHint(h: ResolvedHint): Boolean =
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+    Seq(
+      "x62" -> EventAnalytics.retentionCohorts(spark, Sf),
+      "x63" -> EventAnalytics.funnel(spark, Sf),
+      "x64" -> EventAnalytics.valueAnomalies(spark, Sf)
+    ).foreach { case (name, df) =>
+      assert(logicalHints(df).forall(aggBackedHint),
+        s"non-aggregate broadcast hint in $name")
+      val p = physical(df)
+      assert(!p.contains("CartesianProduct") ||
+        name == "x63", // x63's 1-row stage-count crossJoin is bounded
+        s"cartesian in $name:\n$p")
+    }
+    // x64's scoring must be join+filter only — no window (the moments
+    // come from the partial agg, not a per-type window over raw events)
+    val anomalyPlan = withoutAqe {
+      EventAnalytics.valueAnomalies(spark, Sf).queryExecution.executedPlan
+    }
+    assert(anomalyPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window crept into x64:\n$anomalyPlan")
+    // x65: the exact recount must be a LeftSemi broadcast join on the
+    // MG candidate set — if the semi-join disappears, the operator has
+    // degraded to the full-vocabulary shuffle it exists to avoid
+    val hhPlan = withoutAqe {
+      Frequency.heavyHitters(spark, Sf).queryExecution.executedPlan
+    }.toString
+    assert(hhPlan.contains("LeftSemi"), s"no semi-join recount in x65:\n$hhPlan")
+    assert(hhPlan.contains("BroadcastHashJoin"),
+      s"candidate set not broadcast in x65:\n$hhPlan")
+    // x66: pure map stage — zero joins, zero windows
+    val cePlan = withoutAqe {
+      Frequency.charEntropy(spark, Sf).queryExecution.executedPlan
+    }
+    assert(cePlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join crept into x66:\n$cePlan")
+    assert(cePlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window crept into x66:\n$cePlan")
+    // x67: top-k must be TakeOrderedAndProject (per-partition heaps);
+    // the only window sits ABOVE the k-row limit (bounded), never over
+    // the full scored relation
+    val bmPlan = withoutAqe {
+      Frequency.bm25(spark, Sf).queryExecution.executedPlan
+    }
+    assert(bmPlan.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"top-k is not TakeOrderedAndProject in x67:\n$bmPlan")
+    bmPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      }.isDefined, s"x67 rank window reads the unlimited relation:\n$bmPlan")
+    }
+    // x68: same corpus-hint contract as x3 (shared machinery)
+    def corpusHints(df: DataFrame) = logicalHints(df).filterNot { h =>
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+      }.isDefined
+    }
+    assert(corpusHints(Dedup.ngramContainmentFrom(
+      graft.queries.Tables.documents(spark, Sf))).isEmpty,
+      "corpus-sized broadcast hint in x68")
+  }
 }

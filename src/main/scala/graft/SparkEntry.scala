@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, EventAnalytics, Frequency, Multimodal, ProductQuantization, Quantization, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{CorpusStats, Curation, Dedup, EventAnalytics, Frequency, Multimodal, ProductQuantization, Quantization, Similarity, TemporalJoins, TextAnalysis}
 import graft.queries.{RefParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -165,7 +165,10 @@ object SparkEntry {
     "x65_heavy_hitters" -> (Frequency.heavyHitters _),
     "x66_char_entropy" -> (Frequency.charEntropy _),
     "x67_bm25" -> (Frequency.bm25 _),
-    "x68_containment" -> (Dedup.ngramContainment _)
+    "x68_containment" -> (Dedup.ngramContainment _),
+    "x69_source_js" -> (CorpusStats.sourceDivergence _),
+    "x70_source_overlap" -> (CorpusStats.sourceOverlap _),
+    "x71_skipgram_cooc" -> (CorpusStats.skipgramCooc _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2248,7 +2251,94 @@ object SparkEntry {
          |FROM inter
          |WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)
          |  >= ${graft.operators.Dedup.ContainmentTau}
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Mirrors CorpusStats.sourceDivergence: JS over common support plus
+    // the closed-form ln2·(1−mass) remainder; 2p/(p+q) as the exact
+    // integer ratio 2·c_a·t_b/(c_a·t_b + c_b·t_a), ln quantized once per
+    // (pair, term), per-pair reductions in exact longs.
+    "x69_source_js" -> {
+      val sc = TextAnalysis.IdfScale
+      val l2 = graft.operators.CorpusStats.Ln2Scaled
+      s"""WITH ex AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |counts AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+         |  FROM counts GROUP BY 1),
+         |side AS (SELECT c.source, c.term, c.c, t.t
+         |  FROM counts c JOIN totals t USING (source)),
+         |j AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.c AS c_a, a.t AS t_a, b.c AS c_b, b.t AS t_b,
+         |    a.c * b.t AS u, b.c * a.t AS v
+         |  FROM side a JOIN side b
+         |    ON a.term = b.term AND a.source < b.source),
+         |q AS (
+         |  SELECT source_a, source_b, c_a, c_b, t_a, t_b,
+         |    CAST(floor(ln(2.0 * CAST(u AS DOUBLE) / CAST(u + v AS DOUBLE))
+         |      * $sc.0 + 0.5) AS BIGINT) AS l_a,
+         |    CAST(floor(ln(2.0 * CAST(v AS DOUBLE) / CAST(u + v AS DOUBLE))
+         |      * $sc.0 + 0.5) AS BIGINT) AS l_b
+         |  FROM j),
+         |g AS (
+         |  SELECT source_a, source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common_terms,
+         |    CAST(SUM(c_a * l_a) AS BIGINT) AS sa_scaled,
+         |    CAST(SUM(c_b * l_b) AS BIGINT) AS sb_scaled,
+         |    CAST(SUM(c_a) AS BIGINT) AS ca_common,
+         |    CAST(SUM(c_b) AS BIGINT) AS cb_common,
+         |    MAX(t_a) AS t_a, MAX(t_b) AS t_b
+         |  FROM q GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_common_terms,
+         |  (0.5 * ((CAST(sa_scaled AS DOUBLE) / ($sc.0 * CAST(t_a AS DOUBLE)))
+         |    + (CAST($l2 AS DOUBLE) / $sc)
+         |      * (1.0 - CAST(ca_common AS DOUBLE) / CAST(t_a AS DOUBLE)))) +
+         |  (0.5 * ((CAST(sb_scaled AS DOUBLE) / ($sc.0 * CAST(t_b AS DOUBLE)))
+         |    + (CAST($l2 AS DOUBLE) / $sc)
+         |      * (1.0 - CAST(cb_common AS DOUBLE) / CAST(t_b AS DOUBLE))))
+         |  AS js_nats
+         |FROM g ORDER BY source_a, source_b""".stripMargin
+    },
+
+    // Mirrors CorpusStats.sourceOverlap: distinct (source, 8-gram)
+    // projection, ngram-keyed self-join (per-key fanout ≤ |sources|),
+    // broadcast-back per-source set sizes.
+    "x70_source_overlap" -> {
+      val w = graft.operators.CorpusStats.OverlapNgram
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT DISTINCT source,
+         |    unnest(list_transform(range(1, len(t) - ${w - 2}),
+         |      i -> array_to_string(list_slice(t, i, i + ${w - 1}), ' '))) AS g
+         |  FROM d WHERE len(t) >= $w),
+         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE)
+         |    AS jaccard
+         |FROM p JOIN s sa ON sa.source = p.source_a
+         |       JOIN s sb ON sb.source = p.source_b
+         |ORDER BY source_a, source_b""".stripMargin
+    },
+
+    // Mirrors CorpusStats.skipgramCooc: ordered (center, context) pairs
+    // within the window via a per-row nested range transform.
+    "x71_skipgram_cooc" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |p AS (SELECT unnest(flatten(list_transform(range(1, len(t)),
+         |    i -> list_transform(
+         |      range(i + 1, least(i + ${graft.operators.CorpusStats.CoocWindow}, len(t)) + 1),
+         |      j -> {'w1': t[i], 'w2': t[j]})))) AS p
+         |  FROM d WHERE len(t) >= 2)
+         |SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY 1, 2
+         |HAVING COUNT(*) >= ${graft.operators.CorpusStats.MinCooc}
+         |ORDER BY cnt DESC, w1, w2""".stripMargin
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

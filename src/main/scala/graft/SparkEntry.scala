@@ -168,7 +168,15 @@ object SparkEntry {
     "x68_containment" -> (Dedup.ngramContainment _),
     "x69_source_js" -> (CorpusStats.sourceDivergence _),
     "x70_source_overlap" -> (CorpusStats.sourceOverlap _),
-    "x71_skipgram_cooc" -> (CorpusStats.skipgramCooc _)
+    "x71_skipgram_cooc" -> (CorpusStats.skipgramCooc _),
+    // x72: the streaming session operator in BATCH mode (one group
+    // invocation per user, no timeouts) — semantically q14, gated by the
+    // same oracle; the stateful/timeout path is StreamingSpec-driven.
+    "x72_stream_sessions" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.SessionStream
+        .sessionize(s, graft.queries.Tables.events(s, dir),
+          armTimeout = false)
+        .toDF().orderBy("user_id", "session_seq"))
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2338,7 +2346,32 @@ object SparkEntry {
          |SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM p GROUP BY 1, 2
          |HAVING COUNT(*) >= ${graft.operators.CorpusStats.MinCooc}
-         |ORDER BY cnt DESC, w1, w2""".stripMargin
+         |ORDER BY cnt DESC, w1, w2""".stripMargin,
+
+    // x72 = q14's semantics through the streaming operator's batch path:
+    // the oracle is q14's window formulation verbatim — the stateful
+    // operator must reproduce it exactly (ordering, gap rule, decimal
+    // sum) for the hash compare to hold.
+    "x72_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |            - CAST(epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  V2D(SUM(DEC6(value))) AS sum_value
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))

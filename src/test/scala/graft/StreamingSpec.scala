@@ -399,10 +399,63 @@ class StreamingSpec extends SparkSpec {
     assert(byId()(7).keep, s"aaa state must have aged out: ${byId()(7)}")
     assert(byId()(7).dup_rank === 1 && byId()(7).first_id === 7)
   }
+
+  test("sessionize (streaming): in-stream gap close, cross-restart continuation, watermark timeout close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("graft_sess_cp").toString
+    val src = MemoryStream[SessEv]
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.SessionRow]
+    def run(): Unit = {
+      val q = graft.streaming.SessionStream
+        .sessionize(spark, src.toDF())
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.SessionRow], _: Long) =>
+          sessions.synchronized { sessions ++= ds.collect() }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val t0 = ts("2024-01-15 10:00:00").getTime
+    def at(minutes: Long) = new Timestamp(t0 + minutes * 60000)
+    // batch 1: two close events → ONE open session, nothing emitted
+    src.addData(SessEv(1, at(0), 1, 1.5), SessEv(2, at(10), 1, 2.5))
+    run()
+    assert(sessions.synchronized(sessions.isEmpty),
+      "open session must not emit early")
+    // batch 2 = RESTARTED query: the open session survived the restart;
+    // event at 11min continues it, the 120min event's >30min gap closes
+    // it in-stream and opens session 2
+    src.addData(SessEv(3, at(11), 1, 1.0), SessEv(4, at(120), 1, 9.0))
+    run()
+    val s1 = sessions.synchronized(sessions.toList)
+    assert(s1.map(s => (s.user_id, s.session_seq, s.n_events, s.sum_value))
+      === List((1L, 1L, 3L, 5.0)))
+    assert(s1.head.session_start === at(0) && s1.head.session_end === at(11))
+    // batches 3+4: another user's far-future events advance the
+    // watermark past session 2's last+gap — the TIMEOUT closes it
+    // (batch 4's watermark, derived from batch 3's max event time, is
+    // what fires; same two-step as the dedup TTL test)
+    src.addData(SessEv(5, at(300), 2, 4.0))
+    run()
+    src.addData(SessEv(6, at(301), 2, 4.0))
+    run()
+    val s2 = sessions.synchronized(sessions.toList)
+    assert(s2.map(s => (s.user_id, s.session_seq, s.n_events, s.sum_value))
+      .contains((1L, 2L, 1L, 9.0)),
+      s"timeout must close user 1's trailing session: $s2")
+  }
 }
 
 /** Document row for the streaming-dedup spec. */
 case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+/** Event row for the streaming-sessionization test. */
+case class SessEv(event_id: Long, ts: Timestamp, user_id: Long,
+  value: Double)
 
 /** Crash latch for the redelivery spec (top-level: shared between the
   * driver and local-mode executor threads in one JVM). */

@@ -176,7 +176,9 @@ object SparkEntry {
       graft.streaming.SessionStream
         .sessionize(s, graft.queries.Tables.events(s, dir),
           armTimeout = false)
-        .toDF().orderBy("user_id", "session_seq"))
+        .toDF().orderBy("user_id", "session_seq")),
+    "x73_pca_power" -> (Quantization.pcaPower _),
+    "x74_pca_project" -> (Quantization.pcaProject _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2371,8 +2373,115 @@ object SparkEntry {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  V2D(SUM(DEC6(value))) AS sum_value
         |FROM sessions GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // Mirrors Quantization.pcaPower: the x38 exact-integer moment pass
+    // (HUGEINT here ≡ DECIMAL(38,0) there), dense-matrix assembly, and
+    // the IDENTICAL unrolled power steps — every fold is
+    // list_reduce([0.0] || products-in-index-order) ≡ Spark's
+    // aggregate-over-zip_with left fold, so the eigenvector is
+    // bit-identical, not approximately equal.
+    "x73_pca_power" -> {
+      val d = graft.operators.Quantization.Dim
+      val sc = graft.operators.Quantization.CovScale
+      s"""WITH $pcaCtes,
+         |fin AS (SELECT n_vecs, u, ${pcaMatvecSql("u")} AS wu FROM un),
+         |ev AS (
+         |  SELECT n_vecs, u,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(
+         |        range(1, ${d + 1}), k -> u[k] * wu[k]), (acc, x) -> acc + x)
+         |      / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE))
+         |      / ${sc.toDouble * sc.toDouble} AS eigenvalue
+         |  FROM fin)
+         |SELECT CAST(kk.k - 1 AS BIGINT) AS dim, u[kk.k] AS u_comp,
+         |  eigenvalue, n_vecs
+         |FROM ev CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS k) kk
+         |ORDER BY dim""".stripMargin
+    },
+
+    // Mirrors Quantization.pcaProject: mean-centered dot with the x73
+    // eigenvector, per-element (x − μ)·u products folded in index order.
+    "x74_pca_project" -> {
+      val d = graft.operators.Quantization.Dim
+      val sc = graft.operators.Quantization.CovScale
+      s"""WITH $pcaCtes,
+         |ms AS (SELECT list(mean_i ORDER BY i) AS means
+         |       FROM (SELECT ds.i,
+         |               V2D(ds.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i
+         |             FROM ds CROSS JOIN n)),
+         |proj AS (
+         |  SELECT e.vec_id,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(
+         |        range(1, ${d + 1}),
+         |        k -> (CAST(e.embedding[k] AS DOUBLE) - ms.means[k]) * un.u[k]),
+         |      (acc, x) -> acc + x) AS coord
+         |  FROM embeddings e CROSS JOIN un CROSS JOIN ms)
+         |SELECT vec_id, coord FROM proj ORDER BY vec_id""".stripMargin
+    }
 
     // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
   ))
+
+  /** One matvec over the x73 dense matrix column `M`, as the oracle's
+    * fixed-order fold (≡ `Quantization.eigenRelation`'s matvec). */
+  private def pcaMatvecSql(v: String): String = {
+    val d = graft.operators.Quantization.Dim
+    s"list_transform(M, row -> list_reduce([CAST(0.0 AS DOUBLE)] || " +
+      s"list_transform(range(1, ${d + 1}), k -> row[k] * $v[k]), " +
+      "(acc, x) -> acc + x))"
+  }
+
+  /** Shared CTE chain for the x73/x74 oracles: scaled elements, exact
+    * integer moments, the dense `A = n·Spp − Sᵢ·Sⱼ` matrix, and
+    * [[graft.operators.Quantization.PcaIters]] unrolled max-abs power
+    * steps ending in the unit eigenvector relation `un(M, n_vecs, u)`. */
+  private def pcaCtes: String = {
+    val d = graft.operators.Quantization.Dim
+    val sc = graft.operators.Quantization.CovScale
+    val iters = (1 to graft.operators.Quantization.PcaIters).map { k =>
+      s"""it$k AS (
+         |  SELECT M, n_vecs,
+         |    list_transform(w, x -> CASE WHEN mx = 0 THEN CAST(0.0 AS DOUBLE)
+         |                                ELSE x / mx END) AS v
+         |  FROM (SELECT M, n_vecs, w,
+         |          list_max(list_transform(w, x -> abs(x))) AS mx
+         |        FROM (SELECT M, n_vecs, ${pcaMatvecSql("v")} AS w
+         |              FROM it${k - 1})))""".stripMargin
+    }.mkString(",\n")
+    s"""s AS (
+       |  SELECT vec_id, ix.i - 1 AS i,
+       |    CAST(floor(CAST(embedding[ix.i] AS DOUBLE) * $sc + 0.5) AS BIGINT) AS sv
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+       |ds AS (SELECT i, SUM(DEC0(sv)) AS sum_i FROM s GROUP BY 1),
+       |p AS (SELECT a.i AS i, b.i AS j, SUM(DEC0(a.sv * b.sv)) AS spp
+       |      FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |      GROUP BY 1, 2),
+       |au AS (SELECT p.i, p.j, n.n_vecs,
+       |    V2D(CAST(p.spp AS HUGEINT) * n.n_vecs
+       |        - CAST(di.sum_i AS HUGEINT) * CAST(dj.sum_i AS HUGEINT)) AS a
+       |  FROM p JOIN ds di ON di.i = p.i JOIN ds dj ON dj.i = p.j
+       |  CROSS JOIN n),
+       |af AS (SELECT i, j, n_vecs, a FROM au
+       |       UNION ALL
+       |       SELECT j AS i, i AS j, n_vecs, a FROM au WHERE i < j),
+       |mrows AS (SELECT i, n_vecs, list(a ORDER BY j) AS rowv
+       |          FROM af GROUP BY 1, 2),
+       |mat AS (SELECT n_vecs, list(rowv ORDER BY i) AS M
+       |        FROM mrows GROUP BY n_vecs),
+       |it0 AS (SELECT M, n_vecs,
+       |          list_transform(range(1, ${d + 1}), x -> CAST(1.0 AS DOUBLE)) AS v
+       |        FROM mat),
+       |$iters,
+       |un AS (
+       |  SELECT M, n_vecs,
+       |    list_transform(v, x -> CASE WHEN nrm = 0 THEN CAST(0.0 AS DOUBLE)
+       |                                ELSE x / nrm END) AS u
+       |  FROM (SELECT M, n_vecs, v,
+       |          sqrt(list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(
+       |            range(1, ${d + 1}), k -> v[k] * v[k]),
+       |            (acc, x) -> acc + x)) AS nrm
+       |        FROM it${graft.operators.Quantization.PcaIters}))""".stripMargin
+  }
 }

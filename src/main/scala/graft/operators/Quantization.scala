@@ -116,6 +116,141 @@ object Quantization {
       .orderBy("dim_i", "dim_j")
   }
 
+  /** Power-iteration step count shared by the Spark plan and the DuckDB
+    * oracle. The gate is hash-exact at ANY count (both engines run the
+    * identical unrolled steps); 8 is enough for a stable leading
+    * direction on this corpus (PcaSpec checks the eigen-residual). */
+  val PcaIters = 8
+
+  /** The 1-row (n_vecs, m, u, eigenvalue) relation behind [[pcaPower]] /
+    * [[pcaProject]]: the exact-integer covariance surrogate matrix
+    * `A = n·Spp − Sᵢ·Sⱼ` (∝ covariance — the direction is scale-free),
+    * assembled dense (Dim² doubles in ONE row), then [[PcaIters]]
+    * max-abs-normalized power steps as a single narrow projection.
+    *
+    * Scale shape: the ONLY corpus-scale work is the x38 moment pass
+    * (Dim²/2 re-explode, partial-agg groupBy — ≤2080 partial rows per
+    * partition cross the wire); matrix assembly and the iteration run
+    * on ≤Dim² rows collapsing to 1, and every fold is a fixed-order
+    * left fold (`aggregate` over index-ordered `zip_with` products), so
+    * the result is bit-identical to the oracle's `list_reduce` at any
+    * partitioning. The eigenvalue converts back to covariance units by
+    * the exact factor n²·CovScale². */
+  private def eigenRelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val scaled = scaledVectors(spark, sfDir)
+    val once = scaled.select(col("vec_id"), col("sarr"),
+      posexplode(col("sarr")).as(Seq("i", "svi")))
+    val pairs = once
+      .select(col("i"), col("svi"), posexplode(col("sarr")).as(Seq("j", "svj")))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum((col("svi") * col("svj")).cast("decimal(25,0)")).as("spp"))
+    val dimSums = once.groupBy("i")
+      .agg(sum(col("svi").cast("decimal(25,0)")).as("sum_i"))
+    val n = scaled.agg(count(lit(1)).as("n_vecs"))
+    // A_ij as an exact integer (DECIMAL(38,0) here, HUGEINT in the
+    // oracle — both exact far past 1e9 vectors), surfaced as the
+    // correctly-rounded double both engines agree on.
+    val upper = pairs
+      .join(broadcast(dimSums), "i")
+      .join(broadcast(dimSums.select(col("i").as("j"), col("sum_i").as("sum_j"))), "j")
+      .join(broadcast(n))
+      .select(col("i"), col("j"), col("n_vecs"),
+        (col("spp").cast("decimal(38,0)") * col("n_vecs")
+          - col("sum_i").cast("decimal(38,0)") * col("sum_j"))
+          .cast("double").as("a"))
+    val full = upper
+      .unionByName(upper.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("n_vecs"), col("a")))
+    val rows = full.groupBy("i", "n_vecs")
+      .agg(expr("transform(sort_array(collect_list(struct(j, a))), s -> s.a)")
+        .as("rowv"))
+    val mat = rows.groupBy("n_vecs")
+      .agg(expr("transform(sort_array(collect_list(struct(i, rowv))), s -> s.rowv)")
+        .as("m"))
+    val matvec = "transform(m, row -> aggregate(zip_with(row, %s, (x, y) -> x * y), " +
+      "cast(0.0 as double), (acc, x) -> acc + x))"
+    var it = mat.withColumn("v",
+      expr(s"transform(sequence(1, $Dim), x -> cast(1.0 as double))"))
+    for (_ <- 1 to PcaIters) {
+      // Persist each (1-row) step: without the boundary, project collapse
+      // inlines iteration k−1 into the ~3 places iteration k reads it,
+      // and the optimizer's working tree grows 3^PcaIters-fold — the
+      // plan analyzes fine but never finishes optimizing. The persisted
+      // row is bytes; the cost is one tiny job per step.
+      it = OperatorCaches.persist(it
+        .withColumn("w", expr(matvec.format("v")))
+        .withColumn("mx", expr("array_max(transform(w, x -> abs(x)))"))
+        .withColumn("v",
+          expr("transform(w, x -> if(mx = 0.0d, cast(0.0 as double), x / mx))"))
+        .drop("w", "mx"))
+    }
+    it
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), " +
+        "cast(0.0 as double), (acc, x) -> acc + x))"))
+      .withColumn("u",
+        expr("transform(v, x -> if(nrm = 0.0d, cast(0.0 as double), x / nrm))"))
+      .withColumn("wu", expr(matvec.format("u")))
+      .withColumn("eigenvalue",
+        expr("aggregate(zip_with(u, wu, (x, y) -> x * y), " +
+          "cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("n_vecs").cast("double") * col("n_vecs").cast("double"))
+          / lit(CovScale.toDouble * CovScale.toDouble))
+      .select(col("n_vecs"), col("m"), col("u"), col("eigenvalue"))
+  }
+
+  /** x73: TOP PRINCIPAL COMPONENT via power iteration — the dimension-
+    * reduction direction a 100 TB embedding store computes after the x38
+    * covariance pass (PCA whitening, variance-explained triage, 1-D
+    * curriculum ordering all start here). One corpus pass builds the
+    * exact integer moment matrix; [[PcaIters]] unrolled matvec steps on
+    * the 1-row dense matrix — no driver loop, no collect — yield the
+    * unit leading eigenvector and its Rayleigh eigenvalue, hash-exact
+    * against the oracle's identical unrolled recursion. */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
+    eigenRelation(spark, sfDir)
+      .select(col("n_vecs"), col("eigenvalue"),
+        posexplode(col("u")).as(Seq("dim", "u_comp")))
+      .select(col("dim").cast("long").as("dim"), col("u_comp"),
+        col("eigenvalue"), col("n_vecs"))
+      .orderBy("dim")
+
+  /** x74: PRINCIPAL-COMPONENT PROJECTION — every embedding's coordinate
+    * along the [[pcaPower]] direction, mean-centered: the 1-D corpus map
+    * (outlier triage, curriculum buckets, balanced sharding) and the
+    * first step of any rank-k reduction.
+    *
+    * Scale shape: the eigenvector and the 64-entry mean array are 1-row
+    * broadcasts cross-joined into a narrow per-row projection over the
+    * corpus scan; the dot product is a fixed-order left fold, so the
+    * coordinates are bit-identical to the oracle at any partitioning. */
+  def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val eig = eigenRelation(spark, sfDir).select(col("u"))
+    val scaled = scaledVectors(spark, sfDir)
+    val once = scaled.select(posexplode(col("sarr")).as(Seq("i", "sv")))
+    val dimSums = once.groupBy("i")
+      .agg(sum(col("sv").cast("decimal(25,0)")).as("sum_i"))
+    val n = scaled.agg(count(lit(1)).as("n_vecs"))
+    val means = dimSums.join(broadcast(n))
+      .withColumn("mean_i",
+        col("sum_i").cast("double") / lit(CovScale.toDouble)
+          / col("n_vecs").cast("double"))
+      .groupBy()
+      .agg(expr("transform(sort_array(collect_list(struct(i, mean_i))), s -> s.mean_i)")
+        .as("means"))
+    Tables.embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(eig))
+      .crossJoin(broadcast(means))
+      .withColumn("coord",
+        expr("aggregate(zip_with(zip_with(transform(embedding, x -> cast(x as double)), " +
+          "means, (x, mn) -> x - mn), u, (c, ui) -> c * ui), " +
+          "cast(0.0 as double), (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("coord"))
+      .orderBy("vec_id")
+  }
+
   /** x45: per-dimension STANDARDIZATION (z-scoring) — the feature
     * normalization applied before training/indexing: z = (v − μᵢ)/σᵢ
     * from the corpus's own per-dimension moments. Fully oracle-exact:

@@ -2417,9 +2417,31 @@ object SparkEntry {
          |      (acc, x) -> acc + x) AS coord
          |  FROM embeddings e CROSS JOIN un CROSS JOIN ms)
          |SELECT vec_id, coord FROM proj ORDER BY vec_id""".stripMargin
-    }
+    },
 
-    // q16_approx_distinct: HLL++ sketch — engine-specific, rows-only check.
+    // q16/q22: the sketches are engine-specific, so the gated rows carry
+    // exact values + booleans asserting the sketch landed within its
+    // documented bound; the oracle's side of each boolean is literal TRUE
+    // (a FALSE from Spark = sketch out of contract = hash mismatch).
+    "q16_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS orders_ok,
+        |  TRUE AS parts_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  quantile_cont(l_discount, 0.25) AS p25_disc,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS qty_ok,
+        |  TRUE AS price_ok,
+        |  TRUE AS disc_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ))
 
   /** One matvec over the x73 dense matrix column `M`, as the oracle's

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ChFunctions._
@@ -389,7 +389,13 @@ object Relational {
 
   /** Sketch aggregation: HyperLogLog++ approximate distincts per group —
     * the 100 TB substitute for exact COUNT(DISTINCT) when the key domain
-    * is huge. No DuckDB oracle (different sketch) → rows-only check. */
+    * is huge. The sketch itself is engine-specific, so the GATED query
+    * ([[approxDistinct]]) emits an engine-portable assertion instead:
+    * group keys + exact counts + a boolean per sketch stating the HLL
+    * estimate landed within [[ApproxBound]] of exact — the DuckDB oracle
+    * computes the same exact values and literal TRUEs, so the row is
+    * hash-comparable. [[approxDistinctFrom]] stays the production shape
+    * (sketch only, no exact pass). */
   /** Relative-SD for the q16 sketches. Sketch size is the REAL cost
     * axis of approx_count_distinct: the aggregation buffer is
     * `(2^p)/6` longs PER SKETCH surfaced as individual buffer
@@ -403,8 +409,38 @@ object Relational {
     * exchange, and a 1% rsd is rarely worth 16× that volume. */
   val ApproxRsd = 0.03
 
+  /** Relative-error bound asserted by the q16 gate booleans: ≤5% per
+    * group (≈1.7× [[ApproxRsd]] — HLL++ is deterministic on a given
+    * dataset, and the measured ceiling across sf0.001–sf1 on these
+    * corpora is well under it; OperatorsSpec pins the same bound). */
+  val ApproxBound = 0.05
+
+  /** Gate shape for the driver's oracle compare (exact counts are
+    * harness-side evidence, NOT something a 100 TB caller would compute —
+    * production callers use [[approxDistinctFrom]]). */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    approxDistinctFrom(Tables.lineitem(spark, sfDir))
+    approxDistinctGate(Tables.lineitem(spark, sfDir))
+
+  private[graft] def approxDistinctGate(lineitem: DataFrame): DataFrame = {
+    val sketch = approxDistinctFrom(lineitem)
+    val exact = lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    sketch
+      .join(exact, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        col("exact_parts"),
+        col("n_rows"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * ApproxBound).as("orders_ok"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * ApproxBound).as("parts_ok"))
+      .orderBy("l_returnflag")
+  }
 
   /** [[approxDistinct]] over an arbitrary lineitem relation — the
     * testable core ([[PropertySpec]] drives it under adversarial
@@ -428,11 +464,44 @@ object Relational {
     * percentile must COLLECT each group's full value list (corpus-sized
     * state on a 100 TB group — the same reason q16 exists next to exact
     * COUNT(DISTINCT)), while the sketch is fixed-size and merges
-    * associatively map-side. Sketch internals are engine-specific →
-    * rows-only gate + an accuracy spec against [[percentiles]]' exact
-    * values (mirroring q16's HLL treatment). */
+    * associatively map-side. Sketch internals are engine-specific, so
+    * (mirroring q16) the GATED query emits exact percentiles plus one
+    * boolean per sketch asserting the GK guarantee itself: the returned
+    * value's rank lies within ±N/[[PercentileAccuracy]] of the target
+    * rank. The oracle reproduces the exact values and literal TRUEs.
+    * Production callers use [[approxPercentilesFrom]]. */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
-    approxPercentilesFrom(Tables.lineitem(spark, sfDir))
+    approxPercentilesGate(Tables.lineitem(spark, sfDir))
+
+  private[graft] def approxPercentilesGate(lineitem: DataFrame): DataFrame = {
+    val sketch = approxPercentilesFrom(lineitem)
+    // Rank check: one counting pass over lineitem against the broadcast
+    // 3-row sketch result — `lt ≤ ⌈(p+ε)·n⌉ ∧ le ≥ ⌊(p−ε)·n⌋`, the exact
+    // contract PropertySpec asserts under adversarial partitionings.
+    def rankOk(src: String, ap: String, p: Double): Column = {
+      val eps = 1.0 / PercentileAccuracy
+      val n = count(lit(1)).cast("double")
+      val lt = sum(when(col(src) < col(ap), 1L).otherwise(0L)).cast("double")
+      val le = sum(when(col(src) <= col(ap), 1L).otherwise(0L)).cast("double")
+      (lt <= ceil(lit(p + eps) * n)) && (le >= floor(lit(p - eps) * n))
+    }
+    val ranks = lineitem
+      .join(broadcast(sketch), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        rankOk("l_quantity", "ap50_qty", 0.5).as("qty_ok"),
+        rankOk("l_extendedprice", "ap90_price", 0.9).as("price_ok"),
+        rankOk("l_discount", "ap25_disc", 0.25).as("disc_ok"))
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_discount, 0.25)").as("p25_disc"),
+        count(lit(1)).as("n_rows"))
+      .join(broadcast(ranks), Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
 
   /** [[approxPercentiles]] over an arbitrary lineitem relation (see
     * [[approxDistinctFrom]]). */

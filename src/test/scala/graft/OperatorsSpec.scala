@@ -171,7 +171,8 @@ class OperatorsSpec extends SparkSpec {
 
   test("q16 HLL estimates within tolerance of exact distinct counts (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
-    val approx = graft.queries.Relational.approxDistinct(spark, sf01)
+    val approx = graft.queries.Relational.approxDistinctFrom(
+      graft.queries.Tables.lineitem(spark, sf01))
     val exact = graft.queries.Tables.lineitem(spark, sf01)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
@@ -189,7 +190,8 @@ class OperatorsSpec extends SparkSpec {
 
   test("q22 quantile sketch within rank tolerance of exact percentiles (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
-    val approx = graft.queries.Relational.approxPercentiles(spark, sf01)
+    val approx = graft.queries.Relational.approxPercentilesFrom(
+      graft.queries.Tables.lineitem(spark, sf01))
     val exact = graft.queries.Relational.percentiles(spark, sf01)
     val j = approx.join(exact, "l_returnflag").collect()
     assert(j.nonEmpty)
@@ -206,6 +208,21 @@ class OperatorsSpec extends SparkSpec {
         <= 0.02, "price")
       assert(math.abs(r.getAs[Double]("ap25_disc") - r.getAs[Double]("p25_disc"))
         <= 0.01, "disc")
+    }
+  }
+
+  test("q16/q22 gate shapes: every within-bound boolean is TRUE (sf0.01)") {
+    // The driver's oracle emits literal TRUEs for these columns, so any
+    // FALSE here is exactly the hash mismatch the gate would report.
+    val sf01 = "/root/testdata/sf0.01"
+    val li = graft.queries.Tables.lineitem(spark, sf01)
+    graft.queries.Relational.approxDistinctGate(li).collect().foreach { r =>
+      assert(r.getAs[Boolean]("orders_ok") && r.getAs[Boolean]("parts_ok"),
+        s"q16 sketch out of bound: $r")
+    }
+    graft.queries.Relational.approxPercentilesGate(li).collect().foreach { r =>
+      assert(r.getAs[Boolean]("qty_ok") && r.getAs[Boolean]("price_ok")
+        && r.getAs[Boolean]("disc_ok"), s"q22 sketch out of rank bound: $r")
     }
   }
 

@@ -20,8 +20,7 @@ import graft.queries.Tables
 object CorpusStats {
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsParallel(spark, sfDir)
 
   /** ln(2) at [[TextAnalysis.IdfScale]] quantization — the closed-form
     * contribution of a term absent from the other source's support. */

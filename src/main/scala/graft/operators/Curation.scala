@@ -35,8 +35,7 @@ object Curation {
   val ValidUpper = 90
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsParallel(spark, sfDir)
 
   /** x20: reproducible train/valid/test assignment from the CONTENT hash
     * (polyHash mod 100 → 80/10/10). Content-keyed (not id-keyed) splits

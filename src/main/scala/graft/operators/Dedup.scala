@@ -126,13 +126,11 @@ object Dedup {
         docs.select(col("doc_id"), shingles(col("text")).as("sh")))
       .filter(size(col("sh")) > 0)
 
-  /** [[shingleTableFrom]] over the `documents` table. The scan is
-    * repartitioned first: locally `documents` is a single parquet split
-    * and the shingle lambdas would otherwise run on ONE core — at scale
-    * the many input splits provide this parallelism for free. */
+  /** [[shingleTableFrom]] over the `documents` table. Loaded via
+    * [[graft.queries.Tables.documentsParallel]] (conditional local
+    * parallelism, no-op at scale). */
   private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
-    shingleTableFrom(Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism))
+    shingleTableFrom(Tables.documentsParallel(spark, sfDir))
 
   /** Exact dedup via content digest, plus a relaxed prefix-key variant
     * (first 5 tokens) — every doc keeps its group representative and
@@ -376,8 +374,7 @@ object Dedup {
     * stop-shingle practice); at sf ≤ 0.1 the max DF is under the cap and
     * the result is exact. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardFrom(Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism))
+    ngramJaccardFrom(Tables.documentsParallel(spark, sfDir))
 
   /** Minimum containment score for [[ngramContainment]]. */
   private[graft] val ContainmentTau = 0.5
@@ -391,8 +388,7 @@ object Dedup {
     * candidate volume is ∝ N by the same construction; only the final
     * scoring expression differs: inter / min(|A|,|B|) ≥ [[ContainmentTau]]. */
   def ngramContainment(spark: SparkSession, sfDir: String): DataFrame =
-    ngramContainmentFrom(Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism))
+    ngramContainmentFrom(Tables.documentsParallel(spark, sfDir))
 
   /** [[ngramContainment]] over an arbitrary (doc_id, text) relation. */
   private[graft] def ngramContainmentFrom(docs: DataFrame): DataFrame =
@@ -474,8 +470,7 @@ object Dedup {
     * explode, no shuffle; the explode+groupBy formulation it replaced
     * shuffled one row per corpus TOKEN into the aggregation). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsParallel(spark, sfDir)
       // null text has no tokens to hash: DROP the row, matching both the
       // explode+agg reference (explode of a null array emits nothing)
       // and the oracle (unnest of string_split(NULL)); the expression
@@ -501,8 +496,7 @@ object Dedup {
       .reduce(_ + _)
     val seeded = (0 until SimhashSeeds).map(s =>
       polyHash(concat(lit(('0' + s).toChar.toString), col("w"))).as(s"h$s"))
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsParallel(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id") +: seeded: _*)
       .groupBy("doc_id")
@@ -573,8 +567,7 @@ object Dedup {
     // clusters at the end (they have no content to be near-dup OF —
     // grouping them by their shared null sig would wrongly merge them)
     val docSig = OperatorCaches.persist(
-      Tables.documents(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      Tables.documentsParallel(spark, sfDir)
         .select(col("doc_id"),
           simhash64(col("text")).bitwiseAND(lit(ClusterSigMask)).as("sig")))
     val withSig = docSig.filter(col("sig").isNotNull)
@@ -653,8 +646,7 @@ object Dedup {
     * Total volume past the scan is (positions with duplicated spans) ≤
     * corpus token count — linear at any duplication rate. */
   def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
-    dupSpansFrom(Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism))
+    dupSpansFrom(Tables.documentsParallel(spark, sfDir))
 
   /** [[dupSpans]] over an arbitrary (doc_id, text) relation — the
     * testable core (fixtures plant a shared span across docs and check

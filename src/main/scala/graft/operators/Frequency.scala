@@ -19,8 +19,7 @@ import graft.queries.Tables
 object Frequency {
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsParallel(spark, sfDir)
 
   /** Adjacent-token bigrams as a single `w1 w2` term column — the x55
     * zip-with-tail shape: a narrow per-row projection, no shuffle. */

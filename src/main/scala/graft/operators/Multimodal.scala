@@ -52,8 +52,7 @@ object Multimodal {
     * media payloads — the schema is the point, not the pixels). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsParallel(spark, sfDir)
       .select(
         col("doc_id"),
         mediaTypeOf(col("doc_id")).as("media_type"),

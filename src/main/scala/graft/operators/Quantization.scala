@@ -28,8 +28,7 @@ object Quantization {
     * and mean absolute reconstruction error, and a clipped-code count
     * (always 0 for max-abs scaling — the column is the invariant). */
   def int8Stats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.embeddingsParallel(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("max_abs",
         expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
@@ -61,8 +60,7 @@ object Quantization {
     * every posexplode leg (the [[Dedup]] shingle-table judgment). */
   private def scaledVectors(spark: SparkSession, sfDir: String): DataFrame =
     OperatorCaches.persist(
-      Tables.embeddings(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      Tables.embeddingsParallel(spark, sfDir)
         .select(col("vec_id"), expr(
           s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $CovScale + 0.5d) AS BIGINT))")
           .as("sarr")))
@@ -238,8 +236,7 @@ object Quantization {
       .groupBy()
       .agg(expr("transform(sort_array(collect_list(struct(i, mean_i))), s -> s.mean_i)")
         .as("means"))
-    Tables.embeddings(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.embeddingsParallel(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(eig))
       .crossJoin(broadcast(means))

@@ -57,8 +57,7 @@ object Similarity {
     * materialization barrier, project-collapse re-normalizes the corpus
     * once per reference. */
   private[operators] def normalized(spark: SparkSession, sfDir: String): DataFrame =
-    OperatorCaches.persist(Tables.embeddings(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    OperatorCaches.persist(Tables.embeddingsParallel(spark, sfDir)
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("label"),
         unit(col("embedding"), col("nrm")).as("u")))
@@ -103,8 +102,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, sfDir: String,
               querySet: Option[DataFrame]): DataFrame = {
     // persisted like [[normalized]] — referenced by both join sides
-    val e = OperatorCaches.persist(Tables.embeddings(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val e = OperatorCaches.persist(Tables.embeddingsParallel(spark, sfDir)
       .withColumn("sig", lshSignature(col("embedding"), Planes, Dim))
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("sig"),

@@ -16,11 +16,10 @@ object TextAnalysis {
 
   private val stopSql = Stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Locally `documents` is one parquet split; repartition so the per-doc
-    * lambdas parallelize (at scale the input splits provide this). */
+  /** Per-document scan via [[graft.queries.Tables.documentsParallel]]
+    * (conditional local parallelism, no-op at scale). */
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.documentsParallel(spark, sfDir)
 
   /** Per-document quality statistics: token counts, uniqueness, average
     * token length, stopword ratio — the standard quality-filter features. */
@@ -585,8 +584,7 @@ object TextAnalysis {
     * self-join, no corpus-sized broadcast. */
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Dedup.shingleTableFrom(
-      Tables.documents(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism))
+      Tables.documentsParallel(spark, sfDir))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfCounts = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val perDoc = ex.join(dfCounts.filter(col("df") > BoilerplateDf), "s")

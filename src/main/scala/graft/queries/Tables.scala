@@ -42,4 +42,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Ensure a scan feeding a CPU-bound narrow stage has at least
+    * driver-core parallelism. Locally every sf* table is one (or a few)
+    * parquet split(s), so per-row lambdas (shingles, signatures, hashes)
+    * would otherwise run on a single core; at scale the input's many
+    * splits already provide the parallelism and this is a NO-OP — never
+    * an unconditional exchange (a 100 TB corpus must not be reshuffled
+    * just to pick up local parallelism; the round-8 review flagged the
+    * previous `.repartition(defaultParallelism)` sites as exactly that).
+    * `rdd.getNumPartitions` is driver-side split arithmetic over the
+    * scan's file listing — no Spark job runs. PlanShapeSpec asserts the
+    * no-op side (already-parallel input passes through `eq`-identical,
+    * so no Exchange can appear above the scan). */
+  def parallelized(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  /** [[documents]] through [[parallelized]] — the loader every
+    * per-document operator family (dedup, text analysis, frequency,
+    * curation, multimodal, corpus stats) starts from. */
+  def documentsParallel(s: SparkSession, d: String): DataFrame =
+    parallelized(documents(s, d))
+
+  /** [[embeddings]] through [[parallelized]] (similarity / quantization
+    * / PCA families). */
+  def embeddingsParallel(s: SparkSession, d: String): DataFrame =
+    parallelized(embeddings(s, d))
 }

@@ -512,4 +512,21 @@ class PlanShapeSpec extends SparkSpec {
       graft.queries.Tables.documents(spark, Sf))).isEmpty,
       "corpus-sized broadcast hint in x68")
   }
+
+  test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
+      "repartitions only a narrow local scan") {
+    import graft.queries.Tables
+    // already-parallel input (>= defaultParallelism partitions) must pass
+    // through IDENTICALLY — reference equality, so no Exchange can exist
+    // above the scan at scale where input splits provide parallelism
+    val want = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 10000).toDF("id").repartition(want + 8)
+    assert(Tables.parallelized(wide) eq wide,
+      "parallelized introduced a plan node on already-parallel input")
+    // the local single-split corpus scan IS repartitioned (that's the
+    // only reason the helper exists) and ends at driver parallelism
+    val docs = Tables.documents(spark, Sf)
+    assume(docs.rdd.getNumPartitions < want) // local corpus = few splits
+    assert(Tables.parallelized(docs).rdd.getNumPartitions === want)
+  }
 }

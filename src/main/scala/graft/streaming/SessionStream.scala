@@ -32,6 +32,39 @@ object SessionStream {
   /** Second-truncated epoch — q14's `date_trunc('second', ts)` gap rule. */
   private def secs(t: Timestamp): Long = t.toInstant.getEpochSecond
 
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Stable index merge sort by (us, then ids) — primitive comparisons
+    * only, one temp int array: the order-restoring sort for a group
+    * invocation costs 4 B/event beyond the primitive column buffers
+    * (a boxed `.sortBy` would hold an O(n) tuple-key array). */
+  private def sortedIndices(us: Array[Long], ids: Array[Long]): Array[Int] = {
+    val n = us.length
+    val a = Array.range(0, n)
+    val tmp = new Array[Int](n)
+    def lt(i: Int, j: Int): Boolean =
+      us(i) < us(j) || (us(i) == us(j) && ids(i) < ids(j))
+    def sort(lo: Int, hi: Int): Unit = if (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      sort(lo, mid); sort(mid, hi)
+      var (i, j, k) = (lo, mid, lo)
+      while (i < mid && j < hi) {
+        if (lt(a(j), a(i))) { tmp(k) = a(j); j += 1 }
+        else { tmp(k) = a(i); i += 1 }
+        k += 1
+      }
+      while (i < mid) { tmp(k) = a(i); i += 1; k += 1 }
+      while (j < hi) { tmp(k) = a(j); j += 1; k += 1 }
+      System.arraycopy(tmp, lo, a, lo, hi - lo)
+    }
+    sort(0, n)
+    a
+  }
+
   /** value → exact scaled long via the DECIMAL(25,6) rounding rule
     * (HALF_UP at 6 dp over the double's shortest decimal form — the
     * same path Spark's `cast(v as decimal(25,6))` takes). */
@@ -52,9 +85,13 @@ object SessionStream {
     * group invocation per user and no timeouts, emitting every session
     * including the trailing one — semantically identical to the q14
     * window formulation, and gated by the SAME DuckDB oracle
-    * (`x72_stream_sessions`). The streaming path (timeout close,
-    * cross-batch session continuation, restart recovery from the
-    * checkpoint) is spec-driven (`StreamingSpec`).
+    * (`x72_stream_sessions`). Batch-mode memory boundary: one group
+    * invocation buffers one user's full history as primitive columns
+    * (~28 B/event — a 10⁶-event power user is ~30 MB, proven by
+    * StreamingSpec); above ~10⁷ events/user prefer q14's window
+    * formulation, whose per-user sort spills to disk. The streaming
+    * path (timeout close, cross-batch session continuation, restart
+    * recovery from the checkpoint) is spec-driven (`StreamingSpec`).
     *
     * Ordering: within an invocation rows sort by (event-time micros,
     * event_id) — deterministic under any arrival interleaving; the
@@ -83,20 +120,38 @@ object SessionStream {
             state.remove()
             Iterator.single(emit(user, s))
           } else {
-            val sorted = rows.toSeq.sortBy(r => (micros(r._3), r._2))
+            // The group's rows buffer as PRIMITIVE columns (3 longs ≈
+            // 24 B/event, +4 B/event index — vs ~150 B/event of boxed
+            // tuples) before the order-restoring sort. Boundary (batch
+            // mode only — streaming invocations see one micro-batch of
+            // one user at a time): a 10⁶-event power user costs ~30 MB
+            // in one task (StreamingSpec drives exactly that); beyond
+            // ~10⁷ events/user route batch callers to q14's window
+            // formulation, whose per-user sort spills to disk instead
+            // of living inside a single group invocation.
+            val usB = Array.newBuilder[Long]
+            val idB = Array.newBuilder[Long]
+            val svB = Array.newBuilder[Long]
+            rows.foreach { case (_, id, t, v) =>
+              usB += micros(t); idB += id; svB += scale6(v)
+            }
+            val us = usB.result()
+            val ids = idB.result()
+            val sv = svB.result()
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
             var open = state.getOption
-            sorted.foreach { case (_, _, t, v) =>
+            sortedIndices(us, ids).foreach { i =>
+              val tU = us(i)
               open = open match {
-                case Some(s) if secs(t) - secs(s.last) <= GapSeconds =>
+                case Some(s) if Math.floorDiv(tU, 1000000L) - secs(s.last) <= GapSeconds =>
                   Some(s.copy(
-                    last = if (micros(t) > micros(s.last)) t else s.last,
-                    n = s.n + 1, sum_scaled = s.sum_scaled + scale6(v)))
+                    last = if (tU > micros(s.last)) tsOf(tU) else s.last,
+                    n = s.n + 1, sum_scaled = s.sum_scaled + sv(i)))
                 case Some(s) =>
                   out += emit(user, s)
-                  Some(OpenSession(s.seq + 1, t, t, 1L, scale6(v)))
+                  Some(OpenSession(s.seq + 1, tsOf(tU), tsOf(tU), 1L, sv(i)))
                 case None =>
-                  Some(OpenSession(1L, t, t, 1L, scale6(v)))
+                  Some(OpenSession(1L, tsOf(tU), tsOf(tU), 1L, sv(i)))
               }
             }
             if (armTimeout) {

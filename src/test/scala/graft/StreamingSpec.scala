@@ -448,6 +448,30 @@ class StreamingSpec extends SparkSpec {
       .contains((1L, 2L, 1L, 9.0)),
       s"timeout must close user 1's trailing session: $s2")
   }
+
+  test("sessionize (batch): one pathological 2M-event user fits a single group " +
+      "invocation (primitive-column buffering) and sums exactly") {
+    // The batch path buffers one user's whole history in one task — the
+    // documented boundary is ~28 B/event. 2×10⁶ events ≈ 56 MB transient
+    // (boxed tuples would be ~300 MB); the assertions pin the exact
+    // session algebra so the primitive re-implementation cannot drift
+    // from the boxed original.
+    val n = 2000000L
+    val t0us = 1705312800000000L // 2024-01-15 10:00:00 UTC
+    val big = spark.range(0, n).selectExpr(
+      "id AS event_id",
+      s"timestamp_micros($t0us + id * 1000000) AS ts", // 1 s apart → 1 session
+      "CAST(1 AS BIGINT) AS user_id",
+      "CAST(1.5 AS DOUBLE) AS value")
+    val out = graft.streaming.SessionStream
+      .sessionize(spark, big, armTimeout = false).collect()
+    assert(out.length === 1)
+    val s = out.head
+    assert(s.user_id === 1L && s.session_seq === 1L && s.n_events === n)
+    assert(s.sum_value === 1.5 * n)
+    assert(s.session_start.getTime === t0us / 1000L)
+    assert(s.session_end.getTime === t0us / 1000L + (n - 1) * 1000L)
+  }
 }
 
 /** Document row for the streaming-dedup spec. */

@@ -44,7 +44,10 @@ object Frequency {
     * partitions: a term with global count > N/(k+1) must exceed the
     * local threshold somewhere (else Σ would contradict), so the union
     * of survivors is a superset of every global heavy hitter — the
-    * second exact-recount phase then removes false positives only. */
+    * second exact-recount phase then removes false positives only.
+    * Property-tested (GraftProperties): arbitrary skewed streams ×
+    * random 1/4/32-way splits × k ∈ {1,2,3,7} ⇒ superset holds and
+    * recount+filter equals the naive global groupBy. */
   private[graft] def mgSurvivors(k: Int)(
       it: Iterator[String]): Iterator[String] = {
     val counts = new scala.collection.mutable.HashMap[String, Long]

@@ -152,4 +152,47 @@ object GraftProperties extends Properties("graft") {
       val sqrtFamily = c == 16L || (c * c <= n / 8 && (c + 1) * (c + 1) > n / 8)
       floored && sqrtFamily && cells(2000) == 16L && cells(20000) == 50L
     }
+
+  /** Skewed term streams so some terms actually cross the N/(k+1)
+    * threshold at the small k values below (uniform draws almost never
+    * produce a heavy hitter, which would vacuously pass). */
+  private val termStream: Gen[List[String]] = for {
+    vocab <- Gen.choose(1, 8)
+    n <- Gen.choose(0, 400)
+    terms <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.const("hot"),
+      3 -> Gen.oneOf((1 to vocab).map("w" + _)),
+      1 -> Gen.identifier.map(_.take(4))))
+  } yield terms
+
+  /** The x65 exactness claim (Frequency.mgSurvivors doc), previously
+    * fixture-tested only: for ANY stream, ANY partition split, and any
+    * capacity k, the union of per-partition Misra–Gries survivors is a
+    * SUPERSET of every global heavy hitter (count·(k+1) > N), and the
+    * exact recount of survivors filtered at the threshold equals the
+    * naive global groupBy — the two halves of "provably identical to
+    * the naive plan". Partitionings 1/4/32 with random row assignment
+    * cover the adversarial splits (a term's occurrences concentrated or
+    * scattered arbitrarily). */
+  property("x65 Misra-Gries: survivor union ⊇ global heavy hitters and " +
+      "recount == naive groupBy at 1/4/32 partitions") =
+    forAll(termStream, Gen.oneOf(1, 2, 3, 7), Gen.long) { (terms, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val n = terms.size.toLong
+      val counts: Map[String, Long] =
+        terms.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val heavy = counts.collect {
+        case (t, c) if c * (k + 1) > n => t
+      }.toSet
+      List(1, 4, 32).forall { p =>
+        val assigned = terms.map(t => (t, rnd.nextInt(p)))
+        val survivors = (0 until p).flatMap(i =>
+          graft.operators.Frequency.mgSurvivors(k)(
+            assigned.collect { case (t, q) if q == i => t }.iterator)).toSet
+        val recount = counts.filter { case (t, c) =>
+          survivors(t) && c * (k + 1) > n }
+        heavy.subsetOf(survivors) && recount.keySet == heavy &&
+          heavy.forall(t => recount(t) == counts(t))
+      }
+    }
 }

@@ -14,7 +14,8 @@ import graft.streaming.NatsLikeStream
   * Usage:
   * {{{
   * sbt "runMain graft.Service --config nats.yml --backlog <jsonl dir> \
-  *   --warehouse <out dir> [--sink parquet|blocks|http|native] [--once] [--capture]"
+  *   --warehouse <out dir> [--sink parquet|blocks|http|native] [--once] \
+  *   [--capture] [--sessions]"
   * }}}
   *
   * `--sink parquet` (default) streams the raw + analytics MV cascade as
@@ -31,6 +32,11 @@ import graft.streaming.NatsLikeStream
   * (`connection/connection.go:44-60`): hello handshake, INSERT query
   * packets, LZ4-compressed columnar blocks with CityHash128 checksums
   * (point the DSN's port at the native interface, 9000).
+  *
+  * `--sessions` additionally runs x72 gap-sessionization over the same
+  * envelope stream ([[graft.streaming.SessionStream.sessionizeEnvelopes]])
+  * and appends closed sessions to `<warehouse>/sessions` under an
+  * independent checkpoint.
   *
   * `--capture` makes the config's `nats://` URL a REAL dial: drain the
   * subscription ([[graft.sources.NatsCapture]] — socket handshake,
@@ -54,6 +60,7 @@ object Service {
             loop(tail, acc + (k.drop(2) -> v))
           case "--once" :: tail => loop(tail, acc + ("once" -> "true"))
           case "--capture" :: tail => loop(tail, acc + ("capture" -> "true"))
+          case "--sessions" :: tail => loop(tail, acc + ("sessions" -> "true"))
           case _ :: tail => loop(tail, acc)
           case Nil => acc
         }
@@ -174,9 +181,32 @@ object Service {
         sys.exit(2)
     }
 
+    // x72 through the service (--sessions): the SAME envelope stream
+    // gap-sessionizes alongside the main sink — emitted rows are FINAL
+    // (each session closes exactly once, by in-stream gap or watermark
+    // timeout), so per-micro-batch parquet appends are exactly-once
+    // under the query's own checkpoint.
+    val sessionQuery = if (opts.contains("sessions")) Some {
+      graft.streaming.SessionStream.sessionizeEnvelopes(spark, envelopes)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$warehouse/_checkpoint_sessions")
+        .trigger(trigger)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.SessionRow],
+           _: Long) =>
+            ds.write.mode("append").parquet(s"$warehouse/sessions"); ()
+        }
+        .start()
+    } else None
+
     // B4: SIGTERM/SIGINT → graceful stop; checkpoint replays the tail.
-    sys.addShutdownHook { if (query.isActive) query.stop() }
+    sys.addShutdownHook {
+      if (query.isActive) query.stop()
+      sessionQuery.foreach(q => if (q.isActive) q.stop())
+    }
     query.awaitTermination()
+    sessionQuery.foreach(_.awaitTermination())
     spark.stop()
   }
 }

@@ -99,6 +99,24 @@ object SessionStream {
     * double matches `dsum` bit-for-bit. Cross-batch disorder beyond the
     * watermark delay is the usual streaming approximation (late rows
     * fold into whatever session is open). */
+  /** [[sessionize]] over the SERVICE's envelope stream (the DSv2 replay
+    * source's schema: subject/data/metaTimestamp/streamSeq): user_id and
+    * value come out of the `data` JSON payload (absent value → 0.0, the
+    * `{}`-default house rule), event-time is the JetStream metadata
+    * timestamp, and the stream sequence is the deterministic tie-break
+    * id. This is the x72 path `Service --sessions` runs end-to-end:
+    * ReplaySource → sessionize → per-batch appended session parquet. */
+  def sessionizeEnvelopes(spark: SparkSession, envelopes: DataFrame,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionRow] =
+    sessionize(spark, envelopes.select(
+      get_json_object(col("data"), "$.user_id").cast("long").as("user_id"),
+      col("streamSeq").cast("long").as("event_id"),
+      col("metaTimestamp").cast("timestamp").as("ts"),
+      coalesce(get_json_object(col("data"), "$.value").cast("double"),
+        lit(0.0)).as("value"))
+      // non-event envelopes (no user_id in the payload) don't sessionize
+      .filter(col("user_id").isNotNull), watermarkDelay)
+
   def sessionize(spark: SparkSession, events: DataFrame,
       watermarkDelay: String = "10 seconds",
       armTimeout: Boolean = true): Dataset[SessionRow] = {

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
@@ -447,6 +447,54 @@ class StreamingSpec extends SparkSpec {
     assert(s2.map(s => (s.user_id, s.session_seq, s.n_events, s.sum_value))
       .contains((1L, 2L, 1L, 9.0)),
       s"timeout must close user 1's trailing session: $s2")
+  }
+
+  test("sessionize end-to-end through the DSv2 replay source: checkpoint " +
+      "restart mid-session continues the open session (the Service --sessions path)") {
+    val backlog = Files.createTempDirectory("graft_sess_backlog").toString
+    val cp = Files.createTempDirectory("graft_sess_e2e_cp").toString
+    def env(seq: Long, user: Long, hhmm: String, value: Double): String =
+      s"""{"subject":"globex.supprt.u$user.chat1","data":"{\\"user_id\\":$user,\\"value\\":$value}","metaTimestamp":"2024-01-15T$hhmm:00+00:00","streamSeq":$seq}"""
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.SessionRow]
+    def run(): Unit = {
+      val envelopes = spark.readStream
+        .format("graft.sources.ReplayStreamProvider")
+        .option("path", backlog)
+        .option("maxRowsPerTrigger", 2)
+        .load()
+      val q = graft.streaming.SessionStream
+        .sessionizeEnvelopes(spark, envelopes)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.SessionRow], _: Long) =>
+          sessions.synchronized { sessions ++= ds.collect() }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: two close events + one non-event envelope → ONE open
+    // session held in state when the query STOPS mid-session
+    Files.writeString(Paths.get(backlog, "part-000.jsonl"),
+      Seq(env(1, 7, "10:00", 1.5), env(2, 7, "10:10", 2.5),
+        """{"subject":"globex.supprt.ping","data":"{}","metaTimestamp":"2024-01-15T10:11:00+00:00","streamSeq":3}""")
+        .mkString("\n") + "\n")
+    run()
+    assert(sessions.synchronized(sessions.isEmpty),
+      "open session must not emit before the gap")
+    // run 2 = RESTART from the checkpoint against the same DSv2 source:
+    // a new backlog file continues the session (10:20) and a >30 min
+    // gap (12:00) closes it — the emitted session spans BOTH runs
+    Files.writeString(Paths.get(backlog, "part-001.jsonl"),
+      Seq(env(4, 7, "10:20", 1.0), env(5, 7, "12:00", 9.0)).mkString("\n") + "\n")
+    run()
+    val got = sessions.synchronized(sessions.toList)
+    assert(got.map(s => (s.user_id, s.session_seq, s.n_events, s.sum_value))
+      === List((7L, 1L, 3L, 5.0)),
+      s"session must span the restart: $got")
+    assert(got.head.session_start === ts("2024-01-15 10:00:00"))
+    assert(got.head.session_end === ts("2024-01-15 10:20:00"))
   }
 
   test("sessionize (batch): one pathological 2M-event user fits a single group " +

@@ -178,7 +178,12 @@ object SparkEntry {
           armTimeout = false)
         .toDF().orderBy("user_id", "session_seq")),
     "x73_pca_power" -> (Quantization.pcaPower _),
-    "x74_pca_project" -> (Quantization.pcaProject _)
+    "x74_pca_project" -> (Quantization.pcaProject _),
+    "x75_exact_decontaminate" -> (Curation.exactDecontaminate _),
+    "x76_zipf_fit" -> (Frequency.zipfFit _),
+    "x77_embedding_outliers" -> (Quantization.embeddingOutliers _),
+    "x78_stratified_sample" -> (Curation.stratifiedSample _),
+    "x79_quantile_calibrate" -> (TextAnalysis.quantileCalibrate _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2417,6 +2422,142 @@ object SparkEntry {
          |      (acc, x) -> acc + x) AS coord
          |  FROM embeddings e CROSS JOIN un CROSS JOIN ms)
          |SELECT vec_id, coord FROM proj ORDER BY vec_id""".stripMargin
+    },
+
+    // Mirrors Curation.exactDecontaminate: distinct 40-char benchmark
+    // prefixes, verbatim containment per training doc.
+    "x75_exact_decontaminate" -> {
+      val b = graft.operators.Curation.BenchmarkDocs
+      val pc = graft.operators.Curation.PatternChars
+      s"""WITH pats AS (
+         |  SELECT DISTINCT substring(text, 1, $pc) AS p
+         |  FROM documents
+         |  WHERE doc_id < $b AND text IS NOT NULL AND length(text) >= $pc),
+         |hits AS (
+         |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents d JOIN pats ON contains(d.text, pats.p)
+         |  WHERE d.doc_id >= $b AND d.text IS NOT NULL
+         |  GROUP BY d.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(h.n, CAST(0 AS BIGINT)) AS n_patterns_hit,
+         |  coalesce(h.n, CAST(0 AS BIGINT)) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id >= $b AND d.text IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // Mirrors Frequency.zipfFit: per-source top-K term ranks, ln-quantized
+    // regression moments as exact decimals, one correctly-rounded division.
+    "x76_zipf_fit" -> {
+      val sc = graft.operators.TextAnalysis.IdfScale
+      val k = graft.operators.Frequency.ZipfTopK
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM t GROUP BY 1, 2),
+         |r AS (SELECT source, cnt,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY cnt DESC, term) AS rank
+         |      FROM c),
+         |q AS (SELECT source,
+         |        CAST(floor(ln(CAST(rank AS DOUBLE)) * $sc.0 + 0.5) AS BIGINT) AS x,
+         |        CAST(floor(ln(CAST(cnt AS DOUBLE)) * $sc.0 + 0.5) AS BIGINT) AS y
+         |      FROM r WHERE rank <= $k),
+         |m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_top_terms,
+         |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+         |      FROM q GROUP BY 1)
+         |SELECT source, n_top_terms,
+         |  -(V2D(n_top_terms * sxy - sx * sy)
+         |    / V2D(n_top_terms * sxx - sx * sx)) AS zipf_exponent
+         |FROM m ORDER BY source""".stripMargin
+    },
+
+    // Mirrors Quantization.embeddingOutliers: x45's quantized moment
+    // dance, per-vector fixed-order Σz² fold, top-K by (score DESC, vec_id).
+    "x77_embedding_outliers" -> {
+      val sc = graft.operators.Quantization.CovScale
+      val d = graft.operators.Quantization.Dim
+      val k = graft.operators.Quantization.OutlierTopK
+      s"""WITH s AS (
+         |  SELECT vec_id, ix.i - 1 AS i,
+         |    CAST(floor(CAST(embedding[ix.i] AS DOUBLE) * $sc + 0.5) AS BIGINT) AS sv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) ix),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+         |st AS (
+         |  SELECT i, SUM(DEC0(sv)) AS sum_i,
+         |    SUM(DEC0(sv * sv)) AS sumsq_i
+         |  FROM s GROUP BY 1),
+         |mv AS (
+         |  SELECT i,
+         |    V2D(st.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE) AS mean_i,
+         |    V2D(st.sumsq_i) / (CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE))
+         |      / CAST(n.n_vecs AS DOUBLE)
+         |      - (V2D(st.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE))
+         |        * (V2D(st.sum_i) / $sc.0 / CAST(n.n_vecs AS DOUBLE)) AS var_i
+         |  FROM st CROSS JOIN n),
+         |ar AS (SELECT list(mean_i ORDER BY i) AS means,
+         |              list(var_i ORDER BY i) AS vars FROM mv),
+         |sv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * $sc + 0.5) AS BIGINT)) AS sarr
+         |  FROM embeddings),
+         |sc2 AS (
+         |  SELECT vec_id,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(
+         |      range(1, ${d + 1}),
+         |      kk -> CASE WHEN ar.vars[kk] <= 0.0 THEN 0.0
+         |            ELSE (CAST(sv.sarr[kk] AS DOUBLE) / $sc.0 - ar.means[kk])
+         |               * (CAST(sv.sarr[kk] AS DOUBLE) / $sc.0 - ar.means[kk])
+         |               / ar.vars[kk] END),
+         |      (acc, x) -> acc + x) AS score
+         |  FROM sv CROSS JOIN ar),
+         |top AS (SELECT vec_id, score FROM sc2
+         |        ORDER BY score DESC, vec_id LIMIT $k)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+         |    AS rank, vec_id, score
+         |FROM top ORDER BY rank""".stripMargin
+    },
+
+    // Mirrors Curation.stratifiedSample: all-integer micro-rate threshold
+    // on the content polyhash, balanced to the smallest stratum.
+    "x78_stratified_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, text FROM documents
+         |           WHERE text IS NOT NULL),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+         |mn AS (SELECT MIN(n_s) AS min_count FROM c),
+         |t AS (SELECT source, min_count * 1000000 // n_s AS thr
+         |      FROM c CROSS JOIN mn)
+         |SELECT d.doc_id, d.source,
+         |  ${polyhashSql("d.text")} % 1000000 AS bucket, t.thr
+         |FROM d JOIN t USING (source)
+         |WHERE ${polyhashSql("d.text")} % 1000000 < t.thr
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.quantileCalibrate: histogram-cumsum exact
+    // per-source P25 threshold, integer ceiling, keep verdict per doc.
+    "x79_quantile_calibrate" -> {
+      val pct = graft.operators.TextAnalysis.CalibratePct
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM d GROUP BY 1, 2),
+         |w AS (SELECT source, n_tokens,
+         |        SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+         |        SUM(c) OVER (PARTITION BY source) AS n_s
+         |      FROM h),
+         |t AS (SELECT source, MIN(n_tokens) AS threshold
+         |      FROM w WHERE cum >= (n_s * $pct + 99) // 100
+         |      GROUP BY source)
+         |SELECT d.doc_id, d.source, d.n_tokens, t.threshold,
+         |  d.n_tokens >= t.threshold AS keep
+         |FROM d JOIN t USING (source)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry

@@ -526,4 +526,82 @@ object Curation {
       .select("doc_id", "shard", "order_h", "pos")
       .orderBy("shard", "pos")
   }
+
+  /** Pattern length for [[exactDecontaminate]] — the leading span of a
+    * benchmark document that must not appear verbatim in training text
+    * (the exact-substring flavor of decontamination: catches quoted
+    * benchmark prompts that shingle-overlap scoring dilutes away on
+    * long documents). */
+  val PatternChars = 40
+
+  /** x75: EXACT-SUBSTRING decontamination — flags training documents
+    * containing the first [[PatternChars]] characters of any benchmark
+    * document verbatim. Complements x29/x52 (shingle-overlap fraction):
+    * a single quoted benchmark prompt inside a long document keeps a
+    * near-zero overlap FRACTION but is still leakage; the exact
+    * substring test is the standard second gate (e.g. contamination =
+    * verbatim span of length ≥ N).
+    *
+    * Scale shape: the benchmark pattern set is bounded (eval-suite
+    * sized), collapsed to a ONE-ROW sorted array (the df_cap 1-row
+    * broadcast pattern) and cross-joined broadcast into a pure map
+    * stage — `size(filter(patterns, contains))` evaluates P substring
+    * probes per document with ZERO join fan-out rows and zero
+    * shuffles before the presentation sort. At 100 TB this is the
+    * honest O(P·corpus-chars) multi-pattern scan; the corpus crosses
+    * no exchange. */
+  def exactDecontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    exactDecontaminateFrom(docs(spark, sfDir))
+
+  /** [[exactDecontaminate]] over an arbitrary (doc_id, text) relation —
+    * the testable core (fixtures plant a verbatim benchmark prefix in a
+    * training doc). */
+  private[graft] def exactDecontaminateFrom(d: DataFrame): DataFrame = {
+    val patterns = d
+      .filter(col("doc_id") < BenchmarkDocs && col("text").isNotNull
+        && length(col("text")) >= PatternChars)
+      .select(substring(col("text"), 1, PatternChars).as("p"))
+      .agg(sort_array(collect_set(col("p"))).as("patterns"))
+    d.filter(col("doc_id") >= BenchmarkDocs && col("text").isNotNull)
+      .crossJoin(broadcast(patterns))
+      .select(col("doc_id"),
+        size(expr("filter(patterns, p -> contains(text, p))"))
+          .cast("long").as("n_patterns_hit"))
+      .withColumn("contaminated", col("n_patterns_hit") > 0L)
+      .select("doc_id", "n_patterns_hit", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  /** x78: BALANCED STRATIFIED SAMPLE — deterministic content-keyed
+    * downsampling to the smallest stratum's size: every source keeps
+    * `min_count/n_s` of its documents via an integer micro-rate
+    * threshold on the content hash, so the expected per-source yield
+    * is equal (the class-balancing draw before training on skewed
+    * source mixes). Content-keyed like x20: the decision survives
+    * re-ingestion with different doc_ids and keeps exact duplicates
+    * together (they sample identically).
+    *
+    * All-integer: `thr_s = ⌊min_count·10⁶ / n_s⌋` and the keep test is
+    * `polyHash(text) mod 10⁶ < thr_s` — no float anywhere, so the gate
+    * is hash-exact by construction. Scale shape: per-source counts are
+    * a source-bounded partial aggregate broadcast back over a pure map
+    * stage; the corpus crosses zero exchanges. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSampleFrom(docs(spark, sfDir))
+
+  /** [[stratifiedSample]] over an arbitrary (doc_id, source, text)
+    * relation — the testable core. */
+  private[graft] def stratifiedSampleFrom(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.filter(col("text").isNotNull)
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val minc = counts.agg(min(col("n_s")).as("min_count"))
+    val thr = counts.join(broadcast(minc))
+      .select(col("source"),
+        expr("min_count * 1000000 DIV n_s").as("thr")) // integer division
+    d.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"),
+        pmod(polyHash(col("text")), lit(1000000L)).as("bucket"), col("thr"))
+      .filter(col("bucket") < col("thr"))
+      .orderBy("doc_id")
+  }
 }

@@ -200,4 +200,67 @@ object Frequency {
         col("n_terms_hit"), col("rank"))
       .orderBy("rank")
   }
+
+  /** Head size for the [[zipfFit]] regression — fitting on the top-K
+    * frequency ranks is standard practice (the tail bends away from the
+    * power law and its rank order is tie-noise anyway). */
+  val ZipfTopK = 100
+
+  /** x76: per-source ZIPF EXPONENT — least-squares slope of ln(count)
+    * against ln(rank) over each source's top-[[ZipfTopK]] terms. The
+    * one-number fingerprint of a source's token distribution: natural
+    * text sits near s ≈ 1, templated/boilerplate sources drift low,
+    * and a drifting exponent between crawls is a cheap corpus-health
+    * alarm.
+    *
+    * Scale shape: the corpus collapses to the (source × term) count
+    * aggregate first (vocabulary-bounded, sub-linear in corpus size by
+    * Heaps' law — the same altitude every x35/x43-family operator
+    * aggregates at); the rank window then runs over per-source VOCAB
+    * rows, never corpus rows, and the regression is a K-row-per-source
+    * partial aggregate. Determinism: ln(rank) and ln(count) quantize
+    * once to [[TextAnalysis.IdfScale]]d longs; all regression moments
+    * (Σx, Σy, Σxy, Σx²) are exact DECIMAL sums of those longs, and the
+    * slope is one correctly-rounded double division of exact integers
+    * — hash-exact at any partitioning. Ties rank deterministically by
+    * (count DESC, term ASC), mirrored in the oracle. */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame =
+    zipfFitFrom(docs(spark, sfDir))
+
+  /** [[zipfFit]] over an arbitrary (source, text) relation — the
+    * testable core (fixtures build sources with known rank/count pairs
+    * and check the slope against the same quantized formula). */
+  private[graft] def zipfFitFrom(docsDf: DataFrame): DataFrame = {
+    val sc = TextAnalysis.IdfScale
+    val counts = docsDf
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(desc("cnt"), col("term"))).cast("long"))
+      .filter(col("rank") <= ZipfTopK)
+      .withColumn("x", floor(log(col("rank").cast("double")) * sc + lit(0.5))
+        .cast("long"))
+      .withColumn("y", floor(log(col("cnt").cast("double")) * sc + lit(0.5))
+        .cast("long"))
+    ranked
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_top_terms"),
+        sum(col("x").cast("decimal(25,0)")).as("sx"),
+        sum(col("y").cast("decimal(25,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("slope",
+        (col("n_top_terms") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_top_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))
+      .select(col("source"), col("n_top_terms"),
+        (-col("slope")).as("zipf_exponent"))
+      .orderBy("source")
+  }
 }

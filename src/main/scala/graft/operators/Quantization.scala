@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.Tables
 import graft.util.OperatorCaches
@@ -59,11 +60,13 @@ object Quantization {
     * interpreted HOF and project-collapse would otherwise inline it into
     * every posexplode leg (the [[Dedup]] shingle-table judgment). */
   private def scaledVectors(spark: SparkSession, sfDir: String): DataFrame =
+    scaledVectorsFrom(Tables.embeddingsParallel(spark, sfDir))
+
+  private[graft] def scaledVectorsFrom(emb: DataFrame): DataFrame =
     OperatorCaches.persist(
-      Tables.embeddingsParallel(spark, sfDir)
-        .select(col("vec_id"), expr(
-          s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $CovScale + 0.5d) AS BIGINT))")
-          .as("sarr")))
+      emb.select(col("vec_id"), expr(
+        s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $CovScale + 0.5d) AS BIGINT))")
+        .as("sarr")))
 
   /** x38: embedding MOMENT/COVARIANCE statistics — the corpus pass at the
     * front of PCA / whitening / mean-centering (dimension reduction is
@@ -271,6 +274,71 @@ object Quantization {
     * the re-exploded corpus (the fact×dim judgment); the z computation
     * is a narrow projection. A constant dimension (σ = 0) z-scores to
     * 0 by convention — guarded identically in the oracle. */
+  /** Result size for [[embeddingOutliers]]. */
+  val OutlierTopK = 50
+
+  /** x77: EMBEDDING OUTLIERS by diagonal Mahalanobis distance — the
+    * top-[[OutlierTopK]] vectors by Σᵢ zᵢ² under the corpus's own
+    * per-dimension moments (x45's z-scores, folded per vector): the
+    * triage pass that surfaces corrupt encodes, wrong-modality rows,
+    * and distribution-breaking vectors before they poison ANN training
+    * or k-means seeding.
+    *
+    * Scale shape: the per-dimension moment table (Dim rows) collapses
+    * to ONE row of sorted mean/var arrays broadcast into a pure map
+    * stage (the x74 means pattern); the per-vector score is a
+    * fixed-order fold over the array — order-free by construction, not
+    * by commutativity — and the top-k is `orderBy+limit` →
+    * TakeOrderedAndProject (per-partition heaps; no corpus-wide rank
+    * window). σ² = 0 dimensions contribute 0, like x45. Ties break by
+    * vec_id; every input double (z via the [[CovScale]]-quantized
+    * moments) is bit-identical to the oracle's, so the ranking is too. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingOutliersFrom(
+      Tables.embeddingsParallel(spark, sfDir))
+
+  /** [[embeddingOutliers]] over an arbitrary (vec_id, embedding)
+    * relation — the testable core (fixtures plant one distribution-
+    * breaking vector and check it ranks first). */
+  private[graft] def embeddingOutliersFrom(emb: DataFrame): DataFrame = {
+    val scaled = scaledVectorsFrom(emb)
+    val once = scaled.select(col("vec_id"),
+      posexplode(col("sarr")).as(Seq("i", "sv")))
+    val n = scaled.agg(count(lit(1)).as("n_vecs"))
+    val sc = CovScale.toDouble
+    val moments = once.groupBy("i").agg(
+        sum(col("sv").cast("decimal(25,0)")).as("sum_i"),
+        sum((col("sv") * col("sv")).cast("decimal(25,0)")).as("sumsq_i"))
+      .join(broadcast(n))
+      .withColumn("mean_i",
+        col("sum_i").cast("double") / lit(sc) / col("n_vecs").cast("double"))
+      .withColumn("var_i",
+        col("sumsq_i").cast("double") / lit(sc * sc)
+          / col("n_vecs").cast("double")
+          - col("mean_i") * col("mean_i"))
+      .groupBy()
+      .agg(
+        expr("transform(sort_array(collect_list(struct(i, mean_i))), s -> s.mean_i)")
+          .as("means"),
+        expr("transform(sort_array(collect_list(struct(i, var_i))), s -> s.var_i)")
+          .as("vars"))
+    val top = scaled
+      .crossJoin(broadcast(moments))
+      .withColumn("score", expr(
+        s"""aggregate(
+           |  zip_with(zip_with(transform(sarr, s -> CAST(s AS DOUBLE) / ${sc}d),
+           |                    means, (v, mn) -> v - mn),
+           |           vars, (c, vr) -> if(vr <= 0.0d, 0.0d, c * c / vr)),
+           |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
+      .select(col("vec_id"), col("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(OutlierTopK)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), col("vec_id"))).cast("long"))
+      .select("rank", "vec_id", "score")
+      .orderBy("rank")
+  }
+
   def standardize(spark: SparkSession, sfDir: String): DataFrame = {
     val scaled = scaledVectors(spark, sfDir)
     val once = scaled.select(col("vec_id"),

@@ -696,4 +696,52 @@ object TextAnalysis {
             lit(Ipv4Re), lit("<IP>")),
           lit(DigitRunRe), lit("<NUM>")).as("scrubbed"))
       .orderBy("doc_id")
+
+  /** Percent of each source's docs dropped by [[quantileCalibrate]]
+    * (the bottom length quartile). */
+  val CalibratePct = 25L
+
+  /** x79: PER-SOURCE QUANTILE CALIBRATION — each source's own P25
+    * token-count threshold, computed EXACTLY via a histogram cumulative
+    * (not a value sort and not a sketch): a per-source quality gate
+    * must be calibrated against that source's distribution (a fixed
+    * global cutoff over-prunes terse sources and under-prunes verbose
+    * ones — the x21 global-percentile complement).
+    *
+    * Scale shape — the third exact-quantile mechanism in the battery,
+    * the one that works at 100 TB because the VALUE is a small integer:
+    * the corpus collapses to a (source × distinct-length) HISTOGRAM
+    * (bounded by max doc length, not corpus size) in one partial
+    * aggregate; the cumulative window runs over that tiny table; the
+    * threshold per source is the smallest length whose cumulative count
+    * reaches ⌈pct·n_s⌉ (pure integer arithmetic); and the verdict pass
+    * is a map stage against the source-bounded broadcast. Compare q18
+    * (exact percentile, collects each group's values — small groups
+    * only) and q22 (GK sketch — approximate): histogram-cumsum is exact
+    * AND fixed-state, the right tool when the domain is small integers. */
+  def quantileCalibrate(spark: SparkSession, sfDir: String): DataFrame =
+    quantileCalibrateFrom(docs(spark, sfDir))
+
+  /** [[quantileCalibrate]] over an arbitrary (doc_id, source, text)
+    * relation — the testable core. */
+  private[graft] def quantileCalibrateFrom(docsDf: DataFrame): DataFrame = {
+    val d = docsDf
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val hist = d.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy("source")))
+      // k = ⌈pct·n_s/100⌉ in pure integer math
+      .withColumn("k", expr(s"(n_s * $CalibratePct + 99) DIV 100"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("source").agg(min(col("n_tokens")).as("threshold"))
+    d.join(broadcast(thr), "source")
+      .withColumn("keep", col("n_tokens") >= col("threshold"))
+      .select("doc_id", "source", "n_tokens", "threshold", "keep")
+      .orderBy("doc_id")
+  }
 }

@@ -909,4 +909,108 @@ class OperatorsSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
     n.unpersist()
   }
+
+  test("x75 exact decontamination: planted verbatim benchmark prefix flags, " +
+      "clean doc does not, short benchmark docs produce no pattern") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val pat = ("b" * Curation.PatternChars) + " tail of the benchmark doc"
+    val fixture = Seq(
+      (1L, pat),                                     // benchmark, len ≥ 40
+      (2L, "short bench"),                           // benchmark, too short
+      (30L, "quoted verbatim: " + pat.take(Curation.PatternChars) + " done"),
+      (31L, "a perfectly clean training document"),
+      (32L, null.asInstanceOf[String])               // null text drops
+    ).toDF("doc_id", "text")
+    val out = Curation.exactDecontaminateFrom(fixture)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(30L -> (1L, true), 31L -> (0L, false)))
+  }
+
+  test("x76 zipf fit: slope reproduces the quantized least-squares formula " +
+      "on a constructed rank/count profile") {
+    import spark.implicits._
+    import graft.operators.Frequency
+    // source 'z': term wi repeated (9-i) times → counts 8,7,...,1 at
+    // ranks 1..8 (ties impossible); expected slope re-derived with the
+    // operator's own quantization, independently in driver-side Scala
+    val text = (1 to 8).flatMap(i => Seq.fill(9 - i)(s"w$i")).mkString(" ")
+    val out = Frequency.zipfFitFrom(Seq(("z", text)).toDF("source", "text"))
+      .collect()
+    assert(out.length === 1 && out.head.getLong(1) === 8L)
+    val sc = TextAnalysis.IdfScale
+    def q(v: Double) = math.floor(math.log(v) * sc + 0.5).toLong
+    val pts = (1 to 8).map(i => (q(i.toDouble), q((9 - i).toDouble)))
+    val (n, sx, sy) = (8L, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = -((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+    assert(out.head.getDouble(2) === want)
+    // and the profile is genuinely Zipf-ish (slope near 1, not degenerate)
+    assert(out.head.getDouble(2) > 0.5 && out.head.getDouble(2) < 1.5)
+  }
+
+  test("x77 embedding outliers: a planted distribution-breaking vector ranks " +
+      "first; ranks are contiguous; zero-variance dims contribute nothing") {
+    import spark.implicits._
+    import graft.operators.Quantization
+    // dims: [0] varies mildly, [1] constant (σ=0 must contribute 0),
+    // [2] zero except the planted outlier
+    val emb = Seq(
+      (1L, Array(0.10f, 5.0f, 0.0f)),
+      (2L, Array(0.20f, 5.0f, 0.0f)),
+      (3L, Array(0.15f, 5.0f, 0.0f)),
+      (4L, Array(0.12f, 5.0f, 0.0f)),
+      (5L, Array(0.11f, 5.0f, 9.9f)) // the outlier
+    ).toDF("vec_id", "embedding")
+    val out = Quantization.embeddingOutliersFrom(emb).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getLong(0)).toSeq === (1L to 5L)) // contiguous ranks
+    assert(out.head.getLong(1) === 5L, s"planted outlier must rank 1: ${out.toSeq}")
+    assert(out.head.getDouble(2) > out(1).getDouble(2),
+      "outlier score must lead strictly")
+    // z-scores are standardized: the non-outliers' dim-0 noise keeps
+    // them near Σz² ≈ Dim·O(1) while the planted dim-2 spike adds ≈4
+    assert(out.map(_.getDouble(2)).toSeq === out.map(_.getDouble(2)).sorted.reverse.toSeq)
+    graft.util.OperatorCaches.release(spark)
+  }
+
+  test("x78 stratified sample: integer thresholds balance to the smallest " +
+      "stratum; the full-rate stratum keeps everything; output ⊆ input") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val fixture = (1L to 40L).map(i => (i, "big", s"doc number $i content")) ++
+      (41L to 50L).map(i => (i, "small", s"doc number $i content"))
+    val out = Curation.stratifiedSampleFrom(
+      fixture.toDF("doc_id", "source", "text")).collect()
+    val bySource = out.groupBy(_.getString(1))
+    // thr(small) = 10*1e6/10 = 1e6 > any bucket → ALL small docs kept
+    assert(bySource("small").length === 10)
+    assert(out.forall(r => r.getLong(2) < r.getLong(3)), "bucket < thr")
+    assert(bySource("big").forall(_.getLong(3) === 250000L), "thr = 10M/40")
+    // content-keyed determinism: a second run selects identical rows
+    val again = Curation.stratifiedSampleFrom(
+      fixture.toDF("doc_id", "source", "text")).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("x79 quantile calibration: per-source histogram P25 threshold is exact " +
+      "and the keep verdict drops strictly-below-threshold docs") {
+    import spark.implicits._
+    // source 'a': lengths 1..8 → k = ⌈8·25/100⌉ = 2 → threshold 2;
+    // source 'b': lengths {3,3,3,9} → k = 1 → threshold 3 (all kept)
+    val fixture =
+      (1L to 8L).map(i => (i, "a", (1 to i.toInt).map(_ => "w").mkString(" "))) ++
+      Seq((11L, "b", "w w w"), (12L, "b", "w w w"), (13L, "b", "w w w"),
+        (14L, "b", (1 to 9).map(_ => "w").mkString(" ")))
+    val out = TextAnalysis.quantileCalibrateFrom(
+      fixture.toDF("doc_id", "source", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) === ((1L, 2L, false))) // below P25 → dropped
+    assert(out(2L) === ((2L, 2L, true)))  // at threshold → kept
+    assert(out(8L) === ((8L, 2L, true)))
+    assert((11L to 14L).forall(out(_)._3), "source b keeps everything")
+    assert(out(11L)._2 === 3L)
+  }
 }

@@ -513,6 +513,61 @@ class PlanShapeSpec extends SparkSpec {
       "corpus-sized broadcast hint in x68")
   }
 
+  test("round-9 operators: x75/x78/x79 broadcasts are aggregate-backed and " +
+      "map-stage shaped, x77 top-k is TakeOrderedAndProject with no corpus window") {
+    import graft.operators.{Curation, Quantization, TextAnalysis}
+    def aggBackedHint(h: ResolvedHint): Boolean =
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+    // x75: the only broadcast is the 1-row pattern array (global agg);
+    // the corpus side is a pure map stage — no window, no shuffle join
+    val x75 = Curation.exactDecontaminate(spark, Sf)
+    assert(logicalHints(x75).forall(aggBackedHint), "raw broadcast in x75")
+    val p75 = withoutAqe { x75.queryExecution.executedPlan }
+    assert(p75.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window crept into x75:\n$p75")
+    assert(p75.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"corpus shuffle join in x75:\n$p75")
+    // x78/x79: threshold tables are aggregate-backed broadcasts; the
+    // verdict pass must not sort or window the corpus
+    Seq("x78" -> Curation.stratifiedSample(spark, Sf),
+        "x79" -> TextAnalysis.quantileCalibrate(spark, Sf)).foreach {
+      case (name, df) =>
+        assert(logicalHints(df).forall(aggBackedHint),
+          s"non-aggregate broadcast hint in $name")
+    }
+    // x79's only windows run over the HISTOGRAM aggregate, never raw docs
+    val p79 = withoutAqe {
+      TextAnalysis.quantileCalibrate(spark, Sf).queryExecution.executedPlan
+    }
+    p79.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x79 window reads raw docs, not the histogram:\n$p79")
+    }
+    // x77: per-partition-heap top-k, rank window only above the limit
+    val p77 = withoutAqe {
+      Quantization.embeddingOutliers(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p77.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"x77 top-k is not TakeOrderedAndProject:\n$p77")
+    p77.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      }.isDefined, s"x77 rank window reads the unlimited relation:\n$p77")
+    }
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

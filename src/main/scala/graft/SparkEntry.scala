@@ -183,7 +183,20 @@ object SparkEntry {
     "x76_zipf_fit" -> (Frequency.zipfFit _),
     "x77_embedding_outliers" -> (Quantization.embeddingOutliers _),
     "x78_stratified_sample" -> (Curation.stratifiedSample _),
-    "x79_quantile_calibrate" -> (TextAnalysis.quantileCalibrate _)
+    "x79_quantile_calibrate" -> (TextAnalysis.quantileCalibrate _),
+    "x80_passage_dedup" -> (Dedup.passageDedup _),
+    "x81_importance_select" -> (TextAnalysis.importanceSelect _),
+    "x82_weighted_sample" -> (Curation.weightedSample _),
+    "x83_lang_mixture" -> (TextAnalysis.langMixture _),
+    "x84_bigram_lm" -> (TextAnalysis.bigramLm _),
+    // batch flavor of the STREAMING windowed heavy hitters (same code
+    // path, one group invocation per window; StreamingSpec drives the
+    // watermark-close/restart side)
+    "x85_window_topk" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.TopKStream.windowTopK(s,
+          graft.queries.Tables.events(s, dir), armTimeout = false)
+        .toDF().orderBy("window_start", "rank")),
+    "x86_token_budget" -> (Curation.tokenBudget _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2558,6 +2571,236 @@ object SparkEntry {
          |  d.n_tokens >= t.threshold AS keep
          |FROM d JOIN t USING (source)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // Mirrors Dedup.passageDedup: 16-token non-overlapping passages,
+    // first-occurrence winner per passage hash, per-doc survival stats.
+    "x80_passage_dedup" -> {
+      val pt = graft.operators.Dedup.PassageTokens
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (
+         |  SELECT doc_id, start, CAST((start - 1) // $pt AS BIGINT) AS pid,
+         |    ${polyhashSql(s"array_to_string(toks[start : start + ${pt - 1}], ' ')")} AS h
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) + 1, $pt)) AS start
+         |        FROM t)),
+         |w AS (SELECT doc_id, h,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pid) AS rn
+         |      FROM p),
+         |k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |      FROM w WHERE rn = 1 GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages
+         |        FROM p GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_passages,
+         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |  CAST(tot.n_passages - coalesce(k.n_kept, 0) AS DOUBLE)
+         |    / CAST(tot.n_passages AS DOUBLE) AS removed_frac
+         |FROM tot LEFT JOIN k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.importanceSelect: target-vs-background add-1
+    // unigram LMs out of one conditional aggregate, per-term ratio as an
+    // integer difference of separately-quantized lns.
+    "x81_importance_select" -> {
+      val sc = graft.operators.TextAnalysis.IdfScale
+      val tl = graft.operators.TextAnalysis.ImportanceTargetLang
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cb,
+         |        CAST(COUNT(*) FILTER (lang = '$tl') AS BIGINT) AS ct
+         |      FROM ex GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS tb,
+         |          CAST(SUM(ct) AS BIGINT) AS tt,
+         |          CAST(COUNT(*) AS BIGINT) AS v FROM c),
+         |lm AS (
+         |  SELECT term,
+         |    CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+         |      * $sc + 0.5) AS BIGINT)
+         |    - CAST(floor(ln(CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE))
+         |      * $sc + 0.5) AS BIGINT) AS lw_scaled
+         |  FROM c CROSS JOIN tot),
+         |s AS (
+         |  SELECT e.doc_id, e.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(lw_scaled) AS BIGINT) AS s
+         |  FROM ex e JOIN lm USING (term) GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(s AS DOUBLE) / $sc.0 / CAST(n_tokens AS DOUBLE) AS importance,
+         |  CAST(s AS DOUBLE) / $sc.0 / CAST(n_tokens AS DOUBLE) > 0.0
+         |    AS selected
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors Curation.weightedSample: content-hash uniform draw,
+    // Efraimidis-Spirakis key ln(u)/w as one division of exact integers.
+    "x82_weighted_sample" -> {
+      val us = graft.operators.Curation.SampleUScale
+      val k = graft.operators.Curation.SampleK
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+         |    (${polyhashSql("text")} % $us) + 1 AS u_scaled
+         |  FROM documents WHERE text IS NOT NULL),
+         |ky AS (
+         |  SELECT doc_id, source, weight,
+         |    CAST(floor(ln(CAST(u_scaled AS DOUBLE) / $us.0) * $us + 0.5)
+         |      AS BIGINT) AS lnu
+         |  FROM d),
+         |top AS (
+         |  SELECT doc_id, source, weight,
+         |    CAST(lnu AS DOUBLE) / CAST(weight AS DOUBLE) AS es_key
+         |  FROM ky ORDER BY es_key DESC, doc_id LIMIT $k)
+         |SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id, source, weight, es_key
+         |FROM top ORDER BY rank""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.langMixture: x10's marker CASE per 8-token
+    // window, per-doc fold with (count DESC, lang ASC) dominant tie-break.
+    "x83_lang_mixture" -> {
+      val mw = graft.operators.TextAnalysis.MixWindow
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, toks,
+         |        unnest(range(1, len(toks) + 1, $mw)) AS start
+         |      FROM t),
+         |sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks[start : start + ${mw - 1}],
+         |      x -> x IN ('the', 'is', 'and', 'of'))) AS s_en,
+         |    len(list_filter(toks[start : start + ${mw - 1}],
+         |      x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
+         |    len(list_filter(toks[start : start + ${mw - 1}],
+         |      x -> x IN ('el', 'la', 'los', 'y'))) AS s_es,
+         |    len(list_filter(toks[start : start + ${mw - 1}],
+         |      x -> x IN ('le', 'les', 'et', 'un'))) AS s_fr
+         |  FROM w),
+         |wl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+         |         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END AS wlang
+         |  FROM sc),
+         |c AS (SELECT doc_id, wlang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM wl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_windows,
+         |          CAST(COUNT(*) FILTER (wlang <> 'und') AS BIGINT) AS n_langs
+         |        FROM c GROUP BY 1),
+         |dom AS (SELECT doc_id, wlang,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY cnt DESC, wlang) AS rn
+         |        FROM c WHERE wlang <> 'und')
+         |SELECT agg.doc_id, agg.n_windows, agg.n_langs,
+         |  coalesce(d1.wlang, 'und') AS dominant_lang,
+         |  agg.n_langs >= 2 AS mixed
+         |FROM agg LEFT JOIN (SELECT doc_id, wlang FROM dom WHERE rn = 1) d1
+         |  USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.bigramLm: budgeted top-count bigram table with
+    // (count DESC, w1, w2) cut, stupid backoff through the unigram LM.
+    "x84_bigram_lm" -> {
+      val sc = graft.operators.TextAnalysis.IdfScale
+      val bb = graft.operators.TextAnalysis.BigramBudget
+      val bo = graft.operators.TextAnalysis.BackoffLnScaled
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |        FROM t)),
+         |uni AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+         |    SELECT w1 AS term FROM bg
+         |    UNION ALL SELECT toks[len(toks)] AS term FROM t)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS tt FROM uni),
+         |lm1 AS (
+         |  SELECT term, CAST(floor(ln(CAST(c1 AS DOUBLE) / CAST(tt AS DOUBLE))
+         |    * $sc + 0.5) AS BIGINT) AS lp1
+         |  FROM uni CROSS JOIN tot),
+         |bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2
+         |        ORDER BY c12 DESC, w1, w2 LIMIT $bb),
+         |lm2 AS (
+         |  SELECT bgc.w1, bgc.w2,
+         |    CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(uni.c1 AS DOUBLE))
+         |      * $sc + 0.5) AS BIGINT) AS lp2
+         |  FROM bgc JOIN uni ON bgc.w1 = uni.term),
+         |s AS (
+         |  SELECT bg.doc_id, coalesce(lm2.lp2, $bo + lm1.lp1) AS lp
+         |  FROM bg LEFT JOIN lm2 ON bg.w1 = lm2.w1 AND bg.w2 = lm2.w2
+         |  JOIN lm1 ON bg.w2 = lm1.term)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(lp) AS DOUBLE) / $sc.0 / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_logprob
+         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors TopKStream.windowTopK (batch flavor): exact per-hour
+    // top-8 event types, ties (count DESC, type ASC) — the MG summary is
+    // exact below its 64-key capacity (see MgK scaladoc).
+    "x85_window_topk" -> {
+      val k = graft.streaming.TopKStream.TopK
+      s"""WITH c AS (
+         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events WHERE event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT window_start, event_type, n_events,
+         |    CAST(row_number() OVER (PARTITION BY window_start
+         |      ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+         |  FROM c)
+         |SELECT window_start, rank, event_type, n_events
+         |FROM r WHERE rank <= $k
+         |ORDER BY window_start, rank""".stripMargin
+    },
+
+    // Mirrors Curation.tokenBudget: sorted-prefix water-filling level,
+    // all integer arithmetic over the source-bounded aggregate.
+    "x86_token_budget" -> {
+      val pct = graft.operators.Curation.BudgetPct
+      s"""WITH d AS (
+         |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         |        CAST(COUNT(*) AS BIGINT) AS s FROM c),
+         |r AS (
+         |  SELECT c.n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+         |      AS rn,
+         |    coalesce(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_prev,
+         |    lag(n_tokens) OVER (ORDER BY n_tokens, source) AS prev_n,
+         |    t.total, t.s
+         |  FROM c CROSS JOIN t),
+         |l AS (
+         |  SELECT MIN(((total * $pct) // 100 - cum_prev) // (s - rn + 1))
+         |      AS lambda
+         |  FROM r
+         |  WHERE (rn = 1 OR
+         |      ((total * $pct) // 100 - cum_prev) // (s - rn + 1) >= prev_n)
+         |    AND ((total * $pct) // 100 - cum_prev) // (s - rn + 1) < n_tokens)
+         |SELECT c.source, c.n_tokens,
+         |  CAST(least(c.n_tokens, coalesce(l.lambda, c.n_tokens)) AS BIGINT)
+         |    AS quota,
+         |  least(c.n_tokens, coalesce(l.lambda, c.n_tokens)) < c.n_tokens
+         |    AS capped
+         |FROM c CROSS JOIN l ORDER BY c.source""".stripMargin
     },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry

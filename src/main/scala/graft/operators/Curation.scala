@@ -604,4 +604,104 @@ object Curation {
       .filter(col("bucket") < col("thr"))
       .orderBy("doc_id")
   }
+
+  /** Sample size for [[weightedSample]]. */
+  val SampleK = 100
+  /** Resolution of the uniform draw derived from the content hash. */
+  val SampleUScale = 1000000L
+
+  /** x82: WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis) —
+    * draw [[SampleK]] documents with inclusion probability proportional
+    * to token count, deterministically: each doc's uniform u ∈ (0, 1]
+    * comes from its CONTENT hash (so the draw is reproducible across
+    * runs, partitionings, and re-ingestions — the x20 property), and
+    * the ES key u^(1/w) reduces to ordering by ln(u)/w, which the
+    * operator evaluates as ONE double division of an exact quantized
+    * ln(u) by the exact token count (no float accumulation anywhere).
+    * The draw every mixture sampler (x22's weights) actually needs to
+    * EXECUTE its allocation.
+    *
+    * Scale shape: a narrow map stage (hash, ln-quantize, divide) into
+    * `orderBy(key).limit(k)` → TakeOrderedAndProject per-partition
+    * heaps — the x77 top-k shape; the rank window runs over the
+    * already-limited k rows. No corpus exchange at all. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    weightedSampleFrom(docs(spark, sfDir))
+
+  /** Share of the corpus's tokens the [[tokenBudget]] allocation may
+    * spend (percent). */
+  val BudgetPct = 50L
+
+  /** x86: WATER-FILLING token-budget allocation — split a training
+    * budget of [[BudgetPct]]% of the corpus's tokens across sources so
+    * that every source gets `min(n_s, λ)` tokens, with the level λ
+    * chosen so the quotas exactly exhaust the budget (up to the <|capped
+    * sources| integer remainder, which stays unallocated). The fair-cap
+    * mixture rule: small sources keep everything, the largest sources
+    * are capped at a COMMON level instead of pro-rata (which would let
+    * one giant crawl dominate the mix — the x22/x51 judgment applied to
+    * the budget itself).
+    *
+    * Scale shape: the corpus collapses to per-source token counts in
+    * one partial aggregate; λ comes from the classic sorted-prefix
+    * closed form — for each split point k, λ_k = (B − cum_k) ÷ (S − k),
+    * valid iff n_k ≤ λ_k < n_{k+1} (exactly one k qualifies; all
+    * integer arithmetic) — evaluated with windows over the
+    * SOURCE-bounded aggregate (never corpus rows), and the quota pass
+    * is a map over that same tiny table. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetFrom(docs(spark, sfDir))
+
+  /** [[tokenBudget]] over an arbitrary (doc_id, source, text) relation —
+    * the testable core (fixtures pin λ against a hand-solved
+    * allocation, plus the degenerate budget ≥ corpus case). */
+  private[graft] def tokenBudgetFrom(docsDf: DataFrame): DataFrame = {
+    val counts = OperatorCaches.persist(
+      docsDf.filter(col("text").isNotNull)
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_tokens")))
+    val tot = counts.agg(
+      sum(col("n_tokens")).as("total"), count(lit(1)).as("s"))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = counts.join(broadcast(tot))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_prev", coalesce(
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_n", lag(col("n_tokens"), 1).over(w))
+      .withColumn("lam",
+        expr(s"((total * $BudgetPct) DIV 100 - cum_prev) DIV (s - rn + 1)"))
+      .filter((col("rn") === 1L || col("lam") >= col("prev_n")) &&
+        col("lam") < col("n_tokens"))
+    val lamRow = ranked.agg(min(col("lam")).as("lambda"))
+    counts.crossJoin(broadcast(lamRow))
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"),
+          coalesce(col("lambda"), col("n_tokens"))).as("quota"))
+      .withColumn("capped", col("quota") < col("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** [[weightedSample]] over an arbitrary (doc_id, source, text)
+    * relation — the testable core (fixtures check determinism and that
+    * the key formula matches a driver-side recomputation). */
+  private[graft] def weightedSampleFrom(docsDf: DataFrame): DataFrame = {
+    val top = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("weight"),
+        (pmod(polyHash(col("text")), lit(SampleUScale)) + 1L).as("u_scaled"))
+      .withColumn("lnu_scaled",
+        floor(log(col("u_scaled").cast("double") / SampleUScale.toDouble)
+          * SampleUScale + lit(0.5)).cast("long"))
+      .withColumn("es_key",
+        col("lnu_scaled").cast("double") / col("weight").cast("double"))
+      .select("doc_id", "source", "weight", "es_key")
+      .orderBy(desc("es_key"), col("doc_id")).limit(SampleK)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("es_key"), col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "source", "weight", "es_key")
+      .orderBy("rank")
+  }
 }

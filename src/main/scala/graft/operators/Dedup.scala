@@ -746,4 +746,55 @@ object Dedup {
       .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Tokens per passage for [[passageDedup]] — non-overlapping windows
+    * (stride = size), the passage granularity of CCNet-style dedup. */
+  val PassageTokens = 16
+
+  /** x80: PASSAGE-LEVEL first-occurrence dedup — exact dedup one level
+    * below the document: each doc splits into non-overlapping
+    * [[PassageTokens]]-token passages, every distinct passage keeps its
+    * FIRST occurrence (min (doc_id, position)), and each document
+    * reports how much of it survives. The level x1 (whole-doc) misses:
+    * templated pages sharing boilerplate passages around distinct
+    * payloads dedup HERE, not at the doc hash, and the removed-fraction
+    * is the per-doc signal a curation gate thresholds on.
+    *
+    * Scale shape: passages explode to ≤⌈len/[[PassageTokens]]⌉ rows per
+    * doc, each reduced to its polyhash — never the passage text. The
+    * first-occurrence winner per hash is ONE partial-aggregated groupBy
+    * (`min(struct(doc_id, pid))` — commutative, no window, no rejoin to
+    * the exploded relation); both the per-doc totals and the per-doc
+    * kept counts are doc-keyed aggregates (≤1 row per doc), and their
+    * join is dwarfed by the scan. Exactly two corpus-sized exchanges
+    * (passage hash, doc_id) at any scale. */
+  def passageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    passageDedupFrom(Tables.documentsParallel(spark, sfDir))
+
+  /** [[passageDedup]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures plant a shared passage across docs). */
+  private[graft] def passageDedupFrom(d: DataFrame): DataFrame = {
+    val p = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("start", explode(
+        sequence(lit(1L), size(col("toks")).cast("long"),
+          lit(PassageTokens.toLong))))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $PassageTokens").as("pid"),
+        polyHash(concat_ws(" ",
+          slice(col("toks"), col("start"), lit(PassageTokens)))).as("h"))
+    val totals = p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"))
+    val kept = p.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pid"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("removed_frac",
+        (col("n_passages") - col("n_kept")).cast("double") /
+          col("n_passages").cast("double"))
+      .orderBy("doc_id")
+  }
 }

@@ -744,4 +744,202 @@ object TextAnalysis {
       .select("doc_id", "source", "n_tokens", "threshold", "keep")
       .orderBy("doc_id")
   }
+
+  /** Target language for [[importanceSelect]] — the "domain we want
+    * more of" whose unigram distribution defines the numerator LM. */
+  val ImportanceTargetLang = "en"
+
+  /** x81: IMPORTANCE-WEIGHTED data selection (DSIR-style) — score every
+    * document by the mean per-token LOG-LIKELIHOOD RATIO between a
+    * target-domain unigram LM (docs whose lang is
+    * [[ImportanceTargetLang]]) and the full-corpus background LM, both
+    * add-1 smoothed over the joint vocabulary. Positive mean ratio =
+    * "looks more like the target domain than like the average of the
+    * corpus" — the contrastive complement of x43's single-LM scoring
+    * (a doc can be high-probability under BOTH models; only the ratio
+    * says which way it leans), and the standard cheap importance
+    * sampler for domain up-weighting.
+    *
+    * Scale shape: both LMs come out of ONE term-keyed partial aggregate
+    * (the target count is a conditional sum inside the same groupBy —
+    * no second corpus pass); each term's ratio quantizes ONCE to an
+    * integer difference of [[IdfScale]]d lns, so per-doc scoring is an
+    * exact LONG sum over a corpus explode × broadcast vocab join —
+    * x43's shape exactly. */
+  def importanceSelect(spark: SparkSession, sfDir: String): DataFrame =
+    importanceSelectFrom(docs(spark, sfDir))
+
+  /** [[importanceSelect]] over an arbitrary (doc_id, lang, text)
+    * relation — the testable core (fixtures give target and background
+    * disjoint vocabularies and check the sign separates them). */
+  private[graft] def importanceSelectFrom(docsDf: DataFrame): DataFrame = {
+    val ex = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("term"))
+    val counts = OperatorCaches.persist(
+      ex.groupBy("term").agg(
+        count(lit(1)).as("cb"),
+        sum(when(col("lang") === ImportanceTargetLang, 1L).otherwise(0L))
+          .as("ct")))
+    val tot = counts.agg(
+      sum(col("cb")).as("tb"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v"))
+    // quantize EACH ln separately, difference in exact integers — no
+    // cross-engine double-subtraction drift
+    val lm = counts.join(broadcast(tot))
+      .select(col("term"),
+        (floor(log((col("ct") + 1).cast("double") /
+            (col("tt") + col("v")).cast("double")) * IdfScale + lit(0.5))
+          .cast("long") -
+         floor(log((col("cb") + 1).cast("double") /
+            (col("tb") + col("v")).cast("double")) * IdfScale + lit(0.5))
+          .cast("long")).as("lw_scaled"))
+    ex.join(broadcast(lm), "term")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lw_scaled")).as("s"))
+      .withColumn("importance",
+        col("s").cast("double") / IdfScale / col("n_tokens").cast("double"))
+      .withColumn("selected", col("importance") > 0.0)
+      .select("doc_id", "lang", "n_tokens", "importance", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** Window size (tokens, non-overlapping) for [[langMixture]]. */
+  val MixWindow = 8
+
+  /** x83: SUB-DOCUMENT LANGUAGE MIXTURE — x10's marker-score language
+    * ID re-run per non-overlapping [[MixWindow]]-token window, then
+    * folded per document into (window count, distinct identified
+    * languages, dominant language, mixed flag). Doc-level language ID
+    * averages a code-switching document into whichever language has
+    * more mass; the window decomposition is the standard detector for
+    * mixed-language web text (embedded quotes, boilerplate in a second
+    * language) that a monolingual filter should not see as one clean
+    * doc.
+    *
+    * Scale shape: window explode (≤⌈len/[[MixWindow]]⌉ per doc) with
+    * per-window scores computed in the SAME map stage (codegen'd array
+    * filters, no join); the per-doc fold is one doc-keyed aggregate
+    * over (doc × ≤5 langs) rows. Dominant-language ties break by
+    * (count DESC, lang ASC) via a min-of-struct — commutative partial
+    * aggregation, not a window. */
+  def langMixture(spark: SparkSession, sfDir: String): DataFrame =
+    langMixtureFrom(docs(spark, sfDir))
+
+  /** [[langMixture]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures splice marker-heavy windows of two
+    * languages into one doc). */
+  private[graft] def langMixtureFrom(d: DataFrame): DataFrame = {
+    val markerSql = Map(
+      "en" -> Seq("the", "is", "and", "of"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "los", "y"),
+      "fr" -> Seq("le", "les", "et", "un"))
+      .map { case (l, ws) =>
+        l -> ws.map(w => s"'$w'").mkString(", ")
+      }
+    val w = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("start", explode(
+        sequence(lit(1L), size(col("toks")).cast("long"),
+          lit(MixWindow.toLong))))
+      .withColumn("wt", slice(col("toks"), col("start"), lit(MixWindow)))
+    val scored = markerSql.foldLeft(w) { case (df, (l, lst)) =>
+      df.withColumn(s"s_$l",
+        expr(s"size(filter(wt, x -> x in ($lst)))").cast("long"))
+    }
+    val wlang = scored.withColumn("wlang",
+      when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0L,
+        "und")
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+      .select("doc_id", "wlang")
+    wlang.groupBy("doc_id", "wlang").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_windows"),
+        count(when(col("wlang") =!= "und", col("wlang"))).as("n_langs"),
+        min(when(col("wlang") =!= "und",
+          struct((-col("cnt")).as("negc"), col("wlang").as("l"))))
+          .as("dom"))
+      .select(col("doc_id"), col("n_windows"), col("n_langs"),
+        coalesce(col("dom.l"), lit("und")).as("dominant_lang"),
+        (col("n_langs") >= 2L).as("mixed"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-table budget for [[bigramLm]] — the LM ships only its top-
+    * count bigrams; everything past the budget scores through backoff.
+    * The budget is what keeps the broadcast table bounded at 100 TB
+    * (a raw bigram table grows with the corpus; the budgeted head does
+    * not). */
+  val BigramBudget = 65536
+  /** Stupid-backoff discount: score(w2|w1) falls back to 0.4·P(w2). */
+  val BackoffLnScaled: Long =
+    math.floor(math.log(0.4) * IdfScale + 0.5).toLong
+
+  /** x84: BIGRAM LM scoring with STUPID BACKOFF — per-document mean
+    * log-score under a bigram model whose table is capped at
+    * [[BigramBudget]] entries by count (ties (count DESC, w1, w2));
+    * bigrams outside the table score as ln(0.4) + unigram log-prob.
+    * The CCNet-style quality signal one order above x43: repetitive or
+    * scrambled text that a unigram LM cannot distinguish from prose
+    * scores distinctly under transition probabilities.
+    *
+    * Scale shape: bigram counts are one partial-aggregated groupBy
+    * (vocabulary-pair-bounded, NOT corpus-bounded after aggregation);
+    * the budget cut is top-k via orderBy+limit (per-partition heaps),
+    * which is the whole point — the shipped LM is a fixed-size
+    * broadcast no matter the corpus. Scoring is the x43 shape twice:
+    * corpus bigram explode × broadcast bigram table (left) × broadcast
+    * unigram table (backoff), all lns quantized once per LM entry, doc
+    * sums exact LONGs. */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLmFrom(docs(spark, sfDir))
+
+  /** [[bigramLm]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures check an in-table bigram scores
+    * ln(c12/c1) and an out-of-table one backs off). */
+  private[graft] def bigramLmFrom(d: DataFrame): DataFrame = {
+    val toks = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = OperatorCaches.persist(
+      toks
+        .withColumn("i", explode(
+          sequence(lit(1L), size(col("toks")).cast("long") - 1L)))
+        .select(col("doc_id"),
+          element_at(col("toks"), col("i").cast("int")).as("w1"),
+          element_at(col("toks"), col("i").cast("int") + 1).as("w2")))
+    val uni = OperatorCaches.persist(
+      bg.select(col("doc_id"), col("w1").as("term"))
+        .union(toks.select(col("doc_id"),
+          element_at(col("toks"), size(col("toks"))).as("term")))
+        .groupBy("term").agg(count(lit(1)).as("c1")))
+    val total = uni.agg(sum(col("c1")).as("t"))
+    val lm1 = uni.join(broadcast(total))
+      .select(col("term"),
+        floor(log(col("c1").cast("double") / col("t").cast("double"))
+          * IdfScale + lit(0.5)).cast("long").as("lp1_scaled"))
+    val lm2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .orderBy(desc("c12"), col("w1"), col("w2")).limit(BigramBudget)
+      .join(uni.withColumnRenamed("term", "w1"), "w1")
+      .select(col("w1"), col("w2"),
+        floor(log(col("c12").cast("double") / col("c1").cast("double"))
+          * IdfScale + lit(0.5)).cast("long").as("lp2_scaled"))
+    bg.join(broadcast(lm2), Seq("w1", "w2"), "left")
+      .join(broadcast(lm1.withColumnRenamed("term", "w2")), "w2")
+      .select(col("doc_id"),
+        coalesce(col("lp2_scaled"),
+          lit(BackoffLnScaled) + col("lp1_scaled")).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      .withColumn("avg_logprob",
+        col("s").cast("double") / IdfScale / col("n_bigrams").cast("double"))
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .orderBy("doc_id")
+  }
 }

@@ -1013,4 +1013,138 @@ class OperatorsSpec extends SparkSpec {
     assert((11L to 14L).forall(out(_)._3), "source b keeps everything")
     assert(out(11L)._2 === 3L)
   }
+
+  test("x80 passage dedup: a shared passage keeps only its first occurrence; " +
+      "the earliest doc keeps everything; counts and fractions are exact") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val pt = Dedup.PassageTokens
+    val shared = (1 to pt).map(i => s"s$i").mkString(" ")   // one full passage
+    val uniq = (1 to pt).map(i => s"u$i").mkString(" ")
+    val fixture = Seq(
+      (1L, shared + " " + uniq),          // passages: shared, uniq → both kept
+      (2L, shared + " " + shared),        // both = shared, both lose to doc 1
+      (3L, uniq.replace("u", "v"))        // unique → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedupFrom(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((2L, 2L, 0.0)))
+    assert(out(2L) === ((2L, 0L, 1.0)))
+    assert(out(3L) === ((1L, 1L, 0.0)))
+  }
+
+  test("x81 importance selection: target-vocabulary docs score positive, " +
+      "background-only docs negative; the ratio matches a driver recompute") {
+    import spark.implicits._
+    // target (en) speaks 'aa bb', background (de) speaks 'cc dd':
+    // disjoint vocabularies → en docs lean target, de docs lean away
+    val fixture = Seq(
+      (1L, "en", "aa bb aa bb"), (2L, "en", "aa aa bb bb"),
+      (3L, "de", "cc dd cc dd"), (4L, "de", "dd dd cc cc"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.importanceSelectFrom(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._1 > 0.0 && out(1L)._2)
+    assert(out(3L)._1 < 0.0 && !out(3L)._2)
+    // driver-side recompute of doc 1's score with the same quantization:
+    // cb(aa)=4, ct(aa)=4, tb=16, tt=8, v=4
+    val sc = TextAnalysis.IdfScale
+    def q(v: Double) = math.floor(math.log(v) * sc + 0.5).toLong
+    val lw = q(5.0 / 12.0) - q(5.0 / 20.0) // both aa and bb have cb=4, ct=4
+    assert(out(1L)._1 === lw * 4.0 / sc / 4.0)
+    graft.util.OperatorCaches.release(spark)
+  }
+
+  test("x82 weighted sample: keys match the ES formula recomputed driver-side, " +
+      "ranks are contiguous, and the draw is deterministic") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val fixture = (1L to 30L)
+      .map(i => (i, s"src${i % 3}", (1 to (i % 7 + 2).toInt)
+        .map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.weightedSampleFrom(fixture).collect()
+    assert(out.length === 30) // k=100 > n → everything sampled, ordered
+    assert(out.map(_.getLong(0)).toSeq === (1L to 30L))
+    val keys = out.map(r => (r.getLong(1), r.getDouble(4)))
+    assert(keys.map(_._2).toSeq === keys.map(_._2).sorted.reverse.toSeq)
+    // recompute one doc's key: u from the content polyhash, ln quantized
+    val row = out.find(_.getLong(1) === 5L).get
+    val text = (1 to (5 % 7 + 2)).map(j => s"w5-$j").mkString(" ")
+    val h = text.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val u = (h % Curation.SampleUScale + 1).toDouble / Curation.SampleUScale
+    val lnu = math.floor(math.log(u) * Curation.SampleUScale + 0.5).toLong
+    val w = text.split(" ").length.toLong
+    assert(row.getDouble(4) === lnu.toDouble / w.toDouble)
+    val again = Curation.weightedSampleFrom(fixture).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("x83 language mixture: a code-switching doc reports both languages " +
+      "with the majority dominant; a marker-free doc is 'und' and unmixed") {
+    import spark.implicits._
+    val mw = TextAnalysis.MixWindow
+    val en = Seq.fill(mw / 4)("the is and of").mkString(" ")  // one en window
+    val de = Seq.fill(mw / 4)("der die das und").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$en $de $de"),             // 3 windows: 1 en + 2 de → de dominant
+      (2L, en),                          // monolingual
+      (3L, "xx yy zz ww xx yy zz ww"))   // no markers → und
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langMixtureFrom(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((3L, 2L, "de", true)))
+    assert(out(2L) === ((1L, 1L, "en", false)))
+    assert(out(3L) === ((1L, 0L, "und", false)))
+  }
+
+  test("x84 bigram LM: per-bigram scores are ln(c12/c1) quantized, summed " +
+      "exactly; deterministic transitions score 0; the backoff constant pins") {
+    import spark.implicits._
+    // doc 1 'a b a b ...': c12(a,b)=8/c1(a)=8 → 0, c12(b,a)=7/c1(b)=8 < 0;
+    // doc 2 'c d e f g h': every transition count 1 over c1 1 → exactly 0
+    val fixture = Seq(
+      (1L, Seq.fill(8)("a b").mkString(" ")),
+      (2L, "c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmFrom(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 15L) // 16 tokens → 15 bigrams
+    assert(out(2L)._1 === 5L)
+    val sc = TextAnalysis.IdfScale
+    def q(v: Double) = math.floor(math.log(v) * sc + 0.5).toLong
+    assert(out(1L)._2 === q(7.0 / 8.0) * 7.0 / sc / 15.0)
+    assert(out(2L)._2 === 0.0)
+    // stupid-backoff constant: floor(ln(0.4)·scale + 0.5) exactly
+    assert(TextAnalysis.BackoffLnScaled === q(0.4))
+    graft.util.OperatorCaches.release(spark)
+  }
+
+  test("x86 token budget: the water-filling level matches the hand-solved " +
+      "allocation, exhausts the budget, and handles the λ=0 edge") {
+    import spark.implicits._
+    import graft.operators.Curation
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, (1 to n).map(i => s"t$i").mkString(" "))
+    // counts a=2 b=4 c=10 d=20, total 36, budget 18:
+    // k=2 → λ = (18-6) div 2 = 6 → quotas 2,4,6,6 (= 18 exactly)
+    val fixture = Seq(doc(1, "a", 2), doc(2, "b", 4), doc(3, "c", 10),
+      doc(4, "d", 20)).toDF("doc_id", "source", "text")
+    val out = Curation.tokenBudgetFrom(fixture).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out === Map(
+      "a" -> ((2L, 2L, false)), "b" -> ((4L, 4L, false)),
+      "c" -> ((10L, 6L, true)), "d" -> ((20L, 6L, true))))
+    assert(out.values.map(_._2).sum === 18L, "quotas exhaust the budget")
+    graft.util.OperatorCaches.release(spark)
+    // λ=0 edge: 3 sources × 1 token, budget = 3·50% = 1 < S → λ=0
+    val tiny = Seq(doc(1, "a", 1), doc(2, "b", 1), doc(3, "c", 1))
+      .toDF("doc_id", "source", "text")
+    val z = Curation.tokenBudgetFrom(tiny).collect()
+    assert(z.forall(r => r.getLong(2) === 0L && r.getBoolean(3)))
+    graft.util.OperatorCaches.release(spark)
+  }
 }

@@ -568,6 +568,66 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("round-9b operators: x81/x84 score through aggregate-backed broadcasts, " +
+      "x82 top-k is TakeOrderedAndProject, x80/x83 never window the corpus") {
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    def aggBackedHint(h: ResolvedHint): Boolean =
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+    // x81/x84: every broadcast is an LM table (aggregate-derived) —
+    // never a raw corpus relation
+    Seq("x81" -> TextAnalysis.importanceSelect(spark, Sf),
+        "x84" -> TextAnalysis.bigramLm(spark, Sf)).foreach {
+      case (name, df) =>
+        assert(logicalHints(df).forall(aggBackedHint),
+          s"raw-relation broadcast hint in $name")
+    }
+    // x82: per-partition-heap top-k; the rank window reads the limited rows
+    val p82 = withoutAqe {
+      Curation.weightedSample(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p82.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"x82 top-k is not TakeOrderedAndProject:\n$p82")
+    p82.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      }.isDefined, s"x82 rank window reads the unlimited relation:\n$p82")
+    }
+    // x80: the winner is a partial-aggregated groupBy (min-of-struct),
+    // never a window over the exploded passage relation
+    val p80 = withoutAqe {
+      Dedup.passageDedup(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p80.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window crept into x80:\n$p80")
+    // x83: scores are computed in the explode's map stage — no join at all
+    val p83 = withoutAqe {
+      TextAnalysis.langMixture(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p83.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"join crept into x83's map+fold shape:\n$p83")
+    // x86: the water-filling windows run over the SOURCE-bounded count
+    // aggregate, never over corpus rows
+    val p86 = withoutAqe {
+      Curation.tokenBudget(spark, Sf).queryExecution.executedPlan
+    }
+    p86.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x86 window reads raw docs, not the source aggregate:\n$p86")
+    }
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

@@ -252,6 +252,76 @@ class StreamingSpec extends SparkSpec {
       Set("globex.supprt", "globex.crmabc"))
   }
 
+  test("windowTopK (batch): exact per-window ranks with (count DESC, type ASC) " +
+      "ties and the top-8 cut") {
+    import spark.implicits._
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 10: a×3, b×3 (tie → a first), then c..j×1 (j falls off the top-8);
+    // hour 11: solo window
+    val h10 = Seq.fill(3)("a") ++ Seq.fill(3)("b") ++
+      Seq("c", "d", "e", "f", "g", "h", "i", "j")
+    val evts = h10.zipWithIndex.map { case (t, i) =>
+      Evt(i.toLong, at("2024-01-15 10:05:00"), 1L, t)
+    } :+ Evt(99L, at("2024-01-15 11:30:00"), 1L, "z")
+    val out = graft.streaming.TopKStream
+      .windowTopK(spark, evts.toDF(), armTimeout = false)
+      .collect().sortBy(r => (r.window_start.getTime, r.rank))
+    val h10rows = out.filter(_.window_start === at("2024-01-15 10:00:00"))
+    assert(h10rows.length === 8, "top-8 cut")
+    assert(h10rows.take(2).map(r => (r.event_type, r.n_events)).toSeq ===
+      Seq(("a", 3L), ("b", 3L)))
+    assert(h10rows.map(_.rank).toSeq === (1L to 8L))
+    assert(!h10rows.map(_.event_type).contains("j"), "rank 9 must be cut")
+    assert(out.filter(_.window_start === at("2024-01-15 11:00:00"))
+      .map(r => (r.rank, r.event_type, r.n_events)).toSeq === Seq((1L, "z", 1L)))
+  }
+
+  test("windowTopK (streaming): summary accumulates across restarts, emits " +
+      "once at watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("graft_topk_cp").toString
+    val src = MemoryStream[Evt]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.WindowTopK]
+    def run(): Unit = {
+      val q = graft.streaming.TopKStream
+        .windowTopK(spark, src.toDF())
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.WindowTopK], _: Long) =>
+          rows.synchronized { rows ++= ds.collect() }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: hour-10 window opens (a×2, b×1) — nothing emits
+    src.addData(Evt(1, at("2024-01-15 10:01:00"), 1, "a"),
+      Evt(2, at("2024-01-15 10:02:00"), 1, "a"),
+      Evt(3, at("2024-01-15 10:03:00"), 1, "b"))
+    run()
+    assert(rows.synchronized(rows.isEmpty), "open window must not emit")
+    // batch 2 = RESTARTED query: the summary survived; more a's and c's
+    src.addData(Evt(4, at("2024-01-15 10:30:00"), 1, "c"),
+      Evt(5, at("2024-01-15 10:31:00"), 1, "c"),
+      Evt(6, at("2024-01-15 10:32:00"), 1, "a"))
+    run()
+    assert(rows.synchronized(rows.isEmpty), "still open")
+    // batches 3+4: advance the watermark past 11:00 (batch 4's watermark
+    // derives from batch 3's max event time) → hour-10 closes once
+    src.addData(Evt(7, at("2024-01-15 12:30:00"), 1, "z"))
+    run()
+    src.addData(Evt(8, at("2024-01-15 12:31:00"), 1, "z"))
+    run()
+    val got = rows.synchronized(rows.toList)
+    assert(got.map(r => (r.rank, r.event_type, r.n_events)) ===
+      List((1L, "a", 3L), (2L, "c", 2L), (3L, "b", 1L)),
+      s"hour-10 must close exactly once with merged counts: $got")
+    assert(got.forall(_.window_start === at("2024-01-15 10:00:00")))
+  }
+
   test("variant analytics MV ≡ string-path MV, streaming and batch " +
       "(single-parse VariantType derivation is a drop-in for the json_tuple one)") {
     import spark.implicits._

@@ -103,11 +103,14 @@ object TopKStream {
   /** One MG insertion: increment a present key, append below capacity,
     * otherwise decrement every counter (dropping zeros) — the classic
     * k-counter sketch step. Arrays copy on structural change only;
-    * the common increment path mutates in place. */
-  private def mgAdd(s: MgSummary, t: String): MgSummary = {
+    * the common increment path mutates in place. Capacity is a
+    * parameter so `GraftProperties` can drive the decrement path with
+    * small streams (production path always passes [[MgK]]). */
+  private[graft] def mgAdd(s: MgSummary, t: String,
+      cap: Int = MgK): MgSummary = {
     val i = s.types.indexOf(t)
     if (i >= 0) { s.counts(i) += 1L; s }
-    else if (s.types.length < MgK)
+    else if (s.types.length < cap)
       MgSummary(s.types :+ t, s.counts :+ 1L)
     else {
       val keep = Array.newBuilder[Int]

@@ -195,4 +195,33 @@ object GraftProperties extends Properties("graft") {
           heavy.forall(t => recount(t) == counts(t))
       }
     }
+
+  /** The x85 exactness claim (TopKStream.MgK doc): folding any stream
+    * through the per-window summary is EXACT (plain count map) whenever
+    * distinct keys ≤ capacity — no decrement ever fires — and in
+    * general every surviving counter obeys the Misra–Gries band
+    * true − N/(cap+1) ≤ counter ≤ true. Order-insensitivity of the
+    * exact case is checked by folding a shuffled copy. */
+  property("x85 window summary: exact below capacity (any order), " +
+      "MG undercount band above it") =
+    forAll(termStream, Gen.oneOf(2, 3, 7, 64), Gen.long) { (terms, cap, seed) =>
+      import graft.streaming.{MgSummary, TopKStream}
+      def fold(ts: Seq[String]) =
+        ts.foldLeft(MgSummary(Array.empty, Array.empty))(
+          (s, t) => TopKStream.mgAdd(s, t, cap))
+      val counts = terms.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val s = fold(terms)
+      val got = s.types.zip(s.counts).toMap
+      if (counts.size <= cap) {
+        val shuffled = fold(new scala.util.Random(seed).shuffle(terms))
+        got == counts && shuffled.types.zip(shuffled.counts).toMap == counts
+      } else {
+        val n = terms.size.toLong
+        got.forall { case (t, c) =>
+          c <= counts(t) && c >= counts(t) - n / (cap + 1)
+        } && counts.forall { case (t, c) =>
+          !(c * (cap + 1) > n) || got.contains(t)   // heavy ⇒ survives
+        }
+      }
+    }
 }

@@ -700,13 +700,58 @@ object SparkEntry {
         |    THEN DEC6(o_totalprice) END)), 0.0) AS sum_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Each percentile replicates Spark's Percentile semantics (the x60
+    // finding): return the KEY untouched when the floor/ceil rank
+    // neighbors are equal, else (ceil(p)−p)·v_lo + (p−floor(p))·v_hi —
+    // quantile_cont's always-interpolate convex form drifts 1 ulp on
+    // the equal-key path.
     "q18_percentiles" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
-        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
-        |  quantile_cont(l_discount, 0.25) AS p25_disc,
-        |  COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH rq AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |rp AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |rd AS (
+        |  SELECT l_returnflag, l_discount AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_discount) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |pq AS (
+        |  SELECT l_returnflag, CAST(0.5 AS DOUBLE) * (n - 1) AS p,
+        |    MIN(CASE WHEN rn = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN v END) AS v1,
+        |    MIN(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN v END) AS v2
+        |  FROM rq GROUP BY l_returnflag, n),
+        |ppr AS (
+        |  SELECT l_returnflag, CAST(0.9 AS DOUBLE) * (n - 1) AS p,
+        |    MIN(CASE WHEN rn = CAST(floor(CAST(0.9 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN v END) AS v1,
+        |    MIN(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN v END) AS v2
+        |  FROM rp GROUP BY l_returnflag, n),
+        |pd AS (
+        |  SELECT l_returnflag, CAST(0.25 AS DOUBLE) * (n - 1) AS p,
+        |    MIN(CASE WHEN rn = CAST(floor(CAST(0.25 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN v END) AS v1,
+        |    MIN(CASE WHEN rn = CAST(ceil(CAST(0.25 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN v END) AS v2
+        |  FROM rd GROUP BY l_returnflag, n),
+        |cnt AS (SELECT l_returnflag, COUNT(*) AS n_rows
+        |        FROM lineitem GROUP BY l_returnflag)
+        |SELECT cnt.l_returnflag,
+        |  CASE WHEN pq.v2 = pq.v1 THEN pq.v1
+        |       ELSE (ceil(pq.p) - pq.p) * pq.v1 + (pq.p - floor(pq.p)) * pq.v2
+        |  END AS p50_qty,
+        |  CASE WHEN ppr.v2 = ppr.v1 THEN ppr.v1
+        |       ELSE (ceil(ppr.p) - ppr.p) * ppr.v1 + (ppr.p - floor(ppr.p)) * ppr.v2
+        |  END AS p90_price,
+        |  CASE WHEN pd.v2 = pd.v1 THEN pd.v1
+        |       ELSE (ceil(pd.p) - pd.p) * pd.v1 + (pd.p - floor(pd.p)) * pd.v2
+        |  END AS p25_disc,
+        |  n_rows
+        |FROM cnt JOIN pq USING (l_returnflag) JOIN ppr USING (l_returnflag)
+        |  JOIN pd USING (l_returnflag)
+        |ORDER BY cnt.l_returnflag""".stripMargin,
 
     // Oracle is the UNSALTED group-by: the salt is a physical detail that
     // must not change results (decimal accumulation is associative).
@@ -2070,15 +2115,41 @@ object SparkEntry {
         |  event_id AS last_event_id, value AS last_value, n_events
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
-    // Mirrors Relational.winsorize: quantile_cont = Spark's exact
-    // interpolated `percentile` (q18 precedent); the clipped sum/avg go
-    // through the decimal bridge like every double aggregate.
+    // Mirrors Relational.winsorize. The bounds CTE replicates Spark's
+    // Percentile semantics exactly instead of calling quantile_cont:
+    // Spark RETURNS THE KEY when the floor/ceil rank neighbors are
+    // EQUAL (no interpolation at all), else computes
+    // (ceil(p)−p)·v_lo + (p−floor(p))·v_hi. DuckDB always interpolates
+    // as the convex combination, which drifts 1 ulp on the equal-key
+    // path (sf1 'error' p05: 2.52 vs 2.5200000000000005 — the latent
+    // gap the round-9 sf1 gate exposed).
     "x60_winsorize" ->
-      s"""WITH b AS (
+      s"""WITH sv AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |pp AS (SELECT event_type,
+         |    CAST(${graft.queries.Relational.WinsorLo} AS DOUBLE) * (n - 1) AS plo,
+         |    CAST(${graft.queries.Relational.WinsorHi} AS DOUBLE) * (n - 1) AS phi
+         |  FROM sv GROUP BY event_type, n),
+         |bv AS (
+         |  SELECT pp.event_type, pp.plo, pp.phi,
+         |    MIN(CASE WHEN sv.rn = CAST(floor(pp.plo) AS BIGINT) + 1 THEN sv.value END) AS lo1,
+         |    MIN(CASE WHEN sv.rn = CAST(ceil(pp.plo) AS BIGINT) + 1 THEN sv.value END) AS lo2,
+         |    MIN(CASE WHEN sv.rn = CAST(floor(pp.phi) AS BIGINT) + 1 THEN sv.value END) AS hi1,
+         |    MIN(CASE WHEN sv.rn = CAST(ceil(pp.phi) AS BIGINT) + 1 THEN sv.value END) AS hi2
+         |  FROM pp JOIN sv USING (event_type)
+         |  GROUP BY pp.event_type, pp.plo, pp.phi),
+         |b AS (
          |  SELECT event_type,
-         |    quantile_cont(value, ${graft.queries.Relational.WinsorLo}) AS lo,
-         |    quantile_cont(value, ${graft.queries.Relational.WinsorHi}) AS hi
-         |  FROM events GROUP BY 1)
+         |    CASE WHEN lo2 = lo1 THEN lo1
+         |         ELSE (ceil(plo) - plo) * lo1 + (plo - floor(plo)) * lo2
+         |    END AS lo,
+         |    CASE WHEN hi2 = hi1 THEN hi1
+         |         ELSE (ceil(phi) - phi) * hi1 + (phi - floor(phi)) * hi2
+         |    END AS hi
+         |  FROM bv)
          |SELECT e.event_type,
          |  COUNT(*) AS n_rows,
          |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,

@@ -15,7 +15,7 @@ import graft.streaming.NatsLikeStream
   * {{{
   * sbt "runMain graft.Service --config nats.yml --backlog <jsonl dir> \
   *   --warehouse <out dir> [--sink parquet|blocks|http|native] [--once] \
-  *   [--capture] [--sessions]"
+  *   [--capture] [--sessions] [--topk]"
   * }}}
   *
   * `--sink parquet` (default) streams the raw + analytics MV cascade as
@@ -37,6 +37,12 @@ import graft.streaming.NatsLikeStream
   * envelope stream ([[graft.streaming.SessionStream.sessionizeEnvelopes]])
   * and appends closed sessions to `<warehouse>/sessions` under an
   * independent checkpoint.
+  *
+  * `--topk` additionally runs x85 windowed heavy hitters over the same
+  * envelope stream ([[graft.streaming.TopKStream.windowTopKEnvelopes]] —
+  * payload `event_type`, subject fallback) and appends each window's
+  * final ranking to `<warehouse>/window_topk` under an independent
+  * checkpoint.
   *
   * `--capture` makes the config's `nats://` URL a REAL dial: drain the
   * subscription ([[graft.sources.NatsCapture]] — socket handshake,
@@ -61,6 +67,7 @@ object Service {
           case "--once" :: tail => loop(tail, acc + ("once" -> "true"))
           case "--capture" :: tail => loop(tail, acc + ("capture" -> "true"))
           case "--sessions" :: tail => loop(tail, acc + ("sessions" -> "true"))
+          case "--topk" :: tail => loop(tail, acc + ("topk" -> "true"))
           case _ :: tail => loop(tail, acc)
           case Nil => acc
         }
@@ -200,13 +207,33 @@ object Service {
         .start()
     } else None
 
+    // x85 through the service (--topk): per-window heavy hitters over
+    // the same envelope stream — a window's ranking emits exactly once
+    // at watermark close, so per-micro-batch parquet appends are
+    // exactly-once under the query's own checkpoint.
+    val topkQuery = if (opts.contains("topk")) Some {
+      graft.streaming.TopKStream.windowTopKEnvelopes(spark, envelopes)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$warehouse/_checkpoint_topk")
+        .trigger(trigger)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.WindowTopK],
+           _: Long) =>
+            ds.write.mode("append").parquet(s"$warehouse/window_topk"); ()
+        }
+        .start()
+    } else None
+
     // B4: SIGTERM/SIGINT → graceful stop; checkpoint replays the tail.
     sys.addShutdownHook {
       if (query.isActive) query.stop()
       sessionQuery.foreach(q => if (q.isActive) q.stop())
+      topkQuery.foreach(q => if (q.isActive) q.stop())
     }
     query.awaitTermination()
     sessionQuery.foreach(_.awaitTermination())
+    topkQuery.foreach(_.awaitTermination())
     spark.stop()
   }
 }

@@ -57,6 +57,19 @@ object TopKStream {
     *
     * Ties rank deterministically by (count DESC, event_type ASC),
     * mirrored in the oracle. */
+  /** [[windowTopK]] over the SERVICE's envelope stream (the DSv2 replay
+    * source's schema): the ranked key is the payload's `event_type`
+    * when present, else the subject (a hot-subjects leaderboard for
+    * plain pipeline traffic); event-time is the JetStream metadata
+    * timestamp. This is the x85 path `Service --topk` runs end-to-end:
+    * ReplaySource → windowTopK → per-batch appended parquet. */
+  def windowTopKEnvelopes(spark: SparkSession, envelopes: DataFrame,
+      watermarkDelay: String = "10 seconds"): Dataset[WindowTopK] =
+    windowTopK(spark, envelopes.select(
+      col("metaTimestamp").cast("timestamp").as("ts"),
+      coalesce(get_json_object(col("data"), "$.event_type"),
+        col("subject")).as("event_type")), watermarkDelay)
+
   def windowTopK(spark: SparkSession, events: DataFrame,
       watermarkDelay: String = "10 seconds",
       armTimeout: Boolean = true): Dataset[WindowTopK] = {

@@ -567,6 +567,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.session_end === ts("2024-01-15 10:20:00"))
   }
 
+  test("windowTopK end-to-end through the DSv2 replay source: checkpoint " +
+      "restart mid-window merges counts (the Service --topk path)") {
+    val backlog = Files.createTempDirectory("graft_topk_backlog").toString
+    val cp = Files.createTempDirectory("graft_topk_e2e_cp").toString
+    def env(seq: Long, hhmm: String, etype: String): String =
+      s"""{"subject":"globex.supprt.u1.chat1","data":"{\\"event_type\\":\\"$etype\\"}","metaTimestamp":"2024-01-15T$hhmm:00+00:00","streamSeq":$seq}"""
+    val rows = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.WindowTopK]
+    def run(): Unit = {
+      val envelopes = spark.readStream
+        .format("graft.sources.ReplayStreamProvider")
+        .option("path", backlog)
+        .option("maxRowsPerTrigger", 2)
+        .load()
+      val q = graft.streaming.TopKStream
+        .windowTopKEnvelopes(spark, envelopes)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.WindowTopK], _: Long) =>
+          rows.synchronized { rows ++= ds.collect() }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: hour-10 window opens (a, a, b) — summary held in state, no emit.
+    // One envelope has no event_type in the payload → subject fallback key.
+    Files.writeString(Paths.get(backlog, "part-000.jsonl"),
+      Seq(env(1, "10:01", "a"), env(2, "10:02", "a"), env(3, "10:03", "b"),
+        """{"subject":"globex.supprt.ping","data":"{}","metaTimestamp":"2024-01-15T10:04:00+00:00","streamSeq":4}""")
+        .mkString("\n") + "\n")
+    run()
+    assert(rows.synchronized(rows.isEmpty), "open window must not emit")
+    // run 2 = RESTART from the checkpoint: more a's merge into the
+    // surviving summary; two late-hour envelopes advance the watermark
+    // past 11:00 across the AvailableNow sub-batches → hour-10 closes
+    Files.writeString(Paths.get(backlog, "part-001.jsonl"),
+      Seq(env(5, "10:30", "a"), env(6, "12:30", "z"), env(7, "12:31", "z"))
+        .mkString("\n") + "\n")
+    run()
+    run() // watermark from run 2's max event time fires the timeout
+    val got = rows.synchronized(rows.toList)
+      .filter(_.window_start === ts("2024-01-15 10:00:00"))
+    assert(got.map(r => (r.rank, r.event_type, r.n_events)) ===
+      List((1L, "a", 3L), (2L, "b", 1L), (3L, "globex.supprt.ping", 1L)),
+      s"hour-10 ranking must span the restart: $got")
+  }
+
   test("sessionize (batch): one pathological 2M-event user fits a single group " +
       "invocation (primitive-column buffering) and sums exactly") {
     // The batch path buffers one user's whole history in one task — the

@@ -196,7 +196,10 @@ object SparkEntry {
       graft.streaming.TopKStream.windowTopK(s,
           graft.queries.Tables.events(s, dir), armTimeout = false)
         .toDF().orderBy("window_start", "rank")),
-    "x86_token_budget" -> (Curation.tokenBudget _)
+    "x86_token_budget" -> (Curation.tokenBudget _),
+    "x87_cdc_chunks" -> (Curation.cdcChunkStats _),
+    "x88_luhn_pan" -> (TextAnalysis.luhnPan _),
+    "x89_vocab_coverage" -> (TextAnalysis.vocabCoverage _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2872,6 +2875,96 @@ object SparkEntry {
          |  least(c.n_tokens, coalesce(l.lambda, c.n_tokens)) < c.n_tokens
          |    AS capped
          |FROM c CROSS JOIN l ORDER BY c.source""".stripMargin
+    },
+
+    // Mirrors Curation.cdcChunkStats: per-position trailing-window
+    // polyhash cut predicate, chunk stats from cut diffs + the tail.
+    "x87_cdc_chunks" -> {
+      val w = graft.expressions.CdcChunks.Window
+      val m = 1L << graft.expressions.CdcChunks.MaskBits
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+         |c AS (
+         |  SELECT doc_id, n, j
+         |  FROM (SELECT doc_id, n, text,
+         |          unnest(range($w, GREATEST(n, $w))) AS j
+         |        FROM d)
+         |  WHERE ${polyhashSql(s"substring(text, CAST(j - ${w - 1} AS INTEGER), $w)")} % $m = 0),
+         |l AS (
+         |  SELECT doc_id, n,
+         |    j - coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0)
+         |      AS len,
+         |    n - j AS tail_len,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC) AS rd
+         |  FROM c),
+         |alllens AS (
+         |  SELECT doc_id, len FROM l
+         |  UNION ALL SELECT doc_id, tail_len AS len FROM l WHERE rd = 1),
+         |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |         CAST(MAX(len) AS BIGINT) AS max_chunk
+         |       FROM alllens GROUP BY 1)
+         |SELECT d.doc_id, d.n AS n_chars,
+         |  coalesce(st.n_chunks, CAST(1 AS BIGINT)) AS n_chunks,
+         |  coalesce(st.max_chunk, d.n) AS max_chunk,
+         |  CAST(d.n AS DOUBLE)
+         |    / CAST(coalesce(st.n_chunks, CAST(1 AS BIGINT)) AS DOUBLE)
+         |    AS avg_chunk_chars
+         |FROM d LEFT JOIN st USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.luhnPan: RE2 digit-run extraction + the same
+    // right-indexed Luhn fold as a DuckDB list_reduce.
+    "x88_luhn_pan" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[0-9]{13,19}', 0) AS runs
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(len(runs) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(list_filter(runs, r ->
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(range(1, length(r) + 1), p ->
+        |        CASE WHEN p % 2 = 0 THEN
+        |          (CASE WHEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) > 9
+        |                THEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) - 9
+        |                ELSE 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) END)
+        |        ELSE ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48 END),
+        |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid,
+        |  CAST(len(list_filter(runs, r ->
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(range(1, length(r) + 1), p ->
+        |        CASE WHEN p % 2 = 0 THEN
+        |          (CASE WHEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) > 9
+        |                THEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) - 9
+        |                ELSE 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) END)
+        |        ELSE ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48 END),
+        |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) > 0 AS has_pan
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.vocabCoverage: rank over the vocab aggregate,
+    // 4-point coverage curve from conditional exact sums.
+    "x89_vocab_coverage" -> {
+      val ks = graft.operators.TextAnalysis.CoverageSizes.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+         |r AS (SELECT cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+         |          AS rank
+         |      FROM c),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+         |ks AS (SELECT CAST(unnest([$ks]) AS BIGINT) AS vocab_size)
+         |SELECT ks.vocab_size,
+         |  CAST(SUM(CASE WHEN r.rank <= ks.vocab_size THEN r.cnt ELSE 0 END)
+         |    AS BIGINT) AS covered_tokens,
+         |  tot.total_tokens,
+         |  CAST(SUM(CASE WHEN r.rank <= ks.vocab_size THEN r.cnt ELSE 0 END)
+         |    AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE) AS coverage
+         |FROM ks CROSS JOIN r CROSS JOIN tot
+         |GROUP BY ks.vocab_size, tot.total_tokens
+         |ORDER BY ks.vocab_size""".stripMargin
     },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry

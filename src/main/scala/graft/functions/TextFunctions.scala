@@ -34,6 +34,14 @@ object TextFunctions {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
 
+  /** Content-defined chunk lengths (stateless gear-style cut rule):
+    * boundary after position j iff the trailing 8-char window's
+    * [[polyHash]] has its low 5 bits zero. Codegen'd one-pass loop
+    * ([[graft.expressions.CdcChunks]]); `GraftProperties` pins it
+    * against the driver-side model on arbitrary strings. */
+  def cdcChunks(text: Column): Column =
+    GraftSql.column(graft.expressions.CdcChunks(GraftSql.expression(text)))
+
   /** Word n-gram shingles (default 3): the unit set for Jaccard/MinHash
     * near-dup detection. Distinct, so shingle multiplicity doesn't bias
     * similarity. Codegen'd ([[graft.expressions.WordShingles]]);

@@ -605,6 +605,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x87: CONTENT-DEFINED CHUNKING stats — per-document chunk counts
+    * under the stateless gear-style cut rule
+    * ([[graft.expressions.CdcChunks]]: boundary where the trailing
+    * 8-char window hash has its low 5 bits zero, expected chunk ≈ 32
+    * chars). Unlike x36's FIXED windows, CDC boundaries move WITH the
+    * content: an insertion near the front of a document shifts every
+    * fixed-window frame but leaves all content-defined chunks after the
+    * edit identical — the property that makes chunk-hash dedup robust
+    * to prepended boilerplate (the storage-dedup trick applied to
+    * corpus text).
+    *
+    * Scale shape: one codegen'd pass per document (a narrow projection,
+    * scan speed at 100 TB like x32/x36); the stats are per-row folds
+    * over the in-row length array — zero shuffles before the
+    * presentation sort. */
+  def cdcChunkStats(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunkStatsFrom(docs(spark, sfDir))
+
+  /** [[cdcChunkStats]] over an arbitrary (doc_id, text) relation — the
+    * testable core (the expression itself is model-pinned in
+    * GraftProperties; fixtures here check the stats algebra). */
+  private[graft] def cdcChunkStatsFrom(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        cdcChunks(col("text")).as("lens"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("lens")).cast("long").as("n_chunks"),
+        array_max(col("lens")).cast("long").as("max_chunk"),
+        (col("n_chars").cast("double") / size(col("lens")).cast("double"))
+          .as("avg_chunk_chars"))
+      .orderBy("doc_id")
+
   /** Sample size for [[weightedSample]]. */
   val SampleK = 100
   /** Resolution of the uniform draw derived from the content hash. */

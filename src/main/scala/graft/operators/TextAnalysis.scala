@@ -871,6 +871,89 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x88: LUHN-VALIDATED PAN DETECTION — find 13–19-digit runs and
+    * validate each with the Luhn checksum (double every second digit
+    * from the right, fold digit sums, total ≡ 0 mod 10): the standard
+    * second gate that separates card-number-shaped PII from phone
+    * numbers, order ids, and timestamps that a bare digit-run regex
+    * (x32's `<NUM>` scrub) cannot tell apart. A checksum, not a regex —
+    * a different detection mechanism from every other PII pass.
+    *
+    * Scale shape: a narrow per-row projection (regex extraction + an
+    * in-row fold per candidate run) — scan speed at 100 TB like x32;
+    * zero shuffles before the presentation sort. The corpus is
+    * digit-free, so the oracle gate pins the all-zero baseline; the
+    * checksum arithmetic itself is pinned by fixtures with real
+    * Luhn-valid/invalid numbers. */
+  def luhnPan(spark: SparkSession, sfDir: String): DataFrame =
+    luhnPanFrom(docs(spark, sfDir))
+
+  /** The Luhn fold as a SQL lambda over one digit-run string `r`:
+    * position p counts from the RIGHT. Shared verbatim by the operator
+    * and (dialect-adjusted) the oracle. */
+  private def luhnOkSql(r: String): String =
+    s"""aggregate(sequence(1, length($r)), 0L, (acc, p) -> acc +
+       |  (CASE WHEN p % 2 = 0 THEN
+       |     (CASE WHEN 2 * (ascii(substring($r, length($r) - p + 1, 1)) - 48) > 9
+       |           THEN 2 * (ascii(substring($r, length($r) - p + 1, 1)) - 48) - 9
+       |           ELSE 2 * (ascii(substring($r, length($r) - p + 1, 1)) - 48) END)
+       |   ELSE ascii(substring($r, length($r) - p + 1, 1)) - 48 END),
+       |  acc -> acc % 10 = 0)""".stripMargin
+
+  /** [[luhnPan]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures plant valid and checksum-broken PANs). */
+  private[graft] def luhnPanFrom(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[0-9]{13,19}', 0)").as("runs"))
+      .select(col("doc_id"),
+        size(col("runs")).cast("long").as("n_digit_runs"),
+        size(expr(s"filter(runs, r -> ${luhnOkSql("r")})"))
+          .cast("long").as("n_luhn_valid"))
+      .withColumn("has_pan", col("n_luhn_valid") > 0L)
+      .orderBy("doc_id")
+
+  /** Candidate vocabulary sizes for [[vocabCoverage]]. */
+  val CoverageSizes = Seq(256L, 1024L, 4096L, 16384L)
+
+  /** x89: VOCABULARY COVERAGE CURVE — for each candidate vocabulary
+    * size K (top-K terms by count), the fraction of all corpus token
+    * OCCURRENCES those K types cover: the sizing curve a tokenizer
+    * build (x37/x56) reads to pick its vocabulary budget (coverage
+    * knees sharply thanks to Zipf — x76's exponent predicts where).
+    *
+    * Scale shape: the corpus collapses to term counts in one partial
+    * aggregate (Heaps-bounded vocab); the rank window and the ×|K|
+    * explode run over VOCAB rows only, and the curve is a 4-row
+    * aggregate. Coverage = one double division of exact longs per K —
+    * hash-exact by construction. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverageFrom(docs(spark, sfDir))
+
+  /** [[vocabCoverage]] over an arbitrary (text) relation — the testable
+    * core (fixtures pin the curve on a constructed count profile). */
+  private[graft] def vocabCoverageFrom(d: DataFrame): DataFrame = {
+    val counts = OperatorCaches.persist(
+      d.filter(col("text").isNotNull)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cnt"), col("term"))).cast("long"))
+      .withColumn("vocab_size",
+        explode(array(CoverageSizes.map(lit): _*)))
+      .groupBy("vocab_size")
+      .agg(sum(when(col("rank") <= col("vocab_size"), col("cnt"))
+        .otherwise(0L)).as("covered_tokens"))
+      .join(broadcast(total))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double"))
+      .select("vocab_size", "covered_tokens", "total_tokens", "coverage")
+      .orderBy("vocab_size")
+  }
+
   /** Bigram-table budget for [[bigramLm]] — the LM ships only its top-
     * count bigrams; everything past the budget scores through backoff.
     * The budget is what keeps the broadcast table bounded at 100 TB

@@ -76,6 +76,22 @@ object GraftProperties extends Properties("graft") {
       graft.expressions.PolyHash(Literal(s)).eval(null) == model
     }
 
+  /** CdcChunks (interpreted eval) against the driver-side model on
+    * arbitrary strings: identical chunk-length arrays, lengths sum to
+    * the string length, every boundary is ≥ Window chars in, and the
+    * empty string yields the empty array. (The codegen'd path runs
+    * through the x87 operator plan in OperatorsSpec/Verify.) */
+  property("CdcChunks expression == cut-rule model for arbitrary strings") =
+    forAll(Gen.oneOf(Gen.asciiStr, validUnicodeStr)) { s =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val model = graft.expressions.CdcChunks.model(s)
+      val got = graft.expressions.CdcChunks(Literal(s)).eval(null)
+        .asInstanceOf[ArrayData].toIntArray()
+      got.sameElements(model) && model.sum == s.length &&
+        (s.isEmpty == model.isEmpty)
+    }
+
   /** Strings biased toward space-adjacent edge cases (leading/trailing/
     * double spaces) plus arbitrary unicode — the token-boundary logic is
     * where a one-pass split implementation can drift from split(' '). */

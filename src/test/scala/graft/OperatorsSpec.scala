@@ -1147,4 +1147,74 @@ class OperatorsSpec extends SparkSpec {
     assert(z.forall(r => r.getLong(2) === 0L && r.getBoolean(3)))
     graft.util.OperatorCaches.release(spark)
   }
+
+  test("x87 CDC chunk stats: the codegen'd plan reproduces the model's cut " +
+      "rule; boundaries survive a prepended edit where fixed windows shift") {
+    import spark.implicits._
+    import graft.expressions.CdcChunks
+    import graft.operators.Curation
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = "PREPENDED HEADER " + base
+    val fixture = Seq((1L, base), (2L, edited), (3L, "short"))
+      .toDF("doc_id", "text")
+    val out = Curation.cdcChunkStatsFrom(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // stats must equal the model's (codegen path == model)
+    Seq(1L -> base, 2L -> edited, 3L -> "short").foreach { case (id, s) =>
+      val m = CdcChunks.model(s)
+      assert(out(id) === ((s.length.toLong, m.length.toLong,
+        m.max.toLong, s.length.toDouble / m.length)), s"doc $id")
+    }
+    // content-defined robustness: every boundary of the base text
+    // reappears in the edited text shifted by exactly the edit length
+    // (after the rolling window clears the edit) — fixed windows can't
+    // do this
+    def cutsOf(s: String) =
+      CdcChunks.model(s).scanLeft(0)(_ + _).drop(1).dropRight(1).toSet
+    val shift = "PREPENDED HEADER ".length
+    val expected = cutsOf(base).map(_ + shift)
+      .filter(_ > shift + CdcChunks.Window)
+    assert(expected.subsetOf(cutsOf(edited)),
+      "content-defined boundaries must survive a prepended edit")
+  }
+
+  test("x88 Luhn PAN detection: valid card-shaped runs flag, checksum-broken " +
+      "and out-of-length runs do not") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "pay with 4539578763621486 please"),        // Luhn-valid 16-digit
+      (2L, "ref 4539578763621487 is a typo"),          // checksum broken
+      (3L, "order 123456789012 and phone 5551234"),    // 12 digits: too short
+      (4L, "double 4539578763621486 and 6011000990139424 hit"), // both valid
+      (5L, "no numbers here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.luhnPanFrom(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) === ((1L, 1L, true)))
+    assert(out(2L) === ((1L, 0L, false)))
+    assert(out(3L) === ((0L, 0L, false)))
+    assert(out(4L) === ((2L, 2L, true)))
+    assert(out(5L) === ((0L, 0L, false)))
+  }
+
+  test("x89 vocabulary coverage: the curve matches a constructed count " +
+      "profile with deterministic rank ties") {
+    import spark.implicits._
+    // 300 distinct terms: term k occurs (301-k) times → rank k = term k.
+    // K=256 covers sum(301-k, k=1..256); total = sum(301-k, k=1..300)
+    val text = (1 to 300).flatMap(k => Seq.fill(301 - k)(f"t$k%03d"))
+      .mkString(" ")
+    val out = TextAnalysis.vocabCoverageFrom(Seq(Tuple1(text)).toDF("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val total = (1 to 300).map(301 - _).sum.toLong
+    val c256 = (1 to 256).map(301 - _).sum.toLong
+    assert(out(256L) === ((c256, total, c256.toDouble / total)))
+    // K ≥ vocab size covers everything
+    assert(out(1024L) === ((total, total, 1.0)))
+    assert(out(16384L)._3 === 1.0)
+    graft.util.OperatorCaches.release(spark)
+  }
 }

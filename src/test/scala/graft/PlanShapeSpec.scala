@@ -625,6 +625,30 @@ class PlanShapeSpec extends SparkSpec {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
       }.isDefined, s"x86 window reads raw docs, not the source aggregate:\n$p86")
     }
+    // x87/x88: pure map stages — no join, no window, no shuffle at all
+    // before the presentation sort
+    Seq("x87" -> Curation.cdcChunkStats(spark, Sf),
+        "x88" -> TextAnalysis.luhnPan(spark, Sf)).foreach { case (name, df) =>
+      val p = withoutAqe { df.queryExecution.executedPlan }
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name must be a pure map stage:\n$p")
+    }
+    // x89: the rank window runs over the VOCAB aggregate (persisted, so
+    // it may surface as an InMemoryTableScan over the aggregate), never
+    // raw docs
+    val p89 = withoutAqe {
+      TextAnalysis.vocabCoverage(spark, Sf).queryExecution.executedPlan
+    }
+    p89.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }.isDefined, s"x89 window reads raw docs, not the vocab aggregate:\n$p89")
+    }
     graft.util.OperatorCaches.release(spark)
   }
 

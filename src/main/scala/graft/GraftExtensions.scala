@@ -18,7 +18,7 @@ import graft.expressions.{PolyHash, SimHash64, VecDot, WordShingles}
   *    already-running session (idempotent; [[graft.Service]] does this at
   *    bootstrap so catalog-table users can call them from plain SQL).
   *
-  * All four functions are codegen'd expressions, so a SQL user pays the
+  * All five functions are codegen'd expressions, so a SQL user pays the
   * same tight-loop cost as the Column DSL ([[graft.functions]]):
   *
   *  - `graft_polyhash(text)` — rolling polynomial content hash (LONG);
@@ -26,7 +26,9 @@ import graft.expressions.{PolyHash, SimHash64, VecDot, WordShingles}
   *    n must be a positive integer literal — it shapes codegen);
   *  - `graft_vec_dot(a, b)` — Σaᵢbᵢ over two float/double arrays;
   *  - `graft_simhash64(text)` — one-pass 64-bit SimHash signature
-  *    (4 seeded 16-bit simhashes concatenated).
+  *    (4 seeded 16-bit simhashes concatenated);
+  *  - `graft_cdc_chunks(text)` — content-defined chunk lengths
+  *    (gear-style stateless cut rule).
   */
 object GraftFunctions {
 
@@ -57,7 +59,12 @@ object GraftFunctions {
       info(classOf[SimHash64].getName, "graft_simhash64",
         "one-pass 64-bit SimHash of a string (4 seeded 16-bit packs)"),
       { case Seq(t) => SimHash64(t)
-        case args => throw badArgs("graft_simhash64", "1 argument", args) }))
+        case args => throw badArgs("graft_simhash64", "1 argument", args) }),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      info(classOf[graft.expressions.CdcChunks].getName, "graft_cdc_chunks",
+        "content-defined chunk lengths (gear-style stateless cut rule)"),
+      { case Seq(t) => graft.expressions.CdcChunks(t)
+        case args => throw badArgs("graft_cdc_chunks", "1 argument", args) }))
 
   private def toDoubleArray(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e,

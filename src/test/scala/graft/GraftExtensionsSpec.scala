@@ -23,14 +23,15 @@ class GraftExtensionsSpec extends SparkSpec {
     val viaSql = spark.sql(
       """SELECT graft_polyhash(text) AS h, graft_shingles(text) AS sh3,
         |  graft_shingles(text, 2) AS sh2, graft_vec_dot(va, vb) AS d,
-        |  graft_simhash64(text) AS sig
+        |  graft_simhash64(text) AS sig, graft_cdc_chunks(text) AS cdc
         |FROM ext_probe""".stripMargin).collect()
     val viaDsl = df.select(
       TextFunctions.polyHash(col("text")).as("h"),
       TextFunctions.shingles(col("text")).as("sh3"),
       TextFunctions.shingles(col("text"), 2).as("sh2"),
       VectorFunctions.dot(col("va"), col("vb")).as("d"),
-      TextFunctions.simhash64(col("text")).as("sig")).collect()
+      TextFunctions.simhash64(col("text")).as("sig"),
+      TextFunctions.cdcChunks(col("text")).as("cdc")).collect()
     assert(viaSql.map(_.toSeq.map {
       case s: scala.collection.Seq[_] => s.toList
       case x => x
@@ -56,7 +57,7 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(reg.listFunction().map(_.funcName).toSet ===
       Set("graft_polyhash", "graft_shingles", "graft_vec_dot",
-        "graft_simhash64"))
+        "graft_simhash64", "graft_cdc_chunks"))
     // builders actually build: a 1-arg polyhash resolves to the expression
     val built = reg.lookupFunction(FunctionIdentifier("graft_polyhash"),
       Seq(org.apache.spark.sql.catalyst.expressions.Literal("x")))

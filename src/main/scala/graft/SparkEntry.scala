@@ -199,7 +199,8 @@ object SparkEntry {
     "x86_token_budget" -> (Curation.tokenBudget _),
     "x87_cdc_chunks" -> (Curation.cdcChunkStats _),
     "x88_luhn_pan" -> (TextAnalysis.luhnPan _),
-    "x89_vocab_coverage" -> (TextAnalysis.vocabCoverage _)
+    "x89_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    "x90_cluster_quality" -> (Similarity.clusterQuality _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2966,6 +2967,28 @@ object SparkEntry {
          |GROUP BY ks.vocab_size, tot.total_tokens
          |ORDER BY ks.vocab_size""".stripMargin
     },
+
+    // Mirrors Similarity.clusterQuality: kmeansCte's final-round
+    // membership (m<N>) scored against the FINAL centroids (c<N>) via
+    // the decimal-bridge mean; separation = max cosine over the K×K
+    // centroid pairs.
+    "x90_cluster_quality" -> (unitCte + kmeansCte + {
+      val it = graft.operators.Similarity.KmeansIters
+      s""", q AS (
+         |  SELECT m.cell, ${dotUnitSql("m.u", "c.cu")} AS cos_own
+         |  FROM m$it m JOIN c$it c ON m.cell = c.cid),
+         |own AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    V2D(SUM(DEC6(cos_own))) / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+         |  FROM q GROUP BY 1),
+         |sep AS (
+         |  SELECT a.cid AS cell, MAX(${dotUnitSql("a.cu", "b.cu")})
+         |      AS nearest_other_cos
+         |  FROM c$it a JOIN c$it b ON a.cid <> b.cid GROUP BY 1)
+         |SELECT cell AS cid, n_members, mean_cos, nearest_other_cos
+         |FROM own JOIN sep USING (cell)
+         |ORDER BY cid""".stripMargin
+    }),
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

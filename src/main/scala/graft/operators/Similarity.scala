@@ -425,6 +425,40 @@ object Similarity {
     (cents, lastAssign)
   }
 
+  /** x90: CLUSTER QUALITY metrics for the x33-trained quantizer — per
+    * cell: member count, mean cosine of members to the FINAL centroid
+    * (cohesion — the unit-vector form of within-cluster SSE, since
+    * ‖u − c‖² = 2·(1 − u·c) up to the centroid norm), and the nearest
+    * OTHER centroid's cosine (separation). The accept/retrain gauge for
+    * IVF training (x34) and SemDeDup cells (x48): low cohesion or high
+    * separation-cosine flags cells that smear neighborhoods.
+    *
+    * Scale shape: membership is the final Lloyd assignment (already one
+    * broadcast-centroid pass); cohesion is ONE more corpus pass — a
+    * codegen'd dot against the broadcast final centroids folded by the
+    * exact DECIMAL bridge (order-free mean); separation is a K×K
+    * nested-loop over the BOUNDED centroid table (the x8 judgment —
+    * the only NLJ shapes allowed are against bounded relations).
+    * MAX over doubles is order-free, so the whole row is hash-exact. */
+  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ChFunctions.davg
+    val (cents, lastAssign) = lloyd(spark, sfDir)
+    val own = lastAssign
+      .join(broadcast(cents), lastAssign("cell") === cents("cid"))
+      .withColumn("cos_own", dot(col("u"), col("cu")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), davg(col("cos_own")).as("mean_cos"))
+    val b = cents.select(col("cid").as("cid_b"), col("cu").as("cu_b"))
+    val sep = cents.join(broadcast(b), col("cid") =!= col("cid_b"))
+      .withColumn("cc", dot(col("cu"), col("cu_b")))
+      .groupBy(col("cid").as("sep_cell"))
+      .agg(max(col("cc")).as("nearest_other_cos"))
+    own.join(sep, own("cell") === col("sep_cell"))
+      .select(col("cell").as("cid"), col("n_members"), col("mean_cos"),
+        col("nearest_other_cos"))
+      .orderBy("cid")
+  }
+
   /** Cosine threshold for [[semDedup]] — the [[embeddingDups]] operating
     * point (SemDeDup's epsilon; a production run sweeps it per-corpus). */
   val SemDedupThreshold = 0.35

@@ -1217,4 +1217,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(16384L)._3 === 1.0)
     graft.util.OperatorCaches.release(spark)
   }
+
+  test("x90 cluster quality: memberships sum to the corpus, cohesion beats " +
+      "separation on trained cells, metrics agree with x33's sizes") {
+    import graft.operators.Similarity
+    val q = Similarity.clusterQuality(spark, Sf).cache()
+    val rows = q.collect()
+    val nVecs = graft.queries.Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_.getLong(1)).sum === nVecs, "members partition the corpus")
+    // sizes must agree with x33's published n_members per cell
+    val x33Sizes = Similarity.kmeansTrain(spark, Sf)
+      .select("cid", "n_members").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === x33Sizes)
+    // cohesion: members are closer (in cosine) to their own centroid
+    // than that centroid is to its nearest rival, on average
+    rows.foreach { r =>
+      assert(r.getDouble(2) > r.getDouble(3) - 0.5,
+        s"cell ${r.getLong(0)} cohesion ${r.getDouble(2)} vs separation ${r.getDouble(3)}")
+      assert(r.getDouble(2) <= 1.0 + 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+    q.unpersist()
+    graft.util.OperatorCaches.release(spark)
+  }
 }

@@ -200,7 +200,9 @@ object SparkEntry {
     "x87_cdc_chunks" -> (Curation.cdcChunkStats _),
     "x88_luhn_pan" -> (TextAnalysis.luhnPan _),
     "x89_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
-    "x90_cluster_quality" -> (Similarity.clusterQuality _)
+    "x90_cluster_quality" -> (Similarity.clusterQuality _),
+    "x91_event_transitions" -> (EventAnalytics.eventTransitions _),
+    "x92_dup_degrees" -> (Dedup.dupDegreeHistogram _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -2989,6 +2991,55 @@ object SparkEntry {
          |FROM own JOIN sep USING (cell)
          |ORDER BY cid""".stripMargin
     }),
+
+    // Mirrors EventAnalytics.eventTransitions: per-user lead() in q14's
+    // (ts, event_id) total order, |types|²-bounded counts, exact-long
+    // conditional probabilities.
+    "x91_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT)
+        |        AS n_transitions
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT)
+        |        AS from_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n_transitions, t.from_total,
+        |  CAST(c.n_transitions AS DOUBLE) / CAST(t.from_total AS DOUBLE)
+        |    AS p_transition
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Mirrors Dedup.dupDegreeHistogram: x5's banded pair relation
+    // (identical CTEs), endpoint degree fold, degree-0 fill from the
+    // corpus id column.
+    "x92_dup_degrees" -> (simhashCte +
+      s""", bands AS (
+         |  SELECT doc_id, simhash, p.c, (simhash >> (p.c * 16)) & 65535 AS chunk
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS c) p
+         |), kept AS (
+         |  SELECT c, chunk FROM bands GROUP BY c, chunk
+         |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBandBucket}
+         |), cb AS (
+         |  SELECT b.doc_id, b.simhash, b.c, b.chunk
+         |  FROM bands b JOIN kept USING (c, chunk)
+         |), pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cb a JOIN cb b ON a.c = b.c AND a.chunk = b.chunk
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |), dg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT doc_a AS doc_id FROM pr
+         |        UNION ALL SELECT doc_b AS doc_id FROM pr)
+         |  GROUP BY 1)
+         |SELECT coalesce(dg.degree, CAST(0 AS BIGINT)) AS degree,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents d LEFT JOIN dg USING (doc_id)
+         |GROUP BY 1 ORDER BY degree""".stripMargin),
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

@@ -747,6 +747,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** x92: NEAR-DUP GRAPH DEGREE HISTOGRAM — how many documents have 0,
+    * 1, 2, … Hamming≤3 partners under x5's banded SimHash join: the
+    * corpus-health summary of the duplicate graph (a heavy tail means
+    * template farms x28's clustering is about to contract; a spike at
+    * high degree is the mass-duplication pattern the band-bucket cap
+    * guards against). Composes x5's verified pair relation — the x44
+    * pattern of deriving a gate from already-oracled sub-operators.
+    *
+    * Scale shape: inherits x5's candidate-join discipline (banded
+    * buckets, cap, hamming filter before distinct); the degree fold is
+    * a doc-keyed aggregate over pair endpoints (≤2 rows per pair), the
+    * histogram a degree-keyed aggregate over doc rows, and degree-0
+    * docs come from one left join against the corpus id column. */
+  def dupDegreeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = simhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documentsParallel(spark, sfDir).select("doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   /** Tokens per passage for [[passageDedup]] — non-overlapping windows
     * (stride = size), the passage granularity of CCNet-style dedup. */
   val PassageTokens = 16

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ChFunctions._
 import graft.queries.Tables
@@ -133,5 +134,43 @@ object EventAnalytics {
       .filter(abs(col("z")) > AnomalyZ)
       .select("event_id", "event_type", "value", "mean", "sd", "z")
       .orderBy("event_type", "event_id")
+  }
+
+  /** x91: first-order MARKOV TRANSITIONS between event types — for each
+    * (from, to) pair, how many times a user's NEXT event (by event time,
+    * q14's (ts, event_id) total order) was `to` given `from`, and the
+    * conditional probability. The behavioral fingerprint x63's fixed
+    * funnel cannot see: funnels check ONE prescribed path, the
+    * transition matrix surfaces every path and its mass (and a drifting
+    * matrix between corpus snapshots is a cheap instrumentation alarm).
+    *
+    * Scale shape: ONE user-keyed exchange for the lead() window (the
+    * q14 layout — per-user sequences sort within their partition and
+    * spill to disk, never into task memory); everything after is
+    * |types|²-bounded aggregation, and the row-count normalizer is a
+    * broadcast of that bounded aggregate. p = one double division of
+    * exact longs per pair — hash-exact. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    eventTransitionsFrom(Tables.events(spark, sfDir))
+
+  /** [[eventTransitions]] over an arbitrary events relation — the
+    * testable core (fixtures pin a hand-built two-user sequence). */
+  private[graft] def eventTransitionsFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum(col("n_transitions")).as("from_total"))
+    counts.join(broadcast(totals), "from_type")
+      .withColumn("p_transition",
+        col("n_transitions").cast("double") / col("from_total").cast("double"))
+      .select("from_type", "to_type", "n_transitions", "from_total",
+        "p_transition")
+      .orderBy("from_type", "to_type")
   }
 }

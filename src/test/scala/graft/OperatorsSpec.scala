@@ -1240,4 +1240,36 @@ class OperatorsSpec extends SparkSpec {
     q.unpersist()
     graft.util.OperatorCaches.release(spark)
   }
+
+  test("x91 event transitions: counts follow the per-user (ts, event_id) " +
+      "order and probabilities condition on the from-type") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    def ev(id: Long, u: Long, m: Int, t: String) =
+      (id, u, java.sql.Timestamp.valueOf(f"2024-01-15 10:$m%02d:00"), t)
+    // user 1: a→b→a; user 2: a→b (same-ts tie broken by event_id)
+    val fixture = Seq(ev(1, 1, 0, "a"), ev(2, 1, 1, "b"), ev(3, 1, 2, "a"),
+      ev(4, 2, 0, "a"), ev(5, 2, 0, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.eventTransitionsFrom(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((2L, 2L, 1.0)),
+      ("b", "a") -> ((1L, 1L, 1.0))))
+  }
+
+  test("x92 dup-degree histogram: a partition of the corpus whose edge mass " +
+      "equals twice the x5 pair count") {
+    import graft.operators.Dedup
+    val hist = Dedup.dupDegreeHistogram(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nDocs = graft.queries.Tables.documents(spark, Sf).count()
+    assert(hist.map(_._2).sum === nDocs, "histogram partitions the corpus")
+    val nPairs = Dedup.simhashPairs(spark, Sf).count()
+    assert(hist.map { case (d, n) => d * n }.sum === 2 * nPairs,
+      "sum of degrees must be twice the pair count")
+    assert(hist.map(_._1).toSeq === hist.map(_._1).sorted.toSeq)
+    graft.util.OperatorCaches.release(spark)
+  }
 }

@@ -202,7 +202,8 @@ object SparkEntry {
     "x89_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "x90_cluster_quality" -> (Similarity.clusterQuality _),
     "x91_event_transitions" -> (EventAnalytics.eventTransitions _),
-    "x92_dup_degrees" -> (Dedup.dupDegreeHistogram _)
+    "x92_dup_degrees" -> (Dedup.dupDegreeHistogram _),
+    "x93_bigram_entropy" -> (CorpusStats.bigramEntropy _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -3040,6 +3041,34 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM documents d LEFT JOIN dg USING (doc_id)
          |GROUP BY 1 ORDER BY degree""".stripMargin),
+
+    // Mirrors CorpusStats.bigramEntropy: per-source bigram counts, the
+    // w1-marginal from the same aggregate, exact decimal entropy sum of
+    // c12·lnq products.
+    "x93_bigram_entropy" -> {
+      val sc = graft.operators.TextAnalysis.IdfScale
+      s"""WITH t AS (
+         |  SELECT source, string_split(text, ' ') AS toks
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+         |        FROM t)),
+         |c12 AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2, 3),
+         |c1 AS (SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+         |       FROM c12 GROUP BY 1, 2),
+         |q AS (
+         |  SELECT c12.source, c12.c12,
+         |    CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+         |      * $sc + 0.5) AS BIGINT) AS lnq
+         |  FROM c12 JOIN c1 USING (source, w1))
+         |SELECT source, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+         |  -(V2D(SUM(DEC0(c12 * lnq))) / $sc.0
+         |    / CAST(SUM(c12) AS DOUBLE)) AS cond_entropy
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

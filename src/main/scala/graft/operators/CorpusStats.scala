@@ -162,4 +162,52 @@ object CorpusStats {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= MinCooc)
       .orderBy(desc("cnt"), col("w1"), col("w2"))
+
+  /** x93: per-source BIGRAM CONDITIONAL ENTROPY — H(w₂|w₁) =
+    * −Σ p(w₁,w₂)·ln p(w₂|w₁) in nats, the sequence-level predictability
+    * fingerprint that completes the corpus-statistics family: x66
+    * measures character disorder, x76 the unigram frequency SHAPE, this
+    * the transition uncertainty (templated/boilerplate sources sit near
+    * 0 — the next token is determined; natural text sits high). A
+    * drifting conditional entropy between crawls flags template
+    * injection that unigram statistics cannot see.
+    *
+    * Scale shape: the corpus reduces to (source × bigram) counts in ONE
+    * partial aggregate; the w₁-marginal is derived FROM that aggregate
+    * (a source×vocab-bounded second groupBy — never a second corpus
+    * pass), and each bigram's ln(c₁₂/c₁) quantizes once so the entropy
+    * sum is exact DECIMAL arithmetic over c₁₂·lnq products (the x76
+    * moment pattern; products reach c·2×10⁷, so the accumulator is
+    * DECIMAL(38,0)). */
+  def bigramEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    bigramEntropyFrom(docs(spark, sfDir))
+
+  /** [[bigramEntropy]] over an arbitrary (source, text) relation — the
+    * testable core (fixtures pin a deterministic-transition source at
+    * exactly 0 and a fair-coin source at ln 2). */
+  private[graft] def bigramEntropyFrom(docsDf: DataFrame): DataFrame = {
+    val sc = TextAnalysis.IdfScale
+    val c12 = docsDf.filter(col("text").isNotNull)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("i", explode(
+        sequence(lit(1L), size(col("toks")).cast("long") - 1L)))
+      .select(col("source"),
+        element_at(col("toks"), col("i").cast("int")).as("w1"),
+        element_at(col("toks"), col("i").cast("int") + 1).as("w2"))
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("source", "w1").agg(sum(col("c12")).as("c1"))
+    c12.join(c1, Seq("source", "w1"))
+      .withColumn("lnq",
+        floor(log(col("c12").cast("double") / col("c1").cast("double"))
+          * sc + lit(0.5)).cast("long"))
+      .groupBy("source")
+      .agg(
+        sum(col("c12")).as("n_bigrams"),
+        sum((col("c12") * col("lnq")).cast("decimal(38,0)")).as("s"))
+      .withColumn("cond_entropy",
+        -(col("s").cast("double") / sc / col("n_bigrams").cast("double")))
+      .select("source", "n_bigrams", "cond_entropy")
+      .orderBy("source")
+  }
 }

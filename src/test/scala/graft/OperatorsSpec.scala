@@ -1272,4 +1272,22 @@ class OperatorsSpec extends SparkSpec {
     assert(hist.map(_._1).toSeq === hist.map(_._1).sorted.toSeq)
     graft.util.OperatorCaches.release(spark)
   }
+
+  test("x93 bigram conditional entropy: a deterministic-transition source " +
+      "scores exactly 0; a mixed source matches the quantized formula") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val fixture = Seq(
+      ("det", "a b a b a b"),      // every transition determined → H = 0
+      ("mix", "x y x z x y x z")) // c12: xy2 yx2 xz2 zx1; c1: x4 y2 z1
+      .toDF("source", "text")
+    val out = CorpusStats.bigramEntropyFrom(fixture).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("det") === ((5L, 0.0)))
+    val sc = graft.operators.TextAnalysis.IdfScale
+    def q(v: Double) = math.floor(math.log(v) * sc + 0.5).toLong
+    // Σ c12·q(ln(c12/c1)) over xy(2,4) yx(2,2) xz(2,4) zx(1,1)
+    val s = 2 * q(2.0 / 4) + 2 * q(2.0 / 2) + 2 * q(2.0 / 4) + 1 * q(1.0 / 1)
+    assert(out("mix") === ((7L, -(s.toDouble / sc / 7.0))))
+  }
 }

@@ -203,7 +203,8 @@ object SparkEntry {
     "x90_cluster_quality" -> (Similarity.clusterQuality _),
     "x91_event_transitions" -> (EventAnalytics.eventTransitions _),
     "x92_dup_degrees" -> (Dedup.dupDegreeHistogram _),
-    "x93_bigram_entropy" -> (CorpusStats.bigramEntropy _)
+    "x93_bigram_entropy" -> (CorpusStats.bigramEntropy _),
+    "x94_quality_gate2" -> (Curation.qualityGate2 _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -3068,6 +3069,67 @@ object SparkEntry {
          |  -(V2D(SUM(DEC0(c12 * lnq))) / $sc.0
          |    / CAST(SUM(c12) AS DOUBLE)) AS cond_entropy
          |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // Mirrors Curation.qualityGate2: the x79/x87/x88 sub-oracles with
+    // g-prefixed CTEs, conjunction verdict (the x44 composition pattern).
+    "x94_quality_gate2" -> {
+      val w = graft.expressions.CdcChunks.Window
+      val m = 1L << graft.expressions.CdcChunks.MaskBits
+      val pct = graft.operators.TextAnalysis.CalibratePct
+      val mc = graft.operators.Curation.MaxChunkGate
+      s"""WITH gd AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+         |gc AS (
+         |  SELECT doc_id, n, j
+         |  FROM (SELECT doc_id, n, text,
+         |          unnest(range($w, GREATEST(n, $w))) AS j
+         |        FROM gd)
+         |  WHERE ${polyhashSql(s"substring(text, CAST(j - ${w - 1} AS INTEGER), $w)")} % $m = 0),
+         |gl AS (
+         |  SELECT doc_id, n,
+         |    j - coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0)
+         |      AS len,
+         |    n - j AS tail_len,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC) AS rd
+         |  FROM gc),
+         |ga AS (
+         |  SELECT doc_id, len FROM gl
+         |  UNION ALL SELECT doc_id, tail_len AS len FROM gl WHERE rd = 1),
+         |gmx AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_chunk
+         |        FROM ga GROUP BY 1),
+         |gp AS (
+         |  SELECT doc_id, CAST(len(list_filter(
+         |    regexp_extract_all(text, '[0-9]{13,19}', 0), r ->
+         |    list_reduce([CAST(0 AS BIGINT)] ||
+         |      list_transform(range(1, length(r) + 1), p ->
+         |        CASE WHEN p % 2 = 0 THEN
+         |          (CASE WHEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) > 9
+         |                THEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) - 9
+         |                ELSE 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) END)
+         |        ELSE ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48 END),
+         |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+         |  FROM gd),
+         |gh AS (SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM gd GROUP BY 1, 2),
+         |gw AS (SELECT source, n_tokens,
+         |         SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+         |         SUM(c) OVER (PARTITION BY source) AS n_s
+         |       FROM gh),
+         |gt AS (SELECT source, MIN(n_tokens) AS threshold
+         |       FROM gw WHERE cum >= (n_s * $pct + 99) // 100
+         |       GROUP BY source)
+         |SELECT gd.doc_id, gd.source, gd.n_tokens,
+         |  coalesce(gmx.max_chunk, gd.n) AS max_chunk,
+         |  gp.n_luhn_valid,
+         |  gd.n_tokens >= gt.threshold AND gp.n_luhn_valid = 0
+         |    AND coalesce(gmx.max_chunk, gd.n) <= $mc AS keep
+         |FROM gd LEFT JOIN gmx USING (doc_id) JOIN gp USING (doc_id)
+         |  JOIN gt USING (source)
+         |ORDER BY gd.doc_id""".stripMargin
     },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry

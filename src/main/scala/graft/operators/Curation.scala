@@ -637,6 +637,57 @@ object Curation {
           .as("avg_chunk_chars"))
       .orderBy("doc_id")
 
+  /** Max CDC chunk length admitted by [[qualityGate2]] — a chunk far
+    * past the expected 2^MaskBits = 32 chars means a long stretch where
+    * the content-defined cut never fired: low-entropy/repetitive text
+    * (the CDC-side analogue of x25's repetition fractions). */
+  val MaxChunkGate = 128L
+
+  /** x94: the round-9 COMPOSED QUALITY GATE — the shippable keep
+    * decision assembled from this round's new signals, the x44 pattern
+    * applied one generation later: keep a document iff (a) its token
+    * count clears its OWN source's exact P25 calibration (x79), (b) it
+    * carries no Luhn-valid card-shaped PII (x88), and (c) its largest
+    * content-defined chunk stays under [[MaxChunkGate]] chars (x87's
+    * cut discipline as a low-entropy detector).
+    *
+    * Scale shape: inherits each input's shape — x88/x87 are pure map
+    * stages computed in the SAME projection pass here (no join at
+    * all for those two signals), and x79 contributes one
+    * source-bounded threshold broadcast; the verdict is a narrow
+    * conjunction. The oracle composes the three verified sub-oracles. */
+  def qualityGate2(spark: SparkSession, sfDir: String): DataFrame =
+    qualityGate2From(docs(spark, sfDir))
+
+  /** [[qualityGate2]] over an arbitrary (doc_id, source, text) relation
+    * — the testable core. */
+  private[graft] def qualityGate2From(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        array_max(cdcChunks(col("text"))).cast("long").as("max_chunk"),
+        size(expr("filter(regexp_extract_all(text, '[0-9]{13,19}', 0), " +
+          s"r -> ${TextAnalysis.luhnOk("r")})")).cast("long")
+          .as("n_luhn_valid"))
+    val hist = d.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("k",
+        expr(s"(n_s * ${TextAnalysis.CalibratePct} + 99) DIV 100"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("source").agg(min(col("n_tokens")).as("threshold"))
+    d.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("max_chunk"), col("n_luhn_valid"),
+        (col("n_tokens") >= col("threshold") &&
+          col("n_luhn_valid") === 0L &&
+          col("max_chunk") <= MaxChunkGate).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Sample size for [[weightedSample]]. */
   val SampleK = 100
   /** Resolution of the uniform draw derived from the content hash. */

@@ -889,9 +889,9 @@ object TextAnalysis {
     luhnPanFrom(docs(spark, sfDir))
 
   /** The Luhn fold as a SQL lambda over one digit-run string `r`:
-    * position p counts from the RIGHT. Shared verbatim by the operator
-    * and (dialect-adjusted) the oracle. */
-  private def luhnOkSql(r: String): String =
+    * position p counts from the RIGHT. Shared verbatim by the operator,
+    * x94's composed gate, and (dialect-adjusted) the oracle. */
+  private[graft] def luhnOk(r: String): String =
     s"""aggregate(sequence(1, length($r)), 0L, (acc, p) -> acc +
        |  (CASE WHEN p % 2 = 0 THEN
        |     (CASE WHEN 2 * (ascii(substring($r, length($r) - p + 1, 1)) - 48) > 9
@@ -908,7 +908,7 @@ object TextAnalysis {
         expr("regexp_extract_all(text, '[0-9]{13,19}', 0)").as("runs"))
       .select(col("doc_id"),
         size(col("runs")).cast("long").as("n_digit_runs"),
-        size(expr(s"filter(runs, r -> ${luhnOkSql("r")})"))
+        size(expr(s"filter(runs, r -> ${luhnOk("r")})"))
           .cast("long").as("n_luhn_valid"))
       .withColumn("has_pan", col("n_luhn_valid") > 0L)
       .orderBy("doc_id")

@@ -1290,4 +1290,34 @@ class OperatorsSpec extends SparkSpec {
     val s = 2 * q(2.0 / 4) + 2 * q(2.0 / 2) + 2 * q(2.0 / 4) + 1 * q(1.0 / 1)
     assert(out("mix") === ((7L, -(s.toDouble / sc / 7.0))))
   }
+
+  test("x94 composed gate v2: each signal vetoes independently and a clean " +
+      "doc above its source's P25 keeps") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val clean = (1 to 40).map(i => s"w$i").mkString(" ")
+    val lowEntropy = Seq.fill(200)("x").mkString(" ")  // CDC never cuts 'x x…'?
+    val pan = clean + " 4539578763621486"
+    // source 'a': lengths 10,20,30,40 → P25 threshold = 10 → all clear (a)
+    def doc(id: Long, src: String, text: String) = (id, src, text)
+    val fixture = Seq(
+      doc(1, "a", (1 to 10).map(i => s"t$i").mkString(" ")),
+      doc(2, "a", (1 to 20).map(i => s"t$i").mkString(" ")),
+      doc(3, "a", (1 to 30).map(i => s"t$i").mkString(" ")),
+      doc(4, "a", clean),            // clean, above threshold → keep
+      doc(5, "b", pan),              // Luhn-valid PAN → veto
+      doc(6, "b", lowEntropy),       // giant CDC chunk → veto (if > gate)
+      doc(7, "b", clean))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.qualityGate2From(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(4L)._3, s"clean doc must keep: ${out(4L)}")
+    assert(out(5L)._2 === 1L && !out(5L)._3, "PAN must veto")
+    // the repetitive doc's max chunk must exceed the gate (its content
+    // gives the rolling hash no variation to cut on) and veto
+    assert(out(6L)._1 > Curation.MaxChunkGate && !out(6L)._3,
+      s"low-entropy doc must veto via max_chunk: ${out(6L)}")
+    assert(out(7L)._3, "clean doc in source b keeps")
+  }
 }

@@ -158,7 +158,16 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMed =
       if (results.nonEmpty) results.map(r => medians(r._1)).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact is a stdout tail-scrape; at 126+ queries the
+    // single JSON line outgrew the scrape window and BENCH_r09.json lost
+    // the first ~65 queries' timings ("parsed": null). The file copy is
+    // the complete, machine-readable record regardless of scrape limits.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
     // A bench with ANY failed query must not look like a success to the
     // driver or to gate.sh — rc=0 with failures is how round 7 went blind.

@@ -18,7 +18,7 @@ import graft.expressions.{PolyHash, SimHash64, VecDot, WordShingles}
   *    already-running session (idempotent; [[graft.Service]] does this at
   *    bootstrap so catalog-table users can call them from plain SQL).
   *
-  * All five functions are codegen'd expressions, so a SQL user pays the
+  * All six functions are codegen'd expressions, so a SQL user pays the
   * same tight-loop cost as the Column DSL ([[graft.functions]]):
   *
   *  - `graft_polyhash(text)` — rolling polynomial content hash (LONG);
@@ -28,7 +28,9 @@ import graft.expressions.{PolyHash, SimHash64, VecDot, WordShingles}
   *  - `graft_simhash64(text)` — one-pass 64-bit SimHash signature
   *    (4 seeded 16-bit simhashes concatenated);
   *  - `graft_cdc_chunks(text)` — content-defined chunk lengths
-  *    (gear-style stateless cut rule).
+  *    (gear-style stateless cut rule);
+  *  - `graft_ahash64(text)` — 64-bit average-hash perceptual fingerprint
+  *    (64 index buckets thresholded against the global mean).
   */
 object GraftFunctions {
 
@@ -64,7 +66,12 @@ object GraftFunctions {
       info(classOf[graft.expressions.CdcChunks].getName, "graft_cdc_chunks",
         "content-defined chunk lengths (gear-style stateless cut rule)"),
       { case Seq(t) => graft.expressions.CdcChunks(t)
-        case args => throw badArgs("graft_cdc_chunks", "1 argument", args) }))
+        case args => throw badArgs("graft_cdc_chunks", "1 argument", args) }),
+    (FunctionIdentifier("graft_ahash64"),
+      info(classOf[graft.expressions.AHash64].getName, "graft_ahash64",
+        "64-bit average-hash perceptual fingerprint (64 index buckets vs global mean)"),
+      { case Seq(t) => graft.expressions.AHash64(t)
+        case args => throw badArgs("graft_ahash64", "1 argument", args) }))
 
   private def toDoubleArray(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e,

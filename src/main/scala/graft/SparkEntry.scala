@@ -204,7 +204,8 @@ object SparkEntry {
     "x91_event_transitions" -> (EventAnalytics.eventTransitions _),
     "x92_dup_degrees" -> (Dedup.dupDegreeHistogram _),
     "x93_bigram_entropy" -> (CorpusStats.bigramEntropy _),
-    "x94_quality_gate2" -> (Curation.qualityGate2 _)
+    "x94_quality_gate2" -> (Curation.qualityGate2 _),
+    "x95_media_dups" -> (Multimodal.mediaDups _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -388,6 +389,10 @@ object SparkEntry {
     * division, then `array_agg(ORDER BY pos)` reassembly. Bit-equal
     * centroids each round keep the next round's assignments
     * engine-identical. */
+  /** Lloyd's K rides the same √(N/8) curve as x19 (floor
+    * [[graft.operators.Similarity.NumCells]]) — `knc` mirrors
+    * [[graft.operators.Similarity.derivedCellsExpr]] so the trained
+    * centroid SET is engine-identical at every corpus size. */
   private val kmeansCte: String = {
     val k = graft.operators.Similarity.NumCells
     val d = graft.operators.Similarity.Dim
@@ -408,7 +413,8 @@ object SparkEntry {
          |c$i AS (SELECT cell AS cid, array_agg(cval ORDER BY pos) AS cu
          |        FROM s$i GROUP BY 1)""".stripMargin
     }
-    s""", c0 AS (SELECT vec_id AS cid, u AS cu FROM unit_t WHERE vec_id < $k),
+    s""", knc AS (SELECT GREATEST($k, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
+       |c0 AS (SELECT vec_id AS cid, u AS cu FROM unit_t, knc WHERE vec_id < knc.k),
        |${blocks.mkString(",\n")}
        |""".stripMargin
   }
@@ -3130,6 +3136,66 @@ object SparkEntry {
          |FROM gd LEFT JOIN gmx USING (doc_id) JOIN gp USING (doc_id)
          |  JOIN gt USING (source)
          |ORDER BY gd.doc_id""".stripMargin
+    },
+
+    // Mirrors Multimodal.mediaDups: per-blob 64-bit aHash (64 index
+    // buckets thresholded against the global mean, exact integer
+    // comparison — graft.expressions.AHash64), then x5's banded Hamming
+    // pairing within media_type folded to a per-blob partner degree.
+    // Bit 63 is the BIGINT sign bit and DuckDB overflow-checks
+    // `1 << 63`, so it adds the min-long literal instead (the
+    // simhashCte device).
+    "x95_media_dups" -> {
+      val cap = graft.operators.Dedup.MaxBandBucket
+      s"""WITH md AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio'
+         |         ELSE 'video' END AS media_type,
+         |    string_split(text, '') AS cs, strlen(text) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |ch AS (
+         |  SELECT doc_id, n, ascii(cs[u.i]) AS v, ((u.i - 1) * 64) // n AS b
+         |  FROM md, unnest(range(1, n + 1)) AS u(i)),
+         |tot AS (SELECT doc_id, SUM(v) AS total FROM ch GROUP BY 1),
+         |bu AS (SELECT doc_id, b, SUM(v) AS s, COUNT(*) AS c
+         |       FROM ch GROUP BY 1, 2),
+         |hot AS (
+         |  SELECT bu.doc_id, bu.b
+         |  FROM bu JOIN tot USING (doc_id)
+         |    JOIN md USING (doc_id)
+         |  WHERE bu.s * md.n > tot.total * bu.c),
+         |asig AS (
+         |  SELECT md.doc_id, md.media_type,
+         |    CAST(COALESCE(SUM(CASE WHEN hot.b IS NULL THEN 0
+         |      WHEN hot.b = 63 THEN -9223372036854775807 - 1
+         |      ELSE CAST(1 AS BIGINT) << hot.b END), 0) AS BIGINT) AS ahash
+         |  FROM md LEFT JOIN hot USING (doc_id)
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, media_type, ahash, p.c,
+         |    (ahash >> (p.c * 16)) & 65535 AS chunk
+         |  FROM asig, (SELECT unnest(range(0, 4)) AS c) p),
+         |kept AS (
+         |  SELECT c, chunk, media_type FROM bands
+         |  GROUP BY c, chunk, media_type HAVING COUNT(*) <= $cap),
+         |cb AS (
+         |  SELECT b.doc_id, b.media_type, b.ahash, b.c, b.chunk
+         |  FROM bands b JOIN kept USING (c, chunk, media_type)),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM cb a JOIN cb b ON a.c = b.c AND a.chunk = b.chunk
+         |    AND a.media_type = b.media_type AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+         |deg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+         |    SELECT doc_a AS doc_id FROM prs
+         |    UNION ALL SELECT doc_b AS doc_id FROM prs)
+         |  GROUP BY 1)
+         |SELECT asig.doc_id, asig.media_type, asig.ahash,
+         |  COALESCE(deg.n_partners, 0) AS n_partners
+         |FROM asig LEFT JOIN deg USING (doc_id)
+         |ORDER BY asig.doc_id""".stripMargin
     },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry

@@ -104,6 +104,15 @@ object TextFunctions {
   def simhash64(text: Column): Column =
     GraftSql.column(graft.expressions.SimHash64(GraftSql.expression(text)))
 
+  /** 64-bit average-hash perceptual fingerprint over the stub-decoded
+    * byte stream ([[graft.expressions.AHash64]]): 64 index buckets, bit k
+    * set iff bucket k's mean exceeds the global mean (exact integer
+    * comparison). The media analogue of [[simhash64]] — consumed by
+    * [[graft.operators.Multimodal.mediaDups]]'s banded Hamming join;
+    * `GraftProperties` pins it against a driver-side model. */
+  def ahash64(text: Column): Column =
+    GraftSql.column(graft.expressions.AHash64(GraftSql.expression(text)))
+
   /** ClickHouse-free stopword list used by quality scoring. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -705,46 +705,67 @@ object Dedup {
     // Same materialization rationale as minhashLsh: O(N)-small signature
     // table, expensive to build, read by both sides of the banded join.
     val sig = OperatorCaches.persist(simhash(spark, sfDir))
-    val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(simhash, c * 16) & 65535"))
-    // Chunk-bucket cap — [[MaxBandBucket]], the same skew guard as
-    // minhashLsh's band buckets and for the same reason: a chunk value
-    // shared by f docs contributes f²/2 candidate rows inside ONE join
-    // key, and on a vocabulary-degenerate corpus signatures COLLIDE en
-    // masse (documents drawn from a small vocabulary concentrate onto
-    // few simhash values) — the round-8 sf10 run measured x5 at 36× for
-    // 10× data (1.9 s → 70 s) from exactly this blow-up. Correctness
-    // stance mirrors minhashLsh's: docs sharing an oversized chunk
-    // bucket are a mass near-identical family whose membership exact()
-    // and dupClusters already capture; the cap costs pair REPORTS within
-    // that family only, and only when no other (uncapped) chunk also
-    // matches. Partial-aggregated sizes filtered BEFORE the join-back —
-    // never a window. Measured bucket curves on the synthetic corpus
-    // (max bucket / Σbucket² / buckets over 256): sf0.1 342 / 8.6e5 / 2,
-    // sf1 3,360 / 8.3e7 / 118, sf10 34,802 / 8.3e9 / 1,166 — the cap is
-    // what turns that Σbucket² candidate volume from quadratic to
-    // ≤ 256·4N. A reported near-dup pair (hamming ≤ 3) shares ≥1 chunk
-    // and typically all 4; it is lost only when EVERY shared chunk's
-    // bucket is oversized.
-    val keptChunks = banded.groupBy("c", "chunk")
+    bandedHammingPairs(sig, "simhash", "sim")
+      .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The banded 64-bit Hamming join [[simhashPairs]] and
+    * [[graft.operators.Multimodal.mediaDups]] share: 4 × 16-bit chunks
+    * as join keys (pigeonhole-total recall at Hamming ≤ 3), the
+    * [[MaxBandBucket]] bucket cap, hamming-filter before distinct.
+    * Input: (doc_id, `sigCol`, extraKeys...); output
+    * (doc_a, doc_b, `outPrefix`_a, `outPrefix`_b, hamming) plus the
+    * extra key columns (pairs only form within matching extra keys —
+    * media pairs stay within a media_type).
+    *
+    * Chunk-bucket cap — [[MaxBandBucket]], the same skew guard as
+    * minhashLsh's band buckets and for the same reason: a chunk value
+    * shared by f docs contributes f²/2 candidate rows inside ONE join
+    * key, and on a vocabulary-degenerate corpus signatures COLLIDE en
+    * masse (documents drawn from a small vocabulary concentrate onto
+    * few simhash values) — the round-8 sf10 run measured x5 at 36× for
+    * 10× data (1.9 s → 70 s) from exactly this blow-up. Correctness
+    * stance mirrors minhashLsh's: docs sharing an oversized chunk
+    * bucket are a mass near-identical family whose membership exact()
+    * and dupClusters already capture; the cap costs pair REPORTS within
+    * that family only, and only when no other (uncapped) chunk also
+    * matches. Partial-aggregated sizes filtered BEFORE the join-back —
+    * never a window. Measured bucket curves on the synthetic corpus
+    * (max bucket / Σbucket² / buckets over 256): sf0.1 342 / 8.6e5 / 2,
+    * sf1 3,360 / 8.3e7 / 118, sf10 34,802 / 8.3e9 / 1,166 — the cap is
+    * what turns that Σbucket² candidate volume from quadratic to
+    * ≤ 256·4N. A reported near-dup pair (hamming ≤ 3) shares ≥1 chunk
+    * and typically all 4; it is lost only when EVERY shared chunk's
+    * bucket is oversized. */
+  private[graft] def bandedHammingPairs(sig: DataFrame, sigCol: String,
+      outPrefix: String, extraKeys: Seq[String] = Nil,
+      maxHamming: Int = 3): DataFrame = {
+    val keys = Seq("c", "chunk") ++ extraKeys
+    val banded = sig.select(
+        (Seq(col("doc_id"), col(sigCol)) ++ extraKeys.map(col)) :+
+          explode(sequence(lit(0), lit(3))).as("c"): _*)
+      .withColumn("chunk", expr(s"shiftright($sigCol, c * 16) & 65535"))
+    val keptChunks = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
-      .select("c", "chunk")
-    val cut = banded.join(keptChunks, Seq("c", "chunk"))
-    val a = cut.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sim_a"), col("c"), col("chunk"))
-    val b = cut.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sim_b"), col("c"), col("chunk"))
-    a.join(b, Seq("c", "chunk"))
+      .select(keys.map(col): _*)
+    val cut = banded.join(keptChunks, keys)
+    val a = cut.select(Seq(col("doc_id").as("doc_a"),
+      col(sigCol).as(s"${outPrefix}_a")) ++ keys.map(col): _*)
+    val b = cut.select(Seq(col("doc_id").as("doc_b"),
+      col(sigCol).as(s"${outPrefix}_b")) ++ keys.map(col): _*)
+    a.join(b, keys)
       .filter(col("doc_a") < col("doc_b"))
       // hamming-filter BEFORE dedup: bit_count is codegen'd and drops the
       // ~12M skew-inflated candidate rows to a handful, so the distinct
       // shuffles almost nothing.
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-      .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming").distinct()
-      .orderBy("doc_a", "doc_b")
+      .withColumn("hamming",
+        expr(s"bit_count(${outPrefix}_a ^ ${outPrefix}_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select((Seq("doc_a", "doc_b", s"${outPrefix}_a", s"${outPrefix}_b",
+        "hamming") ++ extraKeys).map(col): _*)
+      .distinct()
   }
 
   /** x92: NEAR-DUP GRAPH DEGREE HISTOGRAM — how many documents have 0,

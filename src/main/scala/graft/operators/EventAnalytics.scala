@@ -72,7 +72,14 @@ object EventAnalytics {
     * events of the next type. Every join and aggregation hashes on
     * `user_id`, so the whole chain reuses one shuffle layout; stage
     * relations shrink monotonically. Emits one row per stage with the
-    * surviving-user count and the conversion fraction vs stage 1. */
+    * surviving-user count and the conversion fraction vs stage 1.
+    *
+    * Skew stance: unlike the window family (q14/x91), a hot user costs
+    * ~nothing here — every per-user reduction is a commutative `min`,
+    * so a 10⁸-event bot partial-aggregates to ONE row map-side before
+    * any exchange; the joins then move one row per user per stage.
+    * EventAnalyticsSpec's pathological-user fixture covers this path
+    * too. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame =
     funnelFrom(Tables.events(spark, sfDir))
 
@@ -149,7 +156,17 @@ object EventAnalytics {
     * spill to disk, never into task memory); everything after is
     * |types|²-bounded aggregation, and the row-count normalizer is a
     * broadcast of that bounded aggregate. p = one double division of
-    * exact longs per pair — hash-exact. */
+    * exact longs per pair — hash-exact.
+    *
+    * Skew boundary: q14's (see
+    * [[graft.queries.Relational.sessionize]]) — a pathological user
+    * serializes into one spilling task sort (straggler, not OOM;
+    * EventAnalyticsSpec proves the 10⁶-event single-user fixture).
+    * Unlike q14, everything ABOVE the window is a commutative count, so
+    * if the straggler matters the lead() can be reformulated over
+    * q19-salted (user, time-bucket) shards with per-boundary stitching;
+    * the plain window is kept because a transition count's single sort
+    * is cheap relative to the scan at any realistic skew. */
   def eventTransitions(spark: SparkSession, sfDir: String): DataFrame =
     eventTransitionsFrom(Tables.events(spark, sfDir))
 

@@ -129,6 +129,73 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** x95: MEDIA near-duplicate pairs — perceptual-hash dedup for the
+    * binary/media columns, the capability the text dedup family (x1–x5)
+    * has no analogue for: re-encoded, renamed, or lightly-edited copies
+    * of the same asset have different byte hashes (x1/mediaMeta's md5
+    * misses them) but nearly identical DECODED content. The classical
+    * recipe: a 64-bit average-hash ([[graft.functions.TextFunctions.ahash64]]
+    * — 8×8-grid aHash over the deterministic stub decode's byte stream;
+    * a production build feeds real decoded pixels into the same
+    * bucketing) per blob, then near-pairs at Hamming ≤ 3.
+    *
+    * Output is PER BLOB — (doc_id, media_type, ahash, n_partners) — not
+    * per pair: every blob's perceptual hash is oracle-verified
+    * bit-for-bit (the pair relation alone would be vacuously empty on a
+    * dup-free corpus slice and check nothing), and `n_partners` (the
+    * blob's Hamming ≤ 3 within-type degree, x92's pattern) carries the
+    * pairing semantics. [[mediaDupPairs]] exposes the pair relation a
+    * curation pass would semi-join against.
+    *
+    * Scale shape: REUSES x5's banded machinery verbatim
+    * ([[Dedup.bandedHammingPairs]]) — the signature table is O(N)-narrow
+    * (one codegen'd two-pass loop per blob, no shuffle), pairs form only
+    * inside 16-bit chunk buckets under the [[Dedup.MaxBandBucket]] cap
+    * (never an all-pairs join), and `media_type` rides the join key so
+    * pairs stay within a modality (image↔image, never image↔audio) and
+    * each type's buckets stay smaller. The degree fold is a doc-keyed
+    * aggregate over pair endpoints (≤2 rows per surviving pair) left-
+    * joined back to the O(N) signature table. */
+  def mediaDups(spark: SparkSession, sfDir: String): DataFrame =
+    mediaDupsFrom(Tables.documentsParallel(spark, sfDir))
+
+  /** [[mediaDups]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures plant byte-identical and lightly-edited
+    * blobs and a cap-exceeding mass-duplicate family). */
+  private[graft] def mediaDupsFrom(docs: DataFrame): DataFrame = {
+    val sig = mediaSignatures(docs)
+    val pairs = Dedup.bandedHammingPairs(sig, "ahash", "ahash",
+      Seq("media_type"))
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+    sig.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("media_type"), col("ahash"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("doc_id")
+  }
+
+  /** The within-type Hamming ≤ 3 pair relation behind [[mediaDups]] —
+    * what a curation pass semi-joins against to drop one side of each
+    * near-duplicate pair. */
+  private[graft] def mediaDupPairs(docs: DataFrame): DataFrame =
+    Dedup.bandedHammingPairs(mediaSignatures(docs), "ahash", "ahash",
+      Seq("media_type"))
+      .select("doc_a", "doc_b", "media_type", "ahash_a", "ahash_b",
+        "hamming")
+      .orderBy("doc_a", "doc_b")
+
+  /** O(N)-small (doc_id, media_type, ahash) signature table — persisted
+    * because both sides of the banded join (and the degree join-back)
+    * read it; same materialization rationale as x5's simhash table. */
+  private def mediaSignatures(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.ahash64
+    graft.util.OperatorCaches.persist(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), mediaTypeOf(col("doc_id")).as("media_type"),
+          ahash64(col("text")).as("ahash")))
+  }
+
   /** The decode/feature-extract stage: `mapPartitions` so a real decoder
     * would amortize codec init per partition (the Scala analogue of a
     * pandas-batch UDF). Deterministic fake decode ⇒ rows-only check. */

@@ -153,9 +153,11 @@ object Similarity {
     * sub-quadratic curve). The count is a 1-row aggregate CROSS-JOINED
     * into the plan (a one-row broadcast, not a driver-side collect), so
     * the derivation stays declarative and the DuckDB oracle derives the
-    * identical value with a scalar subquery. [[kmeansTrain]]'s K
-    * deliberately stays the fixed [[NumCells]]: a trained-cluster count
-    * is a model hyperparameter the user picks, not a corpus statistic.
+    * identical value with a scalar subquery. Since round 10,
+    * [[kmeansTrain]]'s K rides the SAME curve (this relation seeds
+    * [[lloyd]]'s init) — the trained index otherwise kept a fixed 16
+    * cells at any corpus size, which made x34's nprobe=2 probe scan
+    * N/8 candidates per query (linear) instead of ∝ √N·nprobe/k·N ∝ √N.
     * [[GraftProperties]] pins the derivation curve. */
   private def standInCentroids(e: DataFrame): DataFrame = {
     val k = e.agg(derivedCellsExpr(count(lit(1))).as("ncells"))
@@ -395,11 +397,19 @@ object Similarity {
     lloyd(spark, sfDir)._1
 
   /** [[KmeansIters]] Lloyd rounds: (trained centroids, final-round
-    * assignment). Pure DataFrame composition — no driver actions. */
+    * assignment). Pure DataFrame composition — no driver actions.
+    *
+    * K is corpus-derived ([[standInCentroids]]'s √(N/8) curve, floor
+    * [[NumCells]]) — NOT a fixed constant. With fixed K=16 the trained
+    * index's probe stage scanned nprobe/16 = N/8 of the corpus per query
+    * at ANY corpus size; on the √ curve per-query candidate volume is
+    * ~nprobe·N/K ∝ √N and x90's K×K separation join stays ∝ N/8 rows —
+    * both sub-quadratic. Init is deterministic (lowest-vec_id slice), so
+    * centroids remain bit-exact against the oracle's identical
+    * derivation at every K. */
   private def lloyd(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val e = normalized(spark, sfDir)
-    var cents = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    var cents = standInCentroids(e)
     var lastAssign: DataFrame = null
     for (_ <- 1 to KmeansIters) {
       val byVec = Window.partitionBy("vec_id")

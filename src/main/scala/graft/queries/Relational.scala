@@ -223,10 +223,28 @@ object Relational {
 
   /** Gap-based sessionization (30 min inactivity): lag → flag → cumulative
     * session counter → per-session rollup. Two window passes over the same
-    * (user_id, ts) shuffle partitioning — the exchange is reused. */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    * (user_id, ts) shuffle partitioning — the exchange is reused.
+    *
+    * Skew boundary (shared by the per-user window family — this query,
+    * x91's lead(), x42's dialog assembly): ONE user's whole history sorts
+    * inside a single task. Spark's external sort SPILLS that partition to
+    * disk rather than OOMing, so a pathological user (a bot with 10⁸
+    * events in a 100 TB changelog) is a straggler, not a failure —
+    * EventAnalyticsSpec proves completion + exact results at a 10⁶-event
+    * single-user fixture. Mitigations when the straggler matters: route
+    * power users to [[graft.streaming.SessionStream]]'s gap-state
+    * formulation below ~10⁷ events/user (its documented batch boundary),
+    * or salt the user key per q19 for the aggregate-only parts (the
+    * session counter itself is order-dependent and cannot salt). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeFrom(Tables.events(spark, sfDir))
+
+  /** [[sessionize]] over an arbitrary events relation — the testable
+    * core (the pathological-user fixture drives it at 10⁶ events on one
+    * user_id). */
+  private[graft] def sessionizeFrom(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, sfDir)
+    events
       .select("user_id", "event_id", "ts", "value")
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",

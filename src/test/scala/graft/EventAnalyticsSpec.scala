@@ -77,4 +77,46 @@ class EventAnalyticsSpec extends SparkSpec {
       .select("event_id", "z").as[(Long, Double)].collect()
     assert(out2.toSeq === out.toSeq)
   }
+
+  test("pathological user: 10^6 events on ONE user_id complete with exact " +
+      "results through the per-user window family (q14/x91/x63)") {
+    // The skew fixture the scaladoc boundaries point at
+    // (Relational.sessionize / EventAnalytics.eventTransitions): one
+    // user's whole history serializes into a single task's window sort.
+    // This proves the family COMPLETES there (Spark's external sort
+    // spills, it does not OOM) and that the results stay exact — the
+    // 100 TB pathological-bot case differs only in straggler latency.
+    val n = 1000000L
+    // types cycle view→click→purchase; a >30 min gap every 100k events
+    // splits exactly 10 sessions of 100k
+    val events = spark.range(n).select(
+      col("id").as("event_id"),
+      lit(7L).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"),
+      timestamp_seconds(lit(1700000000L) + col("id") +
+        (col("id") / 100000).cast("long") * lit(3600L)).as("ts"),
+      lit(1.0).as("value"))
+    val sessions = graft.queries.Relational.sessionizeFrom(events)
+      .select("session_seq", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect()
+    assert(sessions.length === 10)
+    assert(sessions.map(_._1).toSeq === (1L to 10L))
+    assert(sessions.forall(s => s._2 === 100000L && s._3 === 100000.0))
+    // transitions: ts strictly increasing with id, so every from-type's
+    // next event is fully determined by the cycle — p = 1.0 exactly
+    val trans = EventAnalytics.eventTransitionsFrom(events)
+      .select("from_type", "to_type", "n_transitions", "p_transition")
+      .as[(String, String, Long, Double)].collect()
+    assert(trans.toSet === Set(
+      ("view", "click", 333333L, 1.0),
+      ("click", "purchase", 333333L, 1.0),
+      ("purchase", "view", 333333L, 1.0)))
+    // funnel: the hot user partial-aggregates to one row per stage
+    val fun = EventAnalytics.funnelFrom(events)
+      .select("stage_idx", "n_users", "frac_of_first")
+      .as[(Long, Long, Double)].collect()
+    assert(fun.toSeq === Seq((1L, 1L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)))
+  }
 }

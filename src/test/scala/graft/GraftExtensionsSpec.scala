@@ -23,7 +23,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val viaSql = spark.sql(
       """SELECT graft_polyhash(text) AS h, graft_shingles(text) AS sh3,
         |  graft_shingles(text, 2) AS sh2, graft_vec_dot(va, vb) AS d,
-        |  graft_simhash64(text) AS sig, graft_cdc_chunks(text) AS cdc
+        |  graft_simhash64(text) AS sig, graft_cdc_chunks(text) AS cdc,
+        |  graft_ahash64(text) AS ah
         |FROM ext_probe""".stripMargin).collect()
     val viaDsl = df.select(
       TextFunctions.polyHash(col("text")).as("h"),
@@ -31,7 +32,8 @@ class GraftExtensionsSpec extends SparkSpec {
       TextFunctions.shingles(col("text"), 2).as("sh2"),
       VectorFunctions.dot(col("va"), col("vb")).as("d"),
       TextFunctions.simhash64(col("text")).as("sig"),
-      TextFunctions.cdcChunks(col("text")).as("cdc")).collect()
+      TextFunctions.cdcChunks(col("text")).as("cdc"),
+      TextFunctions.ahash64(col("text")).as("ah")).collect()
     assert(viaSql.map(_.toSeq.map {
       case s: scala.collection.Seq[_] => s.toList
       case x => x
@@ -57,7 +59,7 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(reg.listFunction().map(_.funcName).toSet ===
       Set("graft_polyhash", "graft_shingles", "graft_vec_dot",
-        "graft_simhash64", "graft_cdc_chunks"))
+        "graft_simhash64", "graft_cdc_chunks", "graft_ahash64"))
     // builders actually build: a 1-arg polyhash resolves to the expression
     val built = reg.lookupFunction(FunctionIdentifier("graft_polyhash"),
       Seq(org.apache.spark.sql.catalyst.expressions.Literal("x")))

@@ -112,6 +112,39 @@ object GraftProperties extends Properties("graft") {
         graft.SimHashModel.simhash(s)
     }
 
+  /** AHash64 (interpreted eval) against the driver-side bucket-mean
+    * model, plus the invariants the dedup join relies on: empty → 0,
+    * a constant stream → 0 (no bucket exceeds the mean of itself), and
+    * equal inputs → equal hashes (Hamming 0 — what makes byte-identical
+    * blobs pair). (The codegen'd path runs through the x95 operator plan
+    * in OperatorsSpec/Verify.) */
+  property("AHash64 expression == bucket-mean model; constant streams hash to 0") =
+    forAll(Gen.oneOf(Gen.asciiStr, validUnicodeStr)) { s =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val n = s.length
+      val model =
+        if (n == 0) 0L
+        else {
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var total = 0L
+          for (i <- 0 until n) {
+            val b = ((i.toLong * 64L) / n).toInt
+            sums(b) += s.charAt(i).toLong
+            counts(b) += 1L
+            total += s.charAt(i).toLong
+          }
+          (0 until 64).foldLeft(0L) { (h, k) =>
+            if (sums(k) * n > total * counts(k)) h | (1L << k) else h
+          }
+        }
+      val got = graft.expressions.AHash64(Literal(s)).eval(null)
+      val constant = if (n == 0) "" else s.charAt(0).toString * n
+      got == model &&
+        graft.expressions.AHash64(Literal(constant)).eval(null) == 0L &&
+        graft.expressions.AHash64(Literal(s)).eval(null) == got
+    }
+
   private val neighbors: Gen[List[graft.functions.Neighbor]] =
     Gen.listOf(for {
       // few distinct scores → frequent cos ties exercising the id tiebreak

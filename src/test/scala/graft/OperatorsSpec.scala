@@ -1320,4 +1320,61 @@ class OperatorsSpec extends SparkSpec {
       s"low-entropy doc must veto via max_chunk: ${out(6L)}")
     assert(out(7L)._3, "clean doc in source b keeps")
   }
+
+  test("x95 media dedup: identical blobs pair within their media type only, " +
+      "the bucket cap suppresses a mass family, degrees match the model") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.ahash64
+    // doc_id mod 3 picks the media type (0=image, 1=audio, 2=video)
+    val trioText = "alpha beta gamma delta epsilon zeta eta theta"
+    val trio = Seq(3L, 9L, 12L).map(i => (i, trioText))         // image
+    val audioPair = Seq(1L, 4L).map(i => (i, "iota kappa lambda mu nu xi"))
+    val crossType = Seq((2L, trioText))                          // video, same bytes
+    // 300 byte-identical image blobs: every band bucket they form holds
+    // 300 (> MaxBandBucket) members, so the whole family must be cut
+    val boiler = (0 until 300).map(i =>
+      (3000L + 3 * i, "mass family boilerplate payload bytes"))
+    val chaff = (0 until 20).map(i =>
+      (9001L + 3 * i, s"unique${i}a unique${i}b unique${i}c unique${i}d"))
+    val docs = (trio ++ audioPair ++ crossType ++ boiler ++ chaff)
+      .toDF("doc_id", "text")
+    val out = Multimodal.mediaDupsFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    // identical bytes → identical hash (Hamming 0), within-type pairing:
+    // each trio member partners with the other two, never the video copy
+    Seq(3L, 9L, 12L).foreach { id =>
+      assert(out(id)._1 === "image" && out(id)._3 === 2L,
+        s"trio member $id: ${out(id)}")
+    }
+    assert(out(3L)._2 === out(2L)._2,
+      "identical bytes must produce identical hashes across types")
+    assert(out(2L)._3 === 0L, "the video copy must not pair across types")
+    Seq(1L, 4L).foreach { id => assert(out(id)._3 === 1L) }
+    // the 300-copy family exceeds every chunk bucket's cap → no pairs
+    boiler.foreach { case (id, _) => assert(out(id)._3 === 0L,
+      s"capped mass-family member $id reported partners") }
+    // degrees equal the brute-force model: within-type Hamming ≤ 3 pairs
+    // where at least one shared chunk's bucket is under the cap
+    val sig = out.toSeq.map { case (id, (mt, h, _)) => (id, mt, h) }
+    val bucket = scala.collection.mutable.Map.empty[(Int, Long, String), Int]
+      .withDefaultValue(0)
+    for ((_, mt, h) <- sig; c <- 0 until 4)
+      bucket((c, (h >> (c * 16)) & 0xffffL, mt)) += 1
+    val modelDeg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      (ida, mta, ha) <- sig; (idb, mtb, hb) <- sig
+      if ida < idb && mta == mtb &&
+        java.lang.Long.bitCount(ha ^ hb) <= 3 &&
+        (0 until 4).exists { c =>
+          ((ha >> (c * 16)) & 0xffffL) == ((hb >> (c * 16)) & 0xffffL) &&
+            bucket((c, (ha >> (c * 16)) & 0xffffL, mta)) <= Dedup.MaxBandBucket
+        }
+    } { modelDeg(ida) += 1; modelDeg(idb) += 1 }
+    sig.foreach { case (id, _, _) =>
+      assert(out(id)._3 === modelDeg(id), s"degree mismatch for $id")
+    }
+  }
 }

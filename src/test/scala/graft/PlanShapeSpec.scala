@@ -652,6 +652,114 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("round-9 tail: x90's NLJs build bounded centroid tables, x91 keys its " +
+      "window by user, x92 keeps x5's bucket cap, x93 scans the corpus once, " +
+      "x94 joins only the broadcast threshold") {
+    import graft.operators.{CorpusStats, Curation, EventAnalytics}
+    def aggBackedHint(h: ResolvedHint): Boolean =
+      h.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+    // x90: the ONLY nested-loop joins are against the centroid family —
+    // c0 carries the 1-row derived-ncells count in its lineage, every
+    // later round's centroid table is the ≤K-row Lloyd-update aggregate
+    // (possibly persisted → InMemoryTableScan). A corpus×corpus NLJ has
+    // neither an aggregate nor the ncells cut on its build side.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val x90 = Similarity.clusterQuality(spark, Sf)
+    assert(logicalHints(x90).forall(aggBackedHint),
+      "raw-relation broadcast hint in x90")
+    val p90 = withoutAqe {
+      Similarity.clusterQuality(spark, Sf).queryExecution.executedPlan
+    }
+    assert(!p90.toString.contains("CartesianProduct"), s"cartesian in x90:\n$p90")
+    val nljs90 = p90.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nljs90.nonEmpty) // the vec×centroid assignment + K×K separation
+    nljs90.foreach { j =>
+      val build = j.buildSide match {
+        case BuildRight => j.right
+        case BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }.isDefined || build.toString.contains("ncells"),
+        s"x90 nested-loop build side is not centroid-family bounded:\n$build")
+    }
+    // x91: ONE user-keyed window (the lead()), then bounded |types|²
+    // aggregation; the per-from_type totals join is an aggregate-backed
+    // broadcast
+    val x91 = EventAnalytics.eventTransitions(spark, Sf)
+    assert(logicalHints(x91).forall(aggBackedHint),
+      "raw-relation broadcast hint in x91")
+    val p91 = withoutAqe { x91.queryExecution.executedPlan }
+    val wins91 = p91.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins91.size === 1, s"expected exactly the lead window in x91:\n$p91")
+    assert(wins91.head.partitionSpec.exists(_.toString.contains("user_id")),
+      s"x91 window not user-partitioned: ${wins91.head.partitionSpec}")
+    // x92: composes x5's CAPPED pair relation — the bucket-size cut
+    // (bsz <= MaxBandBucket) must survive into the physical plan; if a
+    // refactor drops it, the self-join regains its quadratic hot-bucket
+    // failure mode. The degree fold joins the corpus id column LEFT —
+    // no cartesian anywhere.
+    val p92 = withoutAqe {
+      Dedup.dupDegreeHistogram(spark, Sf).queryExecution.executedPlan
+    }.toString
+    assert(p92.contains("bsz") && p92.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"x5's bucket cap missing from x92's plan:\n$p92")
+    assert(!p92.contains("CartesianProduct"), s"cartesian in x92:\n$p92")
+    // x93: the w1-marginal derives from the bigram AGGREGATE — the
+    // corpus parquet is scanned ONCE; the second reference to the c12
+    // subtree must resolve as a ReusedExchange, not a second scan
+    val p93 = withoutAqe {
+      CorpusStats.bigramEntropy(spark, Sf).queryExecution.executedPlan
+    }
+    val scans93 = p93.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans93.size === 1,
+      s"x93 must scan the corpus once (marginal from the aggregate):\n$p93")
+    // x94: the three signals are ONE map projection; the only join is
+    // the broadcast of the source-bounded threshold table, and the
+    // calibration windows run over the histogram aggregate — never raw
+    // docs
+    val p94 = withoutAqe {
+      Curation.qualityGate2(spark, Sf).queryExecution.executedPlan
+    }
+    val joins94 = p94.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins94.size === 1, s"x94 must have exactly the threshold join:\n$p94")
+    assert(joins94.head.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec],
+      s"x94 threshold join is not broadcast: ${joins94.head.getClass.getSimpleName}")
+    p94.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x94 window reads raw docs, not the histogram:\n$p94")
+    }
+    // x95: inherits x5's banded discipline through the shared helper —
+    // the bucket cap must survive into the physical plan, the pair stage
+    // is a (c, chunk, media_type) equi-join (never a cartesian), and no
+    // broadcast hint sits on the corpus-sized signature relation
+    val x95 = graft.operators.Multimodal.mediaDups(spark, Sf)
+    assert(logicalHints(x95).isEmpty, "hint crept into x95")
+    val p95 = withoutAqe {
+      graft.operators.Multimodal.mediaDups(spark, Sf)
+        .queryExecution.executedPlan
+    }.toString
+    assert(p95.contains("bsz") && p95.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"the bucket cap missing from x95's plan:\n$p95")
+    assert(!p95.contains("CartesianProduct"), s"cartesian in x95:\n$p95")
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

@@ -205,7 +205,10 @@ object SparkEntry {
     "x92_dup_degrees" -> (Dedup.dupDegreeHistogram _),
     "x93_bigram_entropy" -> (CorpusStats.bigramEntropy _),
     "x94_quality_gate2" -> (Curation.qualityGate2 _),
-    "x95_media_dups" -> (Multimodal.mediaDups _)
+    "x95_media_dups" -> (Multimodal.mediaDups _),
+    "x96_video_frame_dups" -> (Multimodal.videoFrameDups _),
+    "x97_audio_landmarks" -> (Multimodal.audioLandmarkDups _),
+    "x98_source_mixture" -> (Curation.temperatureMixture _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -3196,6 +3199,161 @@ object SparkEntry {
          |  COALESCE(deg.n_partners, 0) AS n_partners
          |FROM asig LEFT JOIN deg USING (doc_id)
          |ORDER BY asig.doc_id""".stripMargin
+    },
+
+    // Mirrors Multimodal.videoFrameDups: fixed 32-char frame slices of
+    // video blobs, per-frame aHash (the x95 bucketing per SLICE — frame
+    // length L ≤ 32 keeps every bucket index ≤ 62, so no sign-bit
+    // device is needed), DF-capped exact-hash pairing, integer
+    // containment test 2m ≥ min(nd_a, nd_b).
+    "x96_video_frame_dups" -> {
+      val cap = graft.operators.Dedup.MaxBandBucket
+      val fs = graft.operators.Multimodal.FrameSliceChars
+      val mm = graft.operators.Multimodal.MinFrameMatches
+      s"""WITH v AS (
+         |  SELECT doc_id, string_split(text, '') AS cs,
+         |    CAST(strlen(text) AS BIGINT) AS n
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 3 = 2 AND strlen(text) >= 1),
+         |ch AS (
+         |  SELECT doc_id, (u.i - 1) // $fs AS f,
+         |    LEAST($fs, n - ((u.i - 1) // $fs) * $fs) AS L,
+         |    (((u.i - 1) % $fs) * 64) // LEAST($fs, n - ((u.i - 1) // $fs) * $fs) AS b,
+         |    CAST(ascii(cs[u.i]) AS BIGINT) AS val
+         |  FROM v, unnest(range(1, n + 1)) AS u(i)),
+         |ft AS (SELECT doc_id, f, MAX(L) AS L, SUM(val) AS total
+         |       FROM ch GROUP BY 1, 2),
+         |bu AS (SELECT doc_id, f, b, SUM(val) AS s, COUNT(*) AS c
+         |       FROM ch GROUP BY 1, 2, 3),
+         |fh AS (
+         |  SELECT bu.doc_id, bu.f,
+         |    SUM(CASE WHEN bu.s * ft.L > ft.total * bu.c
+         |        THEN (CAST(1 AS BIGINT) << bu.b) ELSE 0 END) AS fh
+         |  FROM bu JOIN ft USING (doc_id, f) GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |    CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_distinct_frames,
+         |    CAST(SUM(DISTINCT CAST(fh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |      AS frame_digest
+         |  FROM fh GROUP BY 1),
+         |sg AS (SELECT DISTINCT doc_id, fh FROM fh),
+         |kp AS (SELECT fh FROM sg GROUP BY 1 HAVING COUNT(*) <= $cap),
+         |ct AS (SELECT sg.doc_id, sg.fh FROM sg JOIN kp USING (fh)),
+         |nd AS (SELECT doc_id, COUNT(*) AS nd FROM sg GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS m
+         |  FROM ct a JOIN ct b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |mt AS (
+         |  SELECT pr.doc_a, pr.doc_b
+         |  FROM pr JOIN nd na ON na.doc_id = pr.doc_a
+         |    JOIN nd nb ON nb.doc_id = pr.doc_b
+         |  WHERE pr.m >= $mm AND pr.m * 2 >= LEAST(na.nd, nb.nd)),
+         |dg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+         |    SELECT doc_a AS doc_id FROM mt
+         |    UNION ALL SELECT doc_b AS doc_id FROM mt)
+         |  GROUP BY 1)
+         |SELECT st.doc_id, st.n_frames, st.n_distinct_frames,
+         |  st.frame_digest, COALESCE(dg.n_partners, 0) AS n_partners
+         |FROM st LEFT JOIN dg USING (doc_id)
+         |ORDER BY st.doc_id""".stripMargin
+    },
+
+    // Mirrors Multimodal.audioLandmarkDups: x87's CDC boundary rule →
+    // chunk (start, len) relation, per-chunk polyhash landmarks
+    // (len ≥ MinLandmarkChars), DF-capped (lhash, len) bucket join with
+    // an offset-delta vote histogram; pairs need >= LandmarkVotes votes
+    // at ONE delta.
+    "x97_audio_landmarks" -> {
+      val w = graft.expressions.CdcChunks.Window
+      val m = 1L << graft.expressions.CdcChunks.MaskBits
+      val minL = graft.operators.Multimodal.MinLandmarkChars
+      val votes = graft.operators.Multimodal.LandmarkVotes
+      val cap = graft.operators.Dedup.MaxBandBucket
+      s"""WITH a AS (
+         |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 3 = 1 AND strlen(text) >= 1),
+         |bd AS (
+         |  SELECT doc_id, j
+         |  FROM (SELECT doc_id, text, n,
+         |          unnest(range($w, GREATEST(n, $w))) AS j
+         |        FROM a)
+         |  WHERE ${polyhashSql(s"substring(text, CAST(j - ${w - 1} AS INTEGER), $w)")} % $m = 0),
+         |l AS (
+         |  SELECT bd.doc_id, a.n, bd.j,
+         |    COALESCE(lag(bd.j) OVER (PARTITION BY bd.doc_id ORDER BY bd.j), 0)
+         |      AS start,
+         |    bd.j - COALESCE(lag(bd.j) OVER (PARTITION BY bd.doc_id ORDER BY bd.j), 0)
+         |      AS len,
+         |    row_number() OVER (PARTITION BY bd.doc_id ORDER BY bd.j DESC) AS rd
+         |  FROM bd JOIN a USING (doc_id)),
+         |ck AS (
+         |  SELECT doc_id, start, len FROM l
+         |  UNION ALL SELECT doc_id, j AS start, n - j AS len FROM l WHERE rd = 1
+         |  UNION ALL SELECT a.doc_id, 0 AS start, a.n AS len
+         |    FROM a LEFT JOIN (SELECT DISTINCT doc_id FROM bd) h USING (doc_id)
+         |    WHERE h.doc_id IS NULL),
+         |lh AS (
+         |  SELECT ck.doc_id, CAST(ck.start AS BIGINT) AS start,
+         |    CAST(ck.len AS BIGINT) AS len,
+         |    ${polyhashSql("substring(a.text, CAST(ck.start + 1 AS INTEGER), CAST(ck.len AS INTEGER))")} AS lhash
+         |  FROM ck JOIN a USING (doc_id)),
+         |st AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(COUNT(CASE WHEN len >= $minL THEN 1 END) AS BIGINT)
+         |      AS n_landmarks,
+         |    CAST(COALESCE(SUM(CASE WHEN len >= $minL THEN lhash END), 0)
+         |      AS BIGINT) AS lm_digest
+         |  FROM lh GROUP BY 1),
+         |mk AS (SELECT doc_id, start, len, lhash FROM lh WHERE len >= $minL),
+         |kp AS (SELECT lhash, len FROM mk GROUP BY 1, 2
+         |       HAVING COUNT(*) <= $cap),
+         |ct AS (SELECT mk.doc_id, mk.start, mk.len, mk.lhash
+         |       FROM mk JOIN kp USING (lhash, len)),
+         |vt AS (
+         |  SELECT a1.doc_id AS doc_a, b1.doc_id AS doc_b,
+         |    a1.start - b1.start AS delta, COUNT(*) AS votes
+         |  FROM ct a1 JOIN ct b1 ON a1.lhash = b1.lhash
+         |    AND a1.len = b1.len AND a1.doc_id < b1.doc_id
+         |  GROUP BY 1, 2, 3),
+         |pr AS (SELECT DISTINCT doc_a, doc_b FROM vt WHERE votes >= $votes),
+         |dg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM (
+         |    SELECT doc_a AS doc_id FROM pr
+         |    UNION ALL SELECT doc_b AS doc_id FROM pr)
+         |  GROUP BY 1)
+         |SELECT st.doc_id, st.n_chunks, st.n_landmarks, st.lm_digest,
+         |  COALESCE(dg.n_partners, 0) AS n_partners
+         |FROM st LEFT JOIN dg USING (doc_id)
+         |ORDER BY st.doc_id""".stripMargin
+    },
+
+    // Mirrors Curation.temperatureMixture: per-source counts, quantized
+    // sqrt-scores (floor(sqrt(n)*1e6) — every step correctly rounded on
+    // both engines), exact long totals, correctly-rounded double ratios
+    // in the same association order.
+    "x98_source_mixture" -> {
+      val q = graft.operators.Curation.MixtureQScale
+      s"""WITH per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |q AS (
+         |  SELECT source, n_docs,
+         |    CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * $q.0) AS BIGINT)
+         |      AS q_score
+         |  FROM per),
+         |t AS (SELECT CAST(SUM(q_score) AS BIGINT) AS q_total,
+         |        CAST(SUM(n_docs) AS BIGINT) AS n_total FROM q)
+         |SELECT q.source, q.n_docs,
+         |  CAST(q.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS raw_share,
+         |  q.q_score,
+         |  CAST(q.q_score AS DOUBLE) / CAST(t.q_total AS DOUBLE) AS weight,
+         |  CAST(q.q_score AS DOUBLE) / CAST(t.q_total AS DOUBLE)
+         |    * CAST(t.n_total AS DOUBLE) / CAST(q.n_docs AS DOUBLE)
+         |    AS oversample
+         |FROM q, t ORDER BY q.source""".stripMargin
     },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry

@@ -787,4 +787,55 @@ object Curation {
       .select("rank", "doc_id", "source", "weight", "es_key")
       .orderBy("rank")
   }
+
+  /** Fixed-point scale for [[temperatureMixture]]'s quantized √n source
+    * scores (6 decimal digits — the floor makes the cross-engine value
+    * bit-deterministic; see the operator scaladoc). */
+  val MixtureQScale = 1000000L
+
+  /** x98: TEMPERATURE-BASED SOURCE MIXTURE — the data-mixing step that
+    * decides how much of each source a training run samples. Raw
+    * proportional sampling lets one huge source (Common-Crawl-scale)
+    * drown every small one; the standard fix samples source s with
+    * probability ∝ n_s^α for a temperature α < 1 (multinomial mixture
+    * smoothing). α is pinned to 1/2 here because √ is the one power both
+    * engines compute CORRECTLY ROUNDED per IEEE-754 (an arbitrary
+    * `pow(x, 0.7)` is not so guaranteed and may differ in the last ulp
+    * across engines): the per-source score is ⌊√n_s · 10⁶⌋ (every step —
+    * sqrt, multiply, floor — deterministic), scores sum EXACTLY as
+    * longs, and the final weights/epoch factors are single correctly-
+    * rounded double divisions of exact integers. Emits per source: doc
+    * count, raw share, quantized score, mixture weight, and the
+    * oversampling factor weight·N/n_s (how many epochs of the source one
+    * corpus-sized sample consumes — >1 for small sources, <1 for large).
+    *
+    * Scale shape: one map-side-combined count per source (|S| rows — 20
+    * here, thousands at worst), then driver-free composition with the
+    * 1-row total via a broadcast cross join. The whole operator is a
+    * single corpus scan of one column. */
+  def temperatureMixture(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureMixtureFrom(docs(spark, sfDir))
+
+  /** [[temperatureMixture]] over an arbitrary (doc_id, source) relation —
+    * the testable core (fixtures check the α=1/2 smoothing: a 100×
+    * larger source gets only 10× the weight). */
+  private[graft] def temperatureMixtureFrom(docsDf: DataFrame): DataFrame = {
+    val per = docsDf.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("q_score",
+        floor(sqrt(col("n_docs").cast("double")) * MixtureQScale.toDouble)
+          .cast("long"))
+    val tot = per.agg(sum(col("q_score")).as("q_total"),
+      sum(col("n_docs")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("raw_share"),
+        col("q_score"),
+        (col("q_score").cast("double") / col("q_total").cast("double"))
+          .as("weight"),
+        (col("q_score").cast("double") / col("q_total").cast("double")
+          * col("n_total").cast("double") / col("n_docs").cast("double"))
+          .as("oversample"))
+      .orderBy("source")
+  }
 }

@@ -783,8 +783,7 @@ object Dedup {
     * docs come from one left join against the corpus id column. */
   def dupDegreeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = simhashPairs(spark, sfDir).select("doc_a", "doc_b")
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
+    val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
     Tables.documentsParallel(spark, sfDir).select("doc_id")
       .join(deg, Seq("doc_id"), "left")

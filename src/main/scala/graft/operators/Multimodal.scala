@@ -166,8 +166,7 @@ object Multimodal {
     val sig = mediaSignatures(docs)
     val pairs = Dedup.bandedHammingPairs(sig, "ahash", "ahash",
       Seq("media_type"))
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
+    val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
     sig.join(deg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("media_type"), col("ahash"),
@@ -194,6 +193,196 @@ object Multimodal {
       docs.filter(col("text").isNotNull)
         .select(col("doc_id"), mediaTypeOf(col("doc_id")).as("media_type"),
           ahash64(col("text")).as("ahash")))
+  }
+
+  /** x96/x97 tuning constants — see the operators for semantics. */
+  val FrameSliceChars = 32
+  val MinFrameMatches = 2
+  val MinLandmarkChars = 8
+  val LandmarkVotes = 2
+
+  /** x96: VIDEO frame-level near-dup — the aligned-content counterpart
+    * of [[mediaDups]]'s whole-blob hash. Real near-duplicate videos
+    * (re-encodes, watermarked copies, trailing-credits trims) share most
+    * of their FRAMES even when the whole-file hash differs, so the
+    * classical recipe fingerprints each frame and pairs videos whose
+    * frame-signature SETS overlap. Here the stub decode's byte stream is
+    * sliced into fixed [[FrameSliceChars]]-char frames (the constant-
+    * bytes-per-frame layout of a fixed-resolution raw stream; a real
+    * build feeds decoded frames into the same bucketing) and each slice
+    * gets a perceptual [[graft.functions.TextFunctions.ahash64]] — exact
+    * hash equality then means "perceptually matching frame" (aHash
+    * collides by design for near-identical content).
+    *
+    * A pair is a near-dup iff it shares m ≥ [[MinFrameMatches]] distinct
+    * frame hashes AND containment ≥ 1/2 — decided in exact integer form
+    * (`2·m ≥ min(nd_a, nd_b)`, no float threshold), so the oracle
+    * reproduces every decision. Output is PER VIDEO (the x95 pattern —
+    * per-pair output would be near-empty and verify nothing): frame
+    * counts, the distinct-hash digest (DECIMAL(38,0) sum — pins every
+    * frame hash), and the near-dup partner degree.
+    *
+    * Scale shape: the frame relation is ≤ ⌈len/32⌉ rows per video (a
+    * narrow map-side explode, no shuffle), the pair join forms only
+    * inside equal frame-hash buckets with frame hashes present in more
+    * than [[Dedup.MaxBandBucket]] videos dropped first (mass-common
+    * frames — blank/intro frames at 100 TB — are exactly x3/x68's
+    * DF-cap stance: their membership is a mass family, not a pair list),
+    * and every per-video reduction is a partial aggregate keyed by
+    * doc_id. */
+  def videoFrameDups(spark: SparkSession, sfDir: String): DataFrame =
+    videoFrameDupsFrom(Tables.documentsParallel(spark, sfDir))
+
+  /** [[videoFrameDups]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures plant frame-aligned partial copies and a
+    * mass-common frame). */
+  private[graft] def videoFrameDupsFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.ahash64
+    // O(N·18)-narrow frame relation; read by the stats pass and both
+    // sides of the pairing join — same materialization rationale as
+    // mediaSignatures.
+    val frames = graft.util.OperatorCaches.persist(
+      docs.filter(col("text").isNotNull &&
+          mediaTypeOf(col("doc_id")) === "video" && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(bigint(0)," +
+            s" bigint((length(text) - 1) div $FrameSliceChars))"))
+            .as("frame_idx"))
+        .select(col("doc_id"), ahash64(expr(
+          s"substring(text, cast(frame_idx * $FrameSliceChars + 1 as int)," +
+            s" $FrameSliceChars)")).as("fh")))
+    val stats = frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n_frames"),
+      count_distinct(col("fh")).as("n_distinct_frames"),
+      sum_distinct(col("fh").cast("decimal(38,0)")).as("frame_digest"))
+    val sig = frames.distinct()
+    val kept = sig.groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.MaxBandBucket).select("fh")
+    val cut = sig.join(kept, Seq("fh"))
+    val nd = sig.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    val pairs = cut.select(col("fh"), col("doc_id").as("doc_a"))
+      .join(cut.select(col("fh"), col("doc_id").as("doc_b")), Seq("fh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("m"))
+      .join(nd.select(col("doc_id").as("doc_a"), col("nd").as("nd_a")),
+        Seq("doc_a"))
+      .join(nd.select(col("doc_id").as("doc_b"), col("nd").as("nd_b")),
+        Seq("doc_b"))
+      .filter(col("m") >= MinFrameMatches &&
+        col("m") * 2 >= least(col("nd_a"), col("nd_b")))
+    val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+    stats.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_distinct_frames"),
+        col("frame_digest"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("doc_id")
+  }
+
+  /** x97: OFFSET-ROBUST landmark fingerprint matching over AUDIO blobs —
+    * the time-shift-tolerant member of the media-dedup family. [[mediaDups]]
+    * (whole-blob aHash) and [[videoFrameDups]] (fixed-grid frames) both
+    * break when a copy is shifted (an inserted intro/prefix moves every
+    * byte); the classical fix (audio-fingerprinting's landmark scheme) is
+    * to pick CONTENT-DEFINED anchor points, fingerprint a window at each,
+    * and declare a match when many fingerprints agree at one consistent
+    * time offset. Here the landmarks are the CDC chunks of
+    * [[graft.expressions.CdcChunks]] (x87's oracle-mirrored cut rule —
+    * boundaries move with content, so a prefix insertion shifts all
+    * downstream chunk STARTS by a constant but preserves their content
+    * and hashes), each chunk of length ≥ [[MinLandmarkChars]]
+    * fingerprinted by the chunk text's [[graft.functions.TextFunctions.polyHash]].
+    * Two blobs match iff ≥ [[LandmarkVotes]] landmark pairs agree on ONE
+    * offset delta (`start_a − start_b`) — the vote histogram is what
+    * makes random hash collisions (uncorrelated deltas) harmless.
+    *
+    * Output is per blob (the x95/x96 pattern): chunk/landmark counts,
+    * the landmark-hash digest (Σ polyhash < 2⁶³, exact long), and the
+    * matched-partner degree. [[audioLandmarkPairs]] exposes the pair
+    * relation.
+    *
+    * Scale shape: chunk derivation is a map-side explode (running-sum
+    * starts via a per-row `aggregate` over the ≤⌈len/32⌉-entry lengths
+    * array — no shuffle); pairs form only inside equal
+    * (landmark-hash, length) buckets with buckets over
+    * [[Dedup.MaxBandBucket]] dropped first; the vote histogram is a
+    * partial aggregate keyed by (pair, delta). */
+  def audioLandmarkDups(spark: SparkSession, sfDir: String): DataFrame =
+    audioLandmarkDupsFrom(Tables.documentsParallel(spark, sfDir))
+
+  /** [[audioLandmarkDups]] over an arbitrary (doc_id, text) relation —
+    * the testable core (fixtures plant shifted copies that whole-blob
+    * hashing misses). */
+  private[graft] def audioLandmarkDupsFrom(docs: DataFrame): DataFrame = {
+    val lm = audioLandmarkChunks(docs)
+    val stats = lm.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      count(when(col("len") >= MinLandmarkChars, 1)).as("n_landmarks"),
+      coalesce(sum(when(col("len") >= MinLandmarkChars, col("lhash"))),
+        lit(0L)).as("lm_digest"))
+    val marks = lm.filter(col("len") >= MinLandmarkChars)
+      .select("doc_id", "start", "len", "lhash")
+    val kept = marks.groupBy("lhash", "len").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.MaxBandBucket).select("lhash", "len")
+    val cut = marks.join(kept, Seq("lhash", "len"))
+    val pairs = cut.select(col("lhash"), col("len"),
+        col("doc_id").as("doc_a"), col("start").as("start_a"))
+      .join(cut.select(col("lhash"), col("len"),
+        col("doc_id").as("doc_b"), col("start").as("start_b")),
+        Seq("lhash", "len"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("start_a") - col("start_b")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= LandmarkVotes)
+      .select("doc_a", "doc_b").distinct()
+    val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+    stats.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_landmarks"),
+        col("lm_digest"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("doc_id")
+  }
+
+  /** The matched-pair relation behind [[audioLandmarkDups]]. */
+  private[graft] def audioLandmarkPairs(docs: DataFrame): DataFrame = {
+    val marks = audioLandmarkChunks(docs)
+      .filter(col("len") >= MinLandmarkChars)
+    val kept = marks.groupBy("lhash", "len").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.MaxBandBucket).select("lhash", "len")
+    val cut = marks.join(kept, Seq("lhash", "len"))
+    cut.select(col("lhash"), col("len"),
+        col("doc_id").as("doc_a"), col("start").as("start_a"))
+      .join(cut.select(col("lhash"), col("len"),
+        col("doc_id").as("doc_b"), col("start").as("start_b")),
+        Seq("lhash", "len"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("start_a") - col("start_b")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= LandmarkVotes)
+      .orderBy("doc_a", "doc_b", "delta")
+  }
+
+  /** Per-audio-blob CDC chunk relation (doc_id, start, len, lhash):
+    * [[graft.functions.TextFunctions.cdcChunks]] lengths → 0-based start
+    * offsets (running sum over the per-row lengths array) → chunk-text
+    * polyhash. Persisted: read by the stats pass and both pairing
+    * sides. */
+  private def audioLandmarkChunks(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{cdcChunks, polyHash}
+    graft.util.OperatorCaches.persist(
+      docs.filter(col("text").isNotNull &&
+          mediaTypeOf(col("doc_id")) === "audio" && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"), cdcChunks(col("text")).as("lens"))
+        .select(col("doc_id"), col("text"), col("lens"),
+          posexplode(col("lens")).as(Seq("pos", "len")))
+        .withColumn("start",
+          expr("aggregate(slice(lens, 1, pos), 0L, (a, x) -> a + bigint(x))"))
+        .select(col("doc_id"), col("start"), col("len").cast("long").as("len"),
+          polyHash(expr("substring(text, cast(start + 1 as int), len)"))
+            .as("lhash")))
   }
 
   /** The decode/feature-extract stage: `mapPartitions` so a real decoder

@@ -1377,4 +1377,153 @@ class OperatorsSpec extends SparkSpec {
       assert(out(id)._3 === modelDeg(id), s"degree mismatch for $id")
     }
   }
+
+  /** Driver-side reference of [[graft.expressions.AHash64]] (two-pass
+    * bucket means vs global mean) — GraftProperties pins the expression
+    * against the same formula. */
+  private def aHashModel(s: String): Long = {
+    val n = s.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    var total = 0L
+    for (i <- 0 until n) {
+      val v = s.charAt(i).toLong
+      val b = ((i.toLong * 64L) / n).toInt
+      sums(b) += v; counts(b) += 1L; total += v
+    }
+    (0 until 64).foldLeft(0L) { (h, k) =>
+      if (sums(k) * n > total * counts(k)) h | (1L << k) else h
+    }
+  }
+
+  test("x96 video frame dups: aligned partial copies pair by containment, " +
+      "single shared frames don't, the DF cap kills the mass frame, and " +
+      "counts/digests/degrees match the model") {
+    import spark.implicits._
+    // 32-char frames of decorrelated content (seeded, deterministic)
+    def frame(i: Int): String = {
+      val rng = new scala.util.Random(4242 + i)
+      (0 until Multimodal.FrameSliceChars)
+        .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val Seq(f0, f1, f2, f3, f4, f5, g1, g2) = (0 to 7).map(frame)
+    // video ids ≡ 2 (mod 3)
+    val fixture = Seq(
+      2L -> (f0 + f1 + f2 + f3),            // A
+      5L -> (f0 + f1 + f2 + f4),            // B: 3 of A's 4 frames
+      8L -> (f0 + f5 + g1 + g2),            // C: only f0 shared → no pair
+      11L -> (f0 + f1),                     // D: contained in A and B
+      14L -> (f1 + f2 + "shortend")         // E: 8-char tail slice
+    ) ++ (0 until 300).map(i => (3002L + 3 * i) -> frame(9)) ++
+      (0 until 10).map(i => (5000L + 3 * i) -> (frame(20 + i) + frame(40 + i)))
+    val docs = fixture.toDF("doc_id", "text")
+    val out = Multimodal.videoFrameDupsFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3), r.getLong(4)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    // driver-side model: slice → aHash → DF cap → containment pairing
+    val sets = fixture.map { case (id, t) =>
+      id -> t.grouped(Multimodal.FrameSliceChars).map(aHashModel).toList }
+    val dfreq = sets.flatMap { case (id, fs) => fs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.size }
+    val kept = (h: Long) => dfreq(h) <= Dedup.MaxBandBucket
+    val dist = sets.map { case (id, fs) => id -> fs.distinct.toSet }.toMap
+    val modelDeg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      (a, sa) <- dist; (b, sb) <- dist if a < b
+      m = (sa intersect sb).count(kept)
+      if m >= Multimodal.MinFrameMatches && 2 * m >= math.min(sa.size, sb.size)
+    } { modelDeg(a) += 1; modelDeg(b) += 1 }
+    // fixture potency: the model itself must exhibit the planted cases
+    assert(modelDeg(2L) >= 2 && modelDeg(5L) >= 2, "A/B/D family must pair")
+    assert(modelDeg(8L) === 0L, "a single shared frame must not pair")
+    assert(modelDeg(14L) >= 1L, "the tail-slice video must pair")
+    assert(modelDeg(3002L) === 0L, "capped mass frame must not pair")
+    // full agreement with the operator
+    sets.foreach { case (id, fs) =>
+      val (nf, ndx, dig, deg) = out(id)
+      assert(nf === fs.size.toLong, s"n_frames($id)")
+      assert(ndx === fs.distinct.size.toLong, s"n_distinct_frames($id)")
+      assert(BigInt(dig.toBigInteger) ===
+        fs.distinct.map(BigInt(_)).sum, s"frame_digest($id)")
+      assert(deg === modelDeg(id), s"n_partners($id)")
+    }
+  }
+
+  test("x97 audio landmarks: a prefix-shifted copy matches at one offset " +
+      "delta (the case whole-blob hashing misses), the cap kills the mass " +
+      "family, and counts/digests/degrees match the model") {
+    import spark.implicits._
+    def polyhash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val rng = new scala.util.Random(7)
+    val p = (0 until 400).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val scrambled = (0 until 200).map(_ => ('A' + rng.nextInt(26)).toChar).mkString
+    // audio ids ≡ 1 (mod 3)
+    val fixture = Seq(1L -> p, 4L -> ("INTRO:" + p), 7L -> scrambled) ++
+      (0 until 300).map(i => (3001L + 3 * i) -> p.take(100))
+    val docs = fixture.toDF("doc_id", "text")
+    val out = Multimodal.audioLandmarkDupsFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    // driver-side model: CDC chunks (the expression's own model) →
+    // (start, len, polyhash) landmarks → DF cap → delta-vote pairing
+    val chunks = fixture.map { case (id, t) =>
+      val lens = graft.expressions.CdcChunks.model(t)
+      val starts = lens.scanLeft(0)(_ + _).init
+      id -> starts.zip(lens).map { case (st, ln) =>
+        (st.toLong, ln.toLong, polyhash(t.substring(st, st + ln))) }.toList
+    }
+    val marks = chunks.map { case (id, cs) =>
+      id -> cs.filter(_._2 >= Multimodal.MinLandmarkChars) }
+    val buckets = marks.flatMap { case (_, ms) => ms.map(m => (m._3, m._2)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val keptM = marks.map { case (id, ms) =>
+      id -> ms.filter(m => buckets((m._3, m._2)) <= Dedup.MaxBandBucket) }.toMap
+    val modelDeg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      (a, ma) <- keptM; (b, mb) <- keptM if a < b
+      votes = (for { x <- ma; y <- mb if x._3 == y._3 && x._2 == y._2 }
+        yield x._1 - y._1).groupBy(identity).map(_._2.size)
+      if votes.exists(_ >= Multimodal.LandmarkVotes)
+    } { modelDeg(a) += 1; modelDeg(b) += 1 }
+    // fixture potency: the shifted copy MUST match (offset-robustness),
+    // the scrambled doc must not, the capped mass family must not
+    assert(modelDeg(1L) >= 1L && modelDeg(4L) >= 1L,
+      "prefix-shifted copy must landmark-match")
+    assert(modelDeg(7L) === 0L)
+    assert(modelDeg(3001L) === 0L, "capped mass family must not pair")
+    chunks.foreach { case (id, cs) =>
+      val ms = marks.toMap.apply(id)
+      val (nc, nl, dig, deg) = out(id)
+      assert(nc === cs.size.toLong, s"n_chunks($id)")
+      assert(nl === ms.size.toLong, s"n_landmarks($id)")
+      assert(dig === ms.map(_._3).sum, s"lm_digest($id)")
+      assert(deg === modelDeg(id), s"n_partners($id)")
+    }
+  }
+
+  test("x98 source mixture: sqrt temperature gives a 100x source only 10x " +
+      "the weight, scores/weights/oversampling match the closed form") {
+    import spark.implicits._
+    val fixture = ((1 to 100).map(i => (i.toLong, "small")) ++
+      (101 to 10100).map(i => (i.toLong, "big"))).toDF("doc_id", "source")
+    val out = graft.operators.Curation.temperatureMixtureFrom(fixture).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val qSmall = math.floor(math.sqrt(100.0) * 1e6).toLong    // 10_000_000
+    val qBig = math.floor(math.sqrt(10000.0) * 1e6).toLong    // 100_000_000
+    val qt = (qSmall + qBig).toDouble
+    assert(out("small") === ((100L, 100.0 / 10100.0, qSmall,
+      qSmall / qt, qSmall / qt * 10100.0 / 100.0)))
+    assert(out("big") === ((10000L, 10000.0 / 10100.0, qBig,
+      qBig / qt, qBig / qt * 10100.0 / 10000.0)))
+    // the smoothing claim: raw 100x ratio compresses to exactly 10x
+    assert(out("big")._4 / out("small")._4 === 10.0)
+    assert(out("small")._5 > 1.0 && out("big")._5 < 1.0,
+      "small sources oversample, large ones undersample")
+  }
 }

@@ -760,6 +760,71 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("round-10 tail: x96/x97 keep the DF cap in-plan and pair by " +
+      "equi-join, x98 is one corpus scan with an aggregate-backed " +
+      "broadcast total") {
+    import graft.operators.{Curation, Multimodal}
+    // x96: the frame-hash DF cut (df <= MaxBandBucket) must survive into
+    // the physical plan — without it the exact-hash self-join regains the
+    // mass-common-frame (blank/intro frames) quadratic blow-up; the pair
+    // stage is an fh equi-join, never a cartesian; no broadcast hint on
+    // the corpus-sized frame relation.
+    val x96 = Multimodal.videoFrameDups(spark, Sf)
+    assert(logicalHints(x96).isEmpty, "hint crept into x96")
+    val p96 = withoutAqe {
+      Multimodal.videoFrameDups(spark, Sf).queryExecution.executedPlan
+    }.toString
+    assert(p96.contains("df") && p96.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"the frame-hash DF cap missing from x96's plan:\n$p96")
+    assert(!p96.contains("CartesianProduct"), s"cartesian in x96:\n$p96")
+    graft.util.OperatorCaches.release(spark)
+    // x97: same discipline on the (lhash, len) landmark buckets; the
+    // vote histogram must be an aggregate ABOVE the equi-join (the pair
+    // decision reduces join output, it never widens it).
+    val x97 = Multimodal.audioLandmarkDups(spark, Sf)
+    assert(logicalHints(x97).isEmpty, "hint crept into x97")
+    val p97 = withoutAqe {
+      Multimodal.audioLandmarkDups(spark, Sf).queryExecution.executedPlan
+    }
+    val p97s = p97.toString
+    assert(p97s.contains("df") && p97s.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"the landmark DF cap missing from x97's plan:\n$p97s")
+    assert(!p97s.contains("CartesianProduct"), s"cartesian in x97:\n$p97s")
+    val l97 = Multimodal.audioLandmarkDups(spark, Sf)
+      .queryExecution.optimizedPlan
+    assert(l97.collect {
+      // the delta alias is pulled out as _groupingexpression by the
+      // optimizer; identify the vote histogram by its 3-key grouping
+      // (doc_a, doc_b, delta) producing the `votes` count
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.size == 3 &&
+          a.aggregateExpressions.exists(_.toString.contains("AS votes")) => a
+    }.nonEmpty, s"x97's delta-vote histogram is not an aggregate:\n$l97")
+    graft.util.OperatorCaches.release(spark)
+    // x98: ONE corpus scan (the per-source count), and the only join is
+    // the 1-row total composed back via a broadcast of an aggregate —
+    // the whole operator must stay |S|-bounded after the first reduce.
+    val p98 = withoutAqe {
+      Curation.temperatureMixture(spark, Sf).queryExecution.executedPlan
+    }
+    val scans98 = p98.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans98.size === 1, s"x98 must scan the corpus once:\n$p98")
+    p98.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x98 total join is not aggregate-backed:\n$build")
+    }
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

@@ -208,7 +208,10 @@ object SparkEntry {
     "x95_media_dups" -> (Multimodal.mediaDups _),
     "x96_video_frame_dups" -> (Multimodal.videoFrameDups _),
     "x97_audio_landmarks" -> (Multimodal.audioLandmarkDups _),
-    "x98_source_mixture" -> (Curation.temperatureMixture _)
+    "x98_source_mixture" -> (Curation.temperatureMixture _),
+    "x99_lsh_recall" -> (Dedup.lshRecallEval _),
+    "x100_nb_distill" -> (TextAnalysis.nbDistill _),
+    "x101_dup_components" -> (Dedup.dupComponents _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -253,6 +256,77 @@ object SparkEntry {
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
       |  FROM toks)
       |""".stripMargin
+
+  /** x2's full LSH pipeline as a CTE ending in `lsh_pairs` — shared by
+    * the x2 oracle and x99's recall eval (the x44 compose pattern). */
+  private lazy val lshPairsCte: String = shingleCte +
+    s""", all_bands AS (
+       |  SELECT doc_id, p.band,
+       |    substring(list_min(list_transform(sh,
+       |      x -> md5('s' || p.band || ':' || x))), 1, 15) AS h
+       |  FROM sh, (SELECT unnest(range(0, ${graft.operators.Dedup.NumMinhashes})) AS band) p
+       |  WHERE len(sh) > 0
+       |), kept AS (
+       |  SELECT band, h FROM all_bands GROUP BY band, h
+       |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBandBucket}
+       |), bands AS (
+       |  SELECT ab.doc_id, ab.band, ab.h
+       |  FROM all_bands ab JOIN kept USING (band, h)
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bands
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_bands,
+       |    CAST(len(list_intersect(
+       |      list_transform(sa.sh, x -> substring(md5(x), 1, 15)),
+       |      list_transform(sb.sh, x -> substring(md5(x), 1, 15))))
+       |      AS BIGINT) AS inter,
+       |    len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b
+       |), lsh_pairs AS (
+       |  SELECT doc_a, doc_b, n_bands, inter,
+       |    CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+       |  FROM j
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.02)
+       |""".stripMargin
+
+  /** x3's DF-capped inverted-index Jaccard as a CTE ending in
+    * `ngram_pairs` (appends to [[shingleCte]] or [[lshPairsCte]]) —
+    * shared by the x3 oracle and x99's truth side. */
+  private lazy val ngramPairsCte: String =
+    s""", cap AS (SELECT GREATEST(${graft.operators.Dedup.MaxShingleDf},
+       |    CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS df_cap,
+       |    COUNT(*) * ${graft.operators.Dedup.MaxCandidateVolumePerDoc}
+       |      AS vol_budget
+       |  FROM sh WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s
+       |         FROM sh WHERE len(sh) > 0),
+       |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
+       |hist AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS cnt
+       |           FROM dft GROUP BY df),
+       |keepmax AS (SELECT COALESCE(MAX(df), 0) AS df_keep FROM (
+       |    SELECT df, SUM(cnt * df * df) OVER (ORDER BY df) AS cum
+       |    FROM hist), cap
+       |  WHERE cum <= cap.vol_budget AND df <= cap.df_cap),
+       |cut AS (SELECT doc_id, n, s FROM ex JOIN dft USING (s), keepmax
+       |  WHERE dft.df <= keepmax.df_keep),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter,
+       |    MAX(a.n) AS n_a, MAX(b.n) AS n_b
+       |  FROM cut a JOIN cut b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), ngram_pairs AS (
+       |  SELECT doc_a, doc_b, inter, n_a, n_b,
+       |    CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.03)
+       |""".stripMargin
 
   /** DuckDB expression: rolling polynomial char hash — mirrors
     * [[graft.functions.TextFunctions.polyHash]] (left fold from 0, mod 1e9+7). */
@@ -807,39 +881,8 @@ object SparkEntry {
     // bijective hex→long conv, so intersection/bucket counts are
     // value-identical by construction — see Dedup.minhashLshFrom's
     // fingerprint-verify docstring).
-    "x2_minhash_lsh" -> (shingleCte +
-      s""", all_bands AS (
-         |  SELECT doc_id, p.band,
-         |    substring(list_min(list_transform(sh,
-         |      x -> md5('s' || p.band || ':' || x))), 1, 15) AS h
-         |  FROM sh, (SELECT unnest(range(0, ${graft.operators.Dedup.NumMinhashes})) AS band) p
-         |  WHERE len(sh) > 0
-         |), kept AS (
-         |  SELECT band, h FROM all_bands GROUP BY band, h
-         |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBandBucket}
-         |), bands AS (
-         |  SELECT ab.doc_id, ab.band, ab.h
-         |  FROM all_bands ab JOIN kept USING (band, h)
-         |), cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS n_bands
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-        |), j AS (
-        |  SELECT c.doc_a, c.doc_b, c.n_bands,
-        |    CAST(len(list_intersect(
-        |      list_transform(sa.sh, x -> substring(md5(x), 1, 15)),
-        |      list_transform(sb.sh, x -> substring(md5(x), 1, 15))))
-        |      AS BIGINT) AS inter,
-        |    len(sa.sh) AS na, len(sb.sh) AS nb
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.doc_a
-        |  JOIN sh sb ON sb.doc_id = c.doc_b)
-        |SELECT doc_a, doc_b, n_bands, inter,
-        |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
-        |FROM j
-        |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.02
+    "x2_minhash_lsh" -> (lshPairsCte +
+      """SELECT doc_a, doc_b, n_bands, inter, jaccard FROM lsh_pairs
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Mirrors Dedup.ngramJaccardFrom: n carried through the explode, and
@@ -849,34 +892,9 @@ object SparkEntry {
     // ascending-df histogram classes while cumulative cnt*df^2 <=
     // MaxCandidateVolumePerDoc*N), both derived with the same
     // scalar-subquery pattern as x8/x19's ncells.
-    "x3_ngram_jaccard" -> (shingleCte +
-      s""", cap AS (SELECT GREATEST(${graft.operators.Dedup.MaxShingleDf},
-         |    CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS df_cap,
-         |    COUNT(*) * ${graft.operators.Dedup.MaxCandidateVolumePerDoc}
-         |      AS vol_budget
-         |  FROM sh WHERE len(sh) > 0),
-         |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s
-         |         FROM sh WHERE len(sh) > 0),
-         |dft AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
-         |hist AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS cnt
-         |           FROM dft GROUP BY df),
-         |keepmax AS (SELECT COALESCE(MAX(df), 0) AS df_keep FROM (
-         |    SELECT df, SUM(cnt * df * df) OVER (ORDER BY df) AS cum
-         |    FROM hist), cap
-         |  WHERE cum <= cap.vol_budget AND df <= cap.df_cap),
-         |cut AS (SELECT doc_id, n, s FROM ex JOIN dft USING (s), keepmax
-         |  WHERE dft.df <= keepmax.df_keep),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS inter,
-         |    MAX(a.n) AS n_a, MAX(b.n) AS n_b
-         |  FROM cut a JOIN cut b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, inter, n_a, n_b,
-         |  CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
-         |FROM inter
-         |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.03
-         |ORDER BY doc_a, doc_b""".stripMargin),
+    "x3_ngram_jaccard" -> (shingleCte + ngramPairsCte +
+      """SELECT doc_a, doc_b, inter, n_a, n_b, jaccard FROM ngram_pairs
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "x4_simhash" -> (simhashCte +
       """SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
@@ -3355,6 +3373,97 @@ object SparkEntry {
          |    AS oversample
          |FROM q, t ORDER BY q.source""".stripMargin
     },
+
+    // Mirrors Dedup.lshRecallEval: truth = x3's pairs at jaccard >= tau,
+    // predicted = x2's verified pairs, banded by true-Jaccard decile —
+    // composes the two already-oracled pair CTEs verbatim.
+    "x99_lsh_recall" -> {
+      val tau = graft.operators.Dedup.RecallTau
+      lshPairsCte + ngramPairsCte +
+        s""", truth AS (
+           |  SELECT doc_a, doc_b, jaccard FROM ngram_pairs
+           |  WHERE jaccard >= $tau),
+           |ev AS (
+           |  SELECT LEAST(CAST(FLOOR(t.jaccard * 10) AS BIGINT), 9) AS band,
+           |    CASE WHEN lp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |  FROM truth t LEFT JOIN lsh_pairs lp USING (doc_a, doc_b))
+           |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_true,
+           |  CAST(SUM(hit) AS BIGINT) AS n_found,
+           |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+           |FROM ev GROUP BY 1 ORDER BY band""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.nbDistill: one token pass into (doc, bucket)
+    // counts, stopword-ratio teacher labels, add-one NB log-odds per
+    // bucket through the IdfScale fixed-point ln, broadcast-applied.
+    "x100_nb_distill" -> {
+      val b = graft.operators.TextAnalysis.ClassifierBuckets
+      val sc = graft.operators.TextAnalysis.IdfScale
+      val stopSql = graft.functions.TextFunctions.Stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |tb AS (
+         |  SELECT doc_id, ${polyhashSql("w")} % $b AS bucket,
+         |    CASE WHEN w IN ($stopSql) THEN 1 ELSE 0 END AS is_stop
+         |  FROM tk),
+         |tg AS (
+         |  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(is_stop) AS BIGINT) AS n_stop
+         |  FROM tb GROUP BY 1, 2),
+         |lab AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |    SUM(n_stop) * 10 >= SUM(cnt) AS teacher_good
+         |  FROM tg GROUP BY 1),
+         |tr AS (
+         |  SELECT bucket,
+         |    CAST(SUM(CASE WHEN lab.teacher_good THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN NOT lab.teacher_good THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS c0
+         |  FROM tg JOIN lab USING (doc_id) GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+         |         CAST(SUM(c0) AS BIGINT) AS t0 FROM tr),
+         |wt AS (
+         |  SELECT bucket,
+         |    CAST(FLOOR(LN(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + $b AS DOUBLE))
+         |      * $sc.0 + 0.5) AS BIGINT)
+         |    - CAST(FLOOR(LN(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + $b AS DOUBLE))
+         |      * $sc.0 + 0.5) AS BIGINT) AS w_q
+         |  FROM tr, tt),
+         |sc2 AS (
+         |  SELECT doc_id, CAST(SUM(cnt * w_q) AS BIGINT) AS score_q
+         |  FROM tg JOIN wt USING (bucket) GROUP BY 1)
+         |SELECT lab.doc_id, lab.n_tokens, lab.teacher_good,
+         |  COALESCE(sc2.score_q, 0) AS score_q,
+         |  COALESCE(sc2.score_q, 0) > 0 AS student_keep
+         |FROM lab LEFT JOIN sc2 USING (doc_id)
+         |ORDER BY lab.doc_id""".stripMargin
+    },
+
+    // Mirrors Dedup.dupComponents: reachability closure over x2's pair
+    // graph (the oracle can afford transitive closure at gate SF; the
+    // Spark side's large-star/small-star fixpoint — min doc_id per
+    // component — is the same unique labeling). tools/check.py
+    // substitutes a linear union-find for this recursive CTE at larger
+    // SFs, exactly as it does for x28.
+    "x101_dup_components" -> (
+      lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, ed AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+          |reach AS (
+          |  SELECT doc_id AS node, doc_id AS label FROM documents
+          |  UNION
+          |  SELECT e.src AS node, r.label FROM ed e JOIN reach r ON r.node = e.dst),
+          |lab AS (SELECT node AS doc_id, MIN(label) AS component_rep
+          |        FROM reach GROUP BY 1),
+          |sz AS (SELECT component_rep, COUNT(*) AS component_size
+          |       FROM lab GROUP BY 1)
+          |SELECT l.doc_id, l.component_rep, s.component_size
+          |FROM lab l JOIN sz s USING (component_rep)
+          |ORDER BY doc_id""".stripMargin),
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

@@ -842,4 +842,183 @@ object Dedup {
           col("n_passages").cast("double"))
       .orderBy("doc_id")
   }
+
+  /** Ground-truth Jaccard floor for [[lshRecallEval]] — aligned with
+    * [[ngramJaccardFrom]]'s own reporting floor so the eval covers the
+    * WHOLE similarity range the exact method surfaces: the low deciles
+    * are exactly where the LSH S-curve decays, and that decay is the
+    * measurement (a higher floor left the eval vacuous on corpora whose
+    * near-dups cluster below it — the offset-replicated sf1 corpus has
+    * pairs in the 0.03–0.5 band only). */
+  val RecallTau = 0.03
+
+  /** x99: LSH RECALL EVALUATION — the dedup analogue of x58's ANN recall
+    * eval, and the measurement every production near-dup deployment
+    * makes before trusting its index: of the pairs the exact method
+    * (x3's inverted-index Jaccard) says are true near-dups
+    * (jaccard ≥ [[RecallTau]]), what fraction did MinHash-LSH (x2)
+    * surface? Banded by true-Jaccard decile, because LSH recall is a
+    * FUNCTION of similarity (the S-curve: ~j^bandRows per band) — a
+    * single global number hides exactly the marginal-similarity band
+    * where recall decays.
+    *
+    * Composes two already-oracled operators (the x44/x92 pattern):
+    * truth = [[ngramJaccard]] ≥ τ, predicted = [[minhashLsh]]'s verified
+    * pairs; a left join flags found pairs, and one bounded (≤10-row)
+    * aggregate emits per band: true-pair count, found count, recall.
+    * The decile key `least(⌊j·10⌋, 9)` is exact cross-engine: j is the
+    * same correctly-rounded division of identical integers on both
+    * sides, and ⌊·⌋ of identical doubles is identical.
+    *
+    * Scale shape: both inputs inherit their own documented candidate
+    * discipline (x2's capped band buckets + group compression, x3's
+    * DF-cap + linear volume budget); the eval adds one pair-keyed left
+    * join between two already-sub-quadratic pair relations and a
+    * ≤10-row aggregate. Nothing here rescans the corpus. */
+  def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+    lshRecallFrom(
+      ngramJaccard(spark, sfDir).select("doc_a", "doc_b", "jaccard"),
+      minhashLsh(spark, sfDir).select("doc_a", "doc_b"))
+
+  /** [[lshRecallEval]]'s eval core over arbitrary truth
+    * (doc_a, doc_b, jaccard) and predicted (doc_a, doc_b) pair
+    * relations — the testable seam, and the composition the spec
+    * re-derives from the two operators' own outputs. */
+  private[graft] def lshRecallFrom(truthPairs: DataFrame,
+      predPairs: DataFrame): DataFrame = {
+    val truth = truthPairs.filter(col("jaccard") >= RecallTau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val pred = predPairs.select(col("doc_a"), col("doc_b"),
+      lit(1).as("hit"))
+    truth.join(pred, Seq("doc_a", "doc_b"), "left")
+      .select(
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("band"),
+        coalesce(col("hit"), lit(0)).as("hit"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_true"),
+        sum(col("hit")).cast("long").as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_true").cast("double"))
+      .orderBy("band")
+  }
+
+  /** Round cap for [[ccFrom]]'s large-star/small-star alternation. The
+    * published bound is O(log² n) rounds with small constants (single
+    * digits at billions of nodes in the paper's experiments); 30 is a
+    * generous multiple of anything a real pair graph produces, and the
+    * `require` below makes a non-converged run a loud failure instead
+    * of silently-wrong labels. */
+  val MaxCcRounds = 30
+
+  /** x101: DISTRIBUTED CONNECTED COMPONENTS over the MinHash-LSH
+    * near-dup pair graph — the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14), converging to per-component star graphs rooted
+    * at the component's min doc_id.
+    *
+    * Why this exists next to x28: x28's transitive closure is solvable
+    * on the driver ONLY because its node space is contracted to 16-bit
+    * signatures (provably ≤2^16 super-nodes at any corpus size). The
+    * LSH pair graph has no such contraction — its nodes are doc_ids,
+    * corpus-sized, so the component solve itself must be distributed.
+    * Large-star/small-star is the standard answer: every round is a
+    * pair of (groupBy-min + equi-join) stages keyed on the node id —
+    * partial-aggregated, shuffle-bounded by the current edge count
+    * (which only shrinks: both stars strictly reduce the potential
+    * function), no driver-side data beyond a per-round convergence
+    * aggregate. The driver LOOP is control flow, like x73's power
+    * iteration; the data never leaves the cluster.
+    *
+    * Determinism: the fixpoint (every node pointing at its component's
+    * min doc_id) is unique regardless of execution order or round
+    * count, so output is hash-exact against the oracle's reachability
+    * closure. Docs in no pair (including null-text docs) are singleton
+    * components labeled by themselves. */
+  def dupComponents(spark: SparkSession, sfDir: String): DataFrame =
+    ccFrom(
+      Tables.documentsParallel(spark, sfDir).select(col("doc_id")),
+      // doc_a < doc_b by x2's construction → (u, v) = (doc_b, doc_a)
+      // is already in canonical larger-first orientation
+      minhashLsh(spark, sfDir)
+        .select(col("doc_b").as("u"), col("doc_a").as("v")))
+
+  /** Large-star: connect every strictly-larger neighbor of u to
+    * min(Γ(u) ∪ {u}). Input/output edges canonical (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select("u", "v")
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(least(min(col("v")), col("u")).as("m"))
+    // emitted (v, m): m ≤ u < v, so larger-first canon holds and no
+    // self-loops are possible
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: connect every smaller-or-equal neighbor of u (and u
+    * itself) to min(Γ⁻(u) ∪ {u}). Canonical edges (u > v) are exactly
+    * the smaller-directed adjacency, so no symmetrization is needed. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    val toRoot = mins.select(col("u"), col("m").as("v"))
+    val siblings = e.join(mins, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    toRoot.unionByName(siblings).distinct()
+  }
+
+  /** Materialize a round's edge set and TRUNCATE ITS LINEAGE.
+    * `persist` alone is not enough here: caching short-circuits
+    * re-EXECUTION but not re-ANALYSIS, and each
+    * `smallStar(largeStar(e))` round references `e` ~12 times, so the
+    * logical tree grows 12^round — the analyzer, not the data, becomes
+    * the bottleneck by round ~5. Checkpointing cuts the plan back to a
+    * scan of the materialized blocks every round, the same discipline
+    * GraphX's Pregel applies to its iterative edge/vertex sets. Uses
+    * the reliable checkpoint when the caller has configured a
+    * checkpoint dir (the cluster deployment — survives executor loss),
+    * else a local checkpoint (executor-block-backed; right for
+    * local-mode tests and gates). */
+  private def materializeRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** [[dupComponents]]' core over arbitrary node ids (`doc_id`) and
+    * pair edges (`u`, `v`) — the testable seam (fixtures drive path
+    * graphs, stars, and merged components through the alternation and
+    * check labels against a driver-side union-find). */
+  private[graft] def ccFrom(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    var e = materializeRound(pairs
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var round = 0
+    while (!converged && round < MaxCcRounds) {
+      val next = materializeRound(smallStar(largeStar(e)))
+      val nNext = next.count()
+      // both sides are distinct sets: equal count + empty one-way
+      // difference ⟺ set equality
+      converged = nNext == nEdges && next.except(e).isEmpty
+      e = next
+      nEdges = nNext
+      round += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $MaxCcRounds rounds")
+    // fixpoint: e = {(member, component-min)} stars
+    val lab = ids
+      .join(e.select(col("u").as("doc_id"), col("v").as("rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("component_rep"))
+    val sizes = lab.groupBy("component_rep")
+      .agg(count(lit(1)).as("component_size"))
+    lab.join(sizes, "component_rep")
+      .select("doc_id", "component_rep", "component_size")
+      .orderBy("doc_id")
+  }
 }

@@ -1025,4 +1025,71 @@ object TextAnalysis {
       .select("doc_id", "n_bigrams", "avg_logprob")
       .orderBy("doc_id")
   }
+
+  /** x100: NAIVE-BAYES QUALITY-CLASSIFIER DISTILLATION — x50 scores with
+    * a stand-in weight table and says "swapping in trained weights
+    * changes one expression"; this operator TRAINS those weights, the
+    * CCNet/fastText practice of distilling an expensive heuristic into a
+    * cheap linear model that then filters the other 99% of the corpus.
+    * Teacher labels come from an in-plan heuristic (good ⟺ stopword
+    * ratio ≥ 1/10 — exact integer compare `10·n_stop ≥ n_tokens`);
+    * training is one pass of per-bucket class counts over x50's hashed
+    * feature space ([[ClassifierBuckets]]); the student weight is the
+    * add-one-smoothed NB log-odds per bucket, quantized through the
+    * [[IdfScale]] fixed-point ln (the x35/x43 device) so the weight
+    * table is integer-exact cross-engine; applying it is one broadcast
+    * join + a doc-keyed integer sum. Emits per doc: token count, the
+    * teacher's label, the student's integer score, and the student keep
+    * decision (score > 0) — so the eval (student-vs-teacher agreement)
+    * falls out of the output with one aggregation.
+    *
+    * Scale shape: the corpus is scanned ONCE into a persisted
+    * (doc_id, bucket, cnt, n_stop) relation (partial-aggregated,
+    * ≤ distinct-buckets-per-doc rows ≪ token rows); the teacher and the
+    * score are doc-keyed aggregates of it, the class counts a
+    * bucket-keyed aggregate (≤ [[ClassifierBuckets]] rows), the totals a
+    * 1-row broadcast, and the trained table rides a broadcast join back
+    * — at 100 TB the weight table is still 4096 rows. The doc-keyed
+    * teacher join reuses the same hash layout as the score aggregate. */
+  def nbDistill(spark: SparkSession, sfDir: String): DataFrame =
+    nbDistillFrom(docs(spark, sfDir))
+
+  /** [[nbDistill]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures plant a stopword-free doc, a stopword-rich
+    * doc, and check the trained log-odds against a driver-side model). */
+  private[graft] def nbDistillFrom(d: DataFrame): DataFrame = {
+    val qln = (x: Column) =>
+      floor(log(x) * IdfScale + lit(0.5)).cast("long")
+    val tok = OperatorCaches.persist(
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"),
+          (polyHash(col("w")) % lit(ClassifierBuckets)).as("bucket"),
+          col("w").isin(Stopwords: _*).cast("int").as("is_stop"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"), sum(col("is_stop")).as("n_stop")))
+    val lab = tok.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_tokens"), sum(col("n_stop")).as("stop_cnt"))
+      .withColumn("teacher_good", col("stop_cnt") * 10 >= col("n_tokens"))
+    val train = tok.join(lab.select("doc_id", "teacher_good"), Seq("doc_id"))
+      .groupBy("bucket").agg(
+        sum(when(col("teacher_good"), col("cnt")).otherwise(lit(0L)))
+          .as("c1"),
+        sum(when(!col("teacher_good"), col("cnt")).otherwise(lit(0L)))
+          .as("c0"))
+    val tot = train.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+    val weights = train.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (qln((col("c1") + 1L).cast("double") /
+            (col("t1") + lit(ClassifierBuckets)).cast("double")) -
+          qln((col("c0") + 1L).cast("double") /
+            (col("t0") + lit(ClassifierBuckets)).cast("double"))).as("w_q"))
+    val scored = tok.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id").agg(sum(col("cnt") * col("w_q")).as("score_q"))
+    lab.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("teacher_good"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"),
+        (coalesce(col("score_q"), lit(0L)) > 0L).as("student_keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -1526,4 +1526,151 @@ class OperatorsSpec extends SparkSpec {
     assert(out("small")._5 > 1.0 && out("big")._5 < 1.0,
       "small sources oversample, large ones undersample")
   }
+
+  test("x99 LSH recall eval: equals the driver-side recomposition of x2 " +
+      "and x3's own outputs, with exact band totals") {
+    import graft.operators.Dedup
+    val truth = Dedup.ngramJaccard(spark, Sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pred = Dedup.minhashLsh(spark, Sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = truth.filter(_._3 >= Dedup.RecallTau)
+      .groupBy(t => math.min(math.floor(t._3 * 10).toLong, 9L))
+      .map { case (band, ts) =>
+        val found = ts.count(t => pred((t._1, t._2))).toLong
+        band -> ((ts.length.toLong, found,
+          found.toDouble / ts.length.toDouble))
+      }
+    val out = Dedup.lshRecallEval(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    assert(out === expected)
+    assert(out.nonEmpty, "eval must be non-vacuous at Sf")
+    out.values.foreach { case (nTrue, nFound, recall) =>
+      assert(nFound <= nTrue && recall === nFound.toDouble / nTrue)
+    }
+  }
+
+  test("x99 eval core: a missed pair lowers only its own band's recall") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val truthPairs = Seq(
+      (1L, 2L, 0.95), (3L, 4L, 0.92),   // band 9: one found, one missed
+      (5L, 6L, 0.55),                    // band 5: found
+      (7L, 8L, 0.02)                     // below tau: excluded entirely
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val predPairs = Seq((1L, 2L), (5L, 6L), (9L, 10L))
+      .toDF("doc_a", "doc_b")            // (9,10) is not truth: ignored
+    val out = Dedup.lshRecallFrom(truthPairs, predPairs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      9L -> ((2L, 1L, 0.5)),
+      5L -> ((1L, 1L, 1.0))))
+  }
+
+  test("x100 NB distillation: trained log-odds separate the teacher's " +
+      "classes on a planted fixture and match the closed form") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val stops = graft.functions.TextFunctions.Stopwords
+    def polyhash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    // 3 all-stopword docs (teacher: good) + 3 disjoint-token docs
+    // (teacher: bad); one shared neutral token in both classes
+    val goodText = stops.take(8).mkString(" ") + " neutral"
+    val badText = "xylo quark zept flurb neutral"
+    val fixture = ((1 to 3).map(i => (i.toLong, goodText)) ++
+      (4 to 6).map(i => (i.toLong, badText))).toDF("doc_id", "text")
+    val out = TextAnalysis.nbDistillFrom(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    graft.util.OperatorCaches.release(spark)
+    // driver-side model of the whole pipeline
+    val docs = ((1 to 3).map(i => i.toLong -> goodText) ++
+      (4 to 6).map(i => i.toLong -> badText))
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val labels = toks.map { case (id, ws) =>
+      id -> (10 * ws.count(stops.contains) >= ws.size) }.toMap
+    val b = TextAnalysis.ClassifierBuckets
+    val byBucket = toks.flatMap { case (id, ws) =>
+      ws.map(w => (polyhash(w) % b, labels(id))) }
+      .groupBy(_._1).map { case (bk, xs) =>
+        bk -> ((xs.count(_._2).toLong, xs.count(!_._2).toLong)) }
+    val t1 = byBucket.values.map(_._1).sum
+    val t0 = byBucket.values.map(_._2).sum
+    def qln(x: Double) =
+      math.floor(math.log(x) * TextAnalysis.IdfScale + 0.5).toLong
+    val wq = byBucket.map { case (bk, (c1, c0)) =>
+      bk -> (qln((c1 + 1).toDouble / (t1 + b)) -
+        qln((c0 + 1).toDouble / (t0 + b))) }
+    val expected = toks.map { case (id, ws) =>
+      val score = ws.map(w => wq(polyhash(w) % b)).sum
+      id -> ((ws.size.toLong, labels(id), score, score > 0L)) }.toMap
+    assert(out === expected)
+    // separation: the student reproduces the teacher on this fixture
+    (1 to 3).foreach(i => assert(out(i.toLong)._4, s"doc $i must keep"))
+    (4 to 6).foreach(i => assert(!out(i.toLong)._4, s"doc $i must drop"))
+  }
+
+  test("x101 cc core: large-star/small-star converges to min-labeled " +
+      "components on path, star, merged, and isolated fixtures") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // worst-case-diameter path 1-…-16, a star at 20, two components
+    // merged through a bridge (30s), isolated nodes 50, 51
+    val edges =
+      (1L until 16L).map(i => (i, i + 1)) ++            // path
+        (21L to 25L).map(v => (20L, v)) ++              // star
+        Seq((30L, 31L), (31L, 32L), (33L, 34L), (32L, 33L)) // merged
+    val ids = ((1L to 16L) ++ (20L to 25L) ++ (30L to 34L) ++
+      Seq(50L, 51L)).toDF("doc_id")
+    val out = Dedup.ccFrom(ids,
+      edges.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    (1L to 16L).foreach(v => assert(out(v) === ((1L, 16L)), s"path $v"))
+    (20L to 25L).foreach(v => assert(out(v) === ((20L, 6L)), s"star $v"))
+    (30L to 34L).foreach(v => assert(out(v) === ((30L, 5L)), s"merged $v"))
+    Seq(50L, 51L).foreach(v =>
+      assert(out(v) === ((v, 1L)), s"isolated $v"))
+  }
+
+  test("x101 dup components: equals a driver-side union-find over x2's " +
+      "own pair output, singletons included") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashLsh(spark, Sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.queries.Tables.documentsParallel(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.LongMap(ids.map(d => d -> d): _*)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val repOf = scala.collection.mutable.LongMap.empty[Long]
+    ids.foreach { d =>
+      val r = find(d)
+      repOf(r) = math.min(repOf.getOrElse(r, Long.MaxValue), d)
+    }
+    val size = ids.groupBy(d => repOf(find(d))).map { case (k, v) =>
+      k -> v.length.toLong }
+    val expected = ids.map(d =>
+      d -> ((repOf(find(d)), size(repOf(find(d)))))).toMap
+    val out = Dedup.dupComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    assert(out === expected)
+    assert(pairs.nonEmpty, "fixture must exercise at least one merge")
+  }
 }

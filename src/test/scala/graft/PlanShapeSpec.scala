@@ -825,6 +825,72 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x99/x100: the recall eval inherits both inputs' caps and adds no " +
+      "cartesian; the distiller scans the corpus once and broadcasts its " +
+      "4096-row weight table") {
+    import graft.operators.{Dedup => D, TextAnalysis => TA}
+    // x99: both composed pair relations keep their own candidate
+    // discipline — x2's band-bucket cap AND x3's volume-budget cut must
+    // both survive into the one physical plan; the eval adds only a
+    // pair-keyed join (no cartesian anywhere).
+    val p99 = withoutAqe {
+      D.lshRecallEval(spark, Sf).queryExecution.executedPlan
+    }.toString
+    assert(p99.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"x2's band-bucket cap missing from x99's plan:\n$p99")
+    assert(p99.contains("df_keep"),
+      s"x3's volume-budget cut missing from x99's plan:\n$p99")
+    assert(!p99.contains("CartesianProduct"), s"cartesian in x99:\n$p99")
+    graft.util.OperatorCaches.release(spark)
+    // x100: ONE corpus scan (the persisted token-bucket relation feeds
+    // teacher, training, and scoring via InMemoryTableScan); the weight
+    // application is a broadcast hash join (the trained table is
+    // ClassifierBuckets-bounded); every NLJ build side (the 1-row class
+    // total) is aggregate-backed.
+    val p100 = withoutAqe {
+      TA.nbDistill(spark, Sf).queryExecution.executedPlan
+    }
+    val scans100 = p100.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans100.size <= 1, s"x100 rescans the corpus:\n$p100")
+    assert(p100.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"x100's weight application is not a broadcast join:\n$p100")
+    p100.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x100 total join is not aggregate-backed:\n$build")
+    }
+    graft.util.OperatorCaches.release(spark)
+  }
+
+  test("x101: the component solve is fully distributed — no driver-built " +
+      "LocalTableScan mapping (x28's legitimate shortcut), no cartesian") {
+    import graft.operators.{Dedup => D}
+    val plan = withoutAqe {
+      D.dupComponents(spark, Sf).queryExecution.executedPlan
+    }
+    // x28 expands through a broadcast of a driver-solved LocalTableScan
+    // (legitimate there: its node space is 2^16-bounded). x101's node
+    // space is corpus-sized, so its label expansion must read only
+    // distributed relations — the converged star edges live in the
+    // cluster (InMemoryTableScan), never on the driver.
+    assert(plan.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.isEmpty, s"driver-materialized relation in x101's plan:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"cartesian in x101:\n$plan")
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

@@ -126,6 +126,40 @@ def x30_expected(con):
     df["kept"] = df["doc_id"] == df["cluster_rep"]
     return df
 
+
+def x101_expected(con, oracle):
+    """Linear union-find for x101_dup_components over x2's own oracled
+    pair relation (the recursive-CTE reachability in oracle_sql.json is
+    quadratic in component size — fine for the driver at sf0.01, not
+    for the sf0.1/sf1 gates here; same treatment as x28)."""
+    pairs = con.execute(oracle["x2_minhash_lsh"]).fetchall()
+    docs = [d for (d,) in con.execute(
+        "SELECT doc_id FROM documents").fetchall()]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs:
+        a, b = row[0], row[1]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for d in docs:
+        r = find(d)
+        comp_min[r] = min(comp_min.get(r, d), d)
+    rows = [(d, comp_min[find(d)]) for d in docs]
+    sz = Counter(rep for _, rep in rows)
+    import pandas as pd
+    return (pd.DataFrame(
+        [(d, rep, sz[rep]) for d, rep in rows],
+        columns=["doc_id", "component_rep", "component_size"])
+        .astype("int64").sort_values("doc_id").reset_index(drop=True))
+
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
@@ -148,6 +182,8 @@ def main(sf_dir, out_dir, skip=()):
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
             want = (x28_expected(con) if name == "x28_dup_clusters"
                     else x30_expected(con) if name == "x30_dedup_apply"
+                    else x101_expected(con, oracle)
+                    if name == "x101_dup_components"
                     else con.execute(oracle[name]).df())
         except Exception as e:
             print(f"{'ERROR':>9}  {name}: {e}")

@@ -211,7 +211,9 @@ object SparkEntry {
     "x98_source_mixture" -> (Curation.temperatureMixture _),
     "x99_lsh_recall" -> (Dedup.lshRecallEval _),
     "x100_nb_distill" -> (TextAnalysis.nbDistill _),
-    "x101_dup_components" -> (Dedup.dupComponents _)
+    "x101_dup_components" -> (Dedup.dupComponents _),
+    "x102_canonical_keep" -> (Dedup.canonicalKeep _),
+    "x103_delta_dedup" -> (Dedup.deltaDedup _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -294,6 +296,25 @@ object SparkEntry {
        |  FROM j
        |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.02)
        |""".stripMargin
+
+  /** x101's component labels as a CTE ending in `lab` (per-doc min
+    * reachable doc_id over x2's pair graph) and `sz` (component sizes)
+    * — shared by the x101 oracle and x102's keep policy. Recursive, so
+    * it must stay the statement's first CTE chain. */
+  private lazy val componentLabelsCte: String =
+    lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, ed AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.src AS node, r.label FROM ed e JOIN reach r ON r.node = e.dst),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS component_rep
+        |        FROM reach GROUP BY 1),
+        |sz AS (SELECT component_rep, COUNT(*) AS component_size
+        |       FROM lab GROUP BY 1)
+        |""".stripMargin
 
   /** x3's DF-capped inverted-index Jaccard as a CTE ending in
     * `ngram_pairs` (appends to [[shingleCte]] or [[lshPairsCte]]) —
@@ -3448,22 +3469,87 @@ object SparkEntry {
     // component — is the same unique labeling). tools/check.py
     // substitutes a linear union-find for this recursive CTE at larger
     // SFs, exactly as it does for x28.
-    "x101_dup_components" -> (
-      lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, ed AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
-          |  UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
-          |reach AS (
-          |  SELECT doc_id AS node, doc_id AS label FROM documents
-          |  UNION
-          |  SELECT e.src AS node, r.label FROM ed e JOIN reach r ON r.node = e.dst),
-          |lab AS (SELECT node AS doc_id, MIN(label) AS component_rep
-          |        FROM reach GROUP BY 1),
-          |sz AS (SELECT component_rep, COUNT(*) AS component_size
-          |       FROM lab GROUP BY 1)
-          |SELECT l.doc_id, l.component_rep, s.component_size
-          |FROM lab l JOIN sz s USING (component_rep)
-          |ORDER BY doc_id""".stripMargin),
+    "x101_dup_components" -> (componentLabelsCte +
+      """SELECT l.doc_id, l.component_rep, s.component_size
+        |FROM lab l JOIN sz s USING (component_rep)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Mirrors Dedup.canonicalKeep: x101's labels + the longest-member
+    // keep policy (ties to the smallest doc_id) as one deterministic
+    // window argmax. check.py substitutes the union-find at larger SFs.
+    "x102_canonical_keep" -> (componentLabelsCte +
+      """, best AS (
+        |  SELECT component_rep, doc_id AS keep_doc FROM (
+        |    SELECT l.component_rep, l.doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY l.component_rep
+        |        ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+        |    FROM lab l JOIN documents d USING (doc_id))
+        |  WHERE rn = 1)
+        |SELECT l.doc_id, l.component_rep, s.component_size, b.keep_doc,
+        |  l.doc_id = b.keep_doc AS kept
+        |FROM lab l JOIN sz s USING (component_rep)
+        |  JOIN best b USING (component_rep)
+        |ORDER BY l.doc_id""".stripMargin),
+
+    // Mirrors Dedup.deltaDedup: base = doc_id below the in-plan 80th
+    // percentile of the id space, per-doc band keys (same md5-min
+    // scheme as x2's all_bands), buckets over MaxBandBucket BASE
+    // members cut, delta probes only, fingerprint verify from the 0.02
+    // floor, best match by (jaccard desc, base_id asc).
+    "x103_delta_dedup" -> {
+      val nm = graft.operators.Dedup.NumMinhashes
+      val cap = graft.operators.Dedup.MaxBandBucket
+      val tau = graft.operators.Dedup.DeltaDupTau
+      shingleCte +
+        s""", sp AS (SELECT CAST(FLOOR(CAST(MAX(doc_id) AS DOUBLE) * 4 / 5)
+           |    AS BIGINT) AS split_id FROM documents),
+           |ab AS (
+           |  SELECT doc_id, p.band,
+           |    substring(list_min(list_transform(sh,
+           |      x -> md5('s' || p.band || ':' || x))), 1, 15) AS h
+           |  FROM sh, (SELECT unnest(range(0, $nm)) AS band) p
+           |  WHERE len(sh) > 0
+           |), bb AS (SELECT ab.* FROM ab, sp WHERE ab.doc_id < sp.split_id),
+           |db AS (SELECT ab.* FROM ab, sp WHERE ab.doc_id >= sp.split_id),
+           |keptb AS (SELECT band, h FROM bb GROUP BY band, h
+           |          HAVING COUNT(*) <= $cap),
+           |cand AS (
+           |  SELECT d.doc_id AS delta_id, b.doc_id AS base_id
+           |  FROM db d JOIN keptb USING (band, h) JOIN bb b USING (band, h)
+           |  GROUP BY 1, 2),
+           |jv AS (
+           |  SELECT c.delta_id, c.base_id,
+           |    CAST(len(list_intersect(
+           |      list_transform(sd.sh, x -> substring(md5(x), 1, 15)),
+           |      list_transform(sb.sh, x -> substring(md5(x), 1, 15))))
+           |      AS BIGINT) AS inter,
+           |    len(sd.sh) AS nd, len(sb.sh) AS nb
+           |  FROM cand c
+           |  JOIN sh sd ON sd.doc_id = c.delta_id
+           |  JOIN sh sb ON sb.doc_id = c.base_id),
+           |v AS (
+           |  SELECT delta_id, base_id,
+           |    CAST(inter AS DOUBLE) / CAST(nd + nb - inter AS DOUBLE)
+           |      AS jaccard
+           |  FROM jv
+           |  WHERE CAST(inter AS DOUBLE) / CAST(nd + nb - inter AS DOUBLE)
+           |    >= 0.02),
+           |agg AS (SELECT delta_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+           |        FROM v GROUP BY 1),
+           |best AS (
+           |  SELECT delta_id, base_id AS best_base, jaccard AS best_jaccard
+           |  FROM (SELECT v.*, ROW_NUMBER() OVER (PARTITION BY delta_id
+           |          ORDER BY jaccard DESC, base_id ASC) AS rn FROM v)
+           |  WHERE rn = 1)
+           |SELECT d.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
+           |  b.best_base, b.best_jaccard,
+           |  COALESCE(b.best_jaccard >= $tau, FALSE) AS is_dup
+           |FROM documents d CROSS JOIN sp
+           |LEFT JOIN agg a ON a.delta_id = d.doc_id
+           |LEFT JOIN best b ON b.delta_id = d.doc_id
+           |WHERE d.doc_id >= sp.split_id
+           |ORDER BY d.doc_id""".stripMargin
+    },
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

@@ -1021,4 +1021,147 @@ object Dedup {
       .select("doc_id", "component_rep", "component_size")
       .orderBy("doc_id")
   }
+
+  /** x102: QUALITY-AWARE CANONICAL SELECTION per near-dup component —
+    * the keep-policy step that follows the component solve in a real
+    * dedup pipeline: near-dup groups keep their BEST member, not an
+    * arbitrary one (the common production policy is longest-text-wins;
+    * min-id, x30's policy, is only right for exact dups where members
+    * are interchangeable). Composes [[dupComponents]] (x101's
+    * distributed labels) with the `n_chars` quality signal; ties break
+    * to the smallest doc_id so the choice is total and deterministic.
+    *
+    * Scale shape: one component-keyed partial-aggregated `max(struct)`
+    * argmax (a billion-member boilerplate component reduces map-side —
+    * never a per-component window buffering the membership list in one
+    * task) and one join back on the component key. Both exchanges are
+    * corpus-linear; everything upstream inherits x101's checkpointed
+    * round discipline. */
+  def canonicalKeep(spark: SparkSession, sfDir: String): DataFrame =
+    canonicalKeepFrom(
+      Tables.documentsParallel(spark, sfDir).select("doc_id", "n_chars"),
+      dupComponents(spark, sfDir))
+
+  /** [[canonicalKeep]] over arbitrary (doc_id, n_chars) quality and
+    * (doc_id, component_rep, component_size) label relations — the
+    * testable seam (fixtures plant components with known lengths and
+    * ties). */
+  private[graft] def canonicalKeepFrom(docs: DataFrame,
+      comp: DataFrame): DataFrame = {
+    val membered = comp.join(docs, "doc_id")
+    // argmax by (n_chars desc, doc_id asc) as one lexicographic struct
+    // max — negating the id turns the tie-break into plain max ordering
+    val best = membered.groupBy("component_rep")
+      .agg(max(struct(col("n_chars").as("q"),
+        (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component_rep"), (-col("best.nid")).as("keep_doc"))
+    membered.join(best, "component_rep")
+      .select(col("doc_id"), col("component_rep"), col("component_size"),
+        col("keep_doc"), (col("doc_id") === col("keep_doc")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup decision threshold for [[deltaDedup]]: a delta doc whose
+    * best verified base match reaches this Jaccard is dropped as a
+    * duplicate of the base corpus. Matches are still REPORTED from the
+    * x2 floor (0.02) so the operator's output carries the full evidence
+    * either decision policy would need. */
+  val DeltaDupTau = 0.5
+
+  /** x103: INCREMENTAL (DELTA-vs-BASE) NEAR-DUP — the shape a 100 TB
+    * pipeline actually runs daily: dedup the new batch AGAINST the
+    * existing corpus without re-pairing the corpus with itself. The
+    * corpus split is derived in-plan (base = doc_id below the 80th
+    * percentile of the id space, a 1-row broadcast aggregate standing in
+    * for the real deployment's explicit snapshot boundary); base docs
+    * form the LSH index side (per-doc MinHash band keys, buckets over
+    * [[MaxBandBucket]] base members cut before any join), delta docs
+    * only PROBE it. Candidates verify exactly like x2 (60-bit md5
+    * fingerprint intersection, oracle-mirrored), and each delta doc
+    * reports its match count, best base partner (max Jaccard, ties to
+    * the smallest base id) and the [[DeltaDupTau]] drop decision —
+    * delta docs with no shingles or no candidates are reported with
+    * zero matches, never silently dropped.
+    *
+    * Scale shape: the base index is ONE scan of the base side into an
+    * O(N·bands) narrow key table (a production deployment materializes
+    * it as a bucketed table once and re-probes it every delta — derived
+    * in-plan here so the operator is self-contained); probe volume is
+    * ∝ |delta|·bands with the bucket cap bounding each key's fan-out;
+    * there is NO delta-delta or base-base self-join anywhere (the new
+    * batch's internal duplicates are x2's job at delta scale, and the
+    * base was deduped when it was ingested). Verify exchanges carry
+    * fingerprints, not shingle strings — the x2 sf10 lesson. */
+  def deltaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    deltaDedupFrom(
+      Tables.documentsParallel(spark, sfDir).select("doc_id"),
+      Tables.documentsParallel(spark, sfDir).select("doc_id", "text"))
+
+  /** [[deltaDedup]] over arbitrary (doc_id) id and (doc_id, text)
+    * corpus relations — the testable seam (fixtures plant a delta
+    * near-dup of a base doc, an unmatched delta doc, and an empty-text
+    * delta doc). */
+  private[graft] def deltaDedupFrom(ids: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val sh = shingleTableFrom(docs)
+    // the snapshot boundary: 1-row aggregate, broadcast to every probe
+    val split = ids.agg(
+      floor(max(col("doc_id")).cast("double") * 4.0 / 5.0)
+        .cast("long").as("split_id"))
+    val marked = OperatorCaches.persist(
+      sh.crossJoin(broadcast(split))
+        .select(col("doc_id"), col("sh"),
+          (col("doc_id") >= col("split_id")).as("is_delta")))
+    val bands = marked
+      .select(col("doc_id"), col("is_delta"),
+        posexplode(minhashSig(col("sh"), NumMinhashes)))
+      .toDF("doc_id", "is_delta", "band", "hs")
+      .select(col("doc_id"), col("is_delta"), col("band"),
+        conv(substring(col("hs"), 1, 15), 16, 10).cast("long").as("h"))
+    val baseBands = bands.filter(!col("is_delta"))
+    // cap counts BASE members only — the index side is what fans out
+    val keptBuckets = baseBands.groupBy("band", "h")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBandBucket)
+      .select("band", "h")
+    val cand = bands.filter(col("is_delta"))
+      .select(col("doc_id").as("delta_id"), col("band"), col("h"))
+      .join(baseBands.join(keptBuckets, Seq("band", "h"))
+        .select(col("doc_id").as("base_id"), col("band"), col("h")),
+        Seq("band", "h"))
+      .groupBy("delta_id", "base_id")
+      .agg(count(lit(1)).as("n_bands"))
+    def fpOf(arr: Column): Column = transform(arr,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val fps = marked.select(col("doc_id"), fpOf(col("sh")).as("fp"),
+      size(col("sh")).as("n"))
+    val ver = cand
+      .join(fps.select(col("doc_id").as("delta_id"),
+        col("fp").as("fp_d"), col("n").as("nd")), "delta_id")
+      .join(fps.select(col("doc_id").as("base_id"),
+        col("fp").as("fp_b"), col("n").as("nb")), "base_id")
+      .withColumn("inter",
+        size(array_intersect(col("fp_d"), col("fp_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("nd") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.02)
+    val perDelta = ver.groupBy("delta_id").agg(
+      count(lit(1)).as("n_matches"),
+      max(struct(col("jaccard").as("j"), (-col("base_id")).as("nid")))
+        .as("best"))
+      .select(col("delta_id").as("doc_id"), col("n_matches"),
+        (-col("best.nid")).as("best_base"),
+        col("best.j").as("best_jaccard"))
+    ids.crossJoin(broadcast(split))
+      .filter(col("doc_id") >= col("split_id"))
+      .select("doc_id")
+      .join(perDelta, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_base"), col("best_jaccard"),
+        coalesce(col("best_jaccard") >= DeltaDupTau, lit(false))
+          .as("is_dup"))
+      .orderBy("doc_id")
+  }
 }

@@ -1673,4 +1673,90 @@ class OperatorsSpec extends SparkSpec {
     assert(out === expected)
     assert(pairs.nonEmpty, "fixture must exercise at least one merge")
   }
+
+  test("x102 canonical keep: longest member wins, ties break to the " +
+      "smallest doc_id, singletons keep themselves") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // component 1 = {1,2,3} with lengths 5,9,9 (tie 2 vs 3 → 2);
+    // component 20 = {20,21} with 21 strictly longer; 7 is a singleton
+    val comp = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L),
+      (7L, 7L, 1L)).toDF("doc_id", "component_rep", "component_size")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (20L, 4L), (21L, 8L),
+      (7L, 2L)).toDF("doc_id", "n_chars")
+    val out = Dedup.canonicalKeepFrom(docs, comp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((2L, false)))
+    assert(out(2L) === ((2L, true)))
+    assert(out(3L) === ((2L, false)))
+    assert(out(20L) === ((21L, false)))
+    assert(out(21L) === ((21L, true)))
+    assert(out(7L) === ((7L, true)))
+  }
+
+  test("x102 end-to-end: equals the driver-side keep policy over x101's " +
+      "own labels and the documents' n_chars") {
+    import graft.operators.Dedup
+    val comp = Dedup.dupComponents(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nChars = graft.queries.Tables.documentsParallel(spark, Sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bestOf = comp.groupBy(_._2).map { case (rep, ms) =>
+      rep -> ms.map(m => (-nChars(m._1), m._1)).min._2
+    }
+    val expected = comp.map { case (d, rep, sz) =>
+      d -> ((rep, sz, bestOf(rep), d == bestOf(rep)))
+    }.toMap
+    val out = Dedup.canonicalKeep(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    assert(out === expected)
+  }
+
+  test("x103 delta dedup: delta probes match base docs only — no " +
+      "delta-delta or base-base pairs, empty-text delta rows survive " +
+      "with zero matches, ties break to the smallest base id") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // ids 0..11 → split = ⌊11·4/5⌋ = 8: base 0..7, delta 8..11.
+    // Base docs 2 and 3 are identical; delta 8 copies them (best_base
+    // must be 2, the smaller id at equal jaccard). Delta 9 and 10 share
+    // a unique text — a delta-delta dup that must NOT match. Base 5 and
+    // 6 share a unique text — a base-base dup that must NOT be emitted.
+    // Delta 11 has null text.
+    val texts = Seq(
+      0L -> "alpha beta gamma delta epsilon",
+      1L -> "one two three four five six",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "lorem ipsum dolor sit amet consectetur",
+      5L -> "shared base text that repeats verbatim here",
+      6L -> "shared base text that repeats verbatim here",
+      7L -> "completely different seventh base document text",
+      8L -> "the quick brown fox jumps over the lazy dog",
+      9L -> "delta only phrase never seen in base corpus",
+      10L -> "delta only phrase never seen in base corpus",
+      11L -> null.asInstanceOf[String])
+    val docs = texts.toDF("doc_id", "text")
+    val ids = texts.map(_._1).toDF("doc_id")
+    val out = Dedup.deltaDedupFrom(ids, docs).collect()
+    graft.util.OperatorCaches.release(spark)
+    assert(out.map(_.getLong(0)).toSeq === Seq(8L, 9L, 10L, 11L),
+      "exactly the delta ids, ordered")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val r8 = byId(8L)
+    assert(r8.getLong(1) === 2L, "delta 8 matches base 2 and 3")
+    assert(r8.getLong(2) === 2L, "tie at jaccard 1.0 breaks to base 2")
+    assert(r8.getDouble(3) === 1.0)
+    assert(r8.getBoolean(4), "exact copy is a dup")
+    Seq(9L, 10L, 11L).foreach { d =>
+      val r = byId(d)
+      assert(r.getLong(1) === 0L, s"delta $d must have no base match")
+      assert(r.isNullAt(2) && r.isNullAt(3) && !r.getBoolean(4))
+    }
+  }
 }

@@ -891,6 +891,40 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("x102/x103: the keep policy inherits x101's distributed labels " +
+      "(no driver relation, no cartesian); the delta probe keeps the " +
+      "base bucket cap and every NLJ build side is the split aggregate") {
+    import graft.operators.{Dedup => D}
+    val p102 = withoutAqe {
+      D.canonicalKeep(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p102.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.isEmpty, s"driver-materialized relation in x102's plan:\n$p102")
+    assert(!p102.toString.contains("CartesianProduct"),
+      s"cartesian in x102:\n$p102")
+    graft.util.OperatorCaches.release(spark)
+    val p103 = withoutAqe {
+      D.deltaDedup(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p103.toString.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"base bucket cap missing from x103's plan:\n$p103")
+    assert(!p103.toString.contains("CartesianProduct"),
+      s"cartesian in x103:\n$p103")
+    p103.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x103 split join is not aggregate-backed:\n$build")
+    }
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

@@ -402,7 +402,13 @@ object Dedup {
 
   /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation. */
   private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame =
-    shinglePairStatsFrom(docs)
+    ngramJaccardFromSh(shingleTableFrom(docs))
+
+  /** [[ngramJaccard]] over an already-built (doc_id, sh) shingle
+    * relation — lets [[lshRecallEval]] share ONE corpus scan + shingle
+    * build (and its cache) between its truth and predicted sides. */
+  private[graft] def ngramJaccardFromSh(sh: DataFrame): DataFrame =
+    shinglePairStatsFromSh(sh)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
@@ -413,8 +419,10 @@ object Dedup {
   /** Shared candidate generation for [[ngramJaccardFrom]] and
     * [[ngramContainmentFrom]]: DF-capped inverted index → co-occurrence
     * counts per surviving pair, with each side's full shingle count. */
-  private def shinglePairStatsFrom(docs: DataFrame): DataFrame = {
-    val sh = shingleTableFrom(docs)
+  private def shinglePairStatsFrom(docs: DataFrame): DataFrame =
+    shinglePairStatsFromSh(shingleTableFrom(docs))
+
+  private def shinglePairStatsFromSh(sh: DataFrame): DataFrame = {
     // corpus-derived stop-shingle cap ([[dfCapExpr]]) and the linear
     // volume budget ([[MaxCandidateVolumePerDoc]]·N): a 1-row aggregate
     // cross-joined in as a broadcast — declarative, no driver collect,
@@ -875,10 +883,15 @@ object Dedup {
     * DF-cap + linear volume budget); the eval adds one pair-keyed left
     * join between two already-sub-quadratic pair relations and a
     * ≤10-row aggregate. Nothing here rescans the corpus. */
-  def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+  def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE corpus scan + shingle build (and one cache), shared by the
+    // exact-truth side and the LSH side — the two pipelines diverge
+    // only after the (doc_id, sh) relation
+    val sh = shingleTable(spark, sfDir)
     lshRecallFrom(
-      ngramJaccard(spark, sfDir).select("doc_a", "doc_b", "jaccard"),
-      minhashLsh(spark, sfDir).select("doc_a", "doc_b"))
+      ngramJaccardFromSh(sh).select("doc_a", "doc_b", "jaccard"),
+      minhashLshFrom(sh).select("doc_a", "doc_b"))
+  }
 
   /** [[lshRecallEval]]'s eval core over arbitrary truth
     * (doc_a, doc_b, jaccard) and predicted (doc_a, doc_b) pair

@@ -130,17 +130,31 @@ def x30_expected(con):
 _x101_cache = None
 
 
-def x101_expected(con, oracle):
-    """Linear union-find for x101_dup_components over x2's own oracled
-    pair relation (the recursive-CTE reachability in oracle_sql.json is
+def x101_expected(con, oracle, out_dir=None):
+    """Linear union-find for x101_dup_components over x2's oracled pair
+    relation (the recursive-CTE reachability in oracle_sql.json is
     quadratic in component size — fine for the driver at sf0.01, not
     for the sf0.1/sf1 gates here; same treatment as x28). Memoized:
-    x102_expected re-derives from the same labels, and the x2 pair SQL
-    is the expensive part."""
+    x102_expected re-derives from the same labels, and the pair SQL is
+    the expensive part.
+
+    Pair source: when the SAME verify run carries x2's own output
+    (out_dir/x2_minhash_lsh), read that — it is hash-verified against
+    the oracle SQL by this very script, and the SQL re-derivation costs
+    ~70 min at sf1 (DuckDB re-md5s every pair's full shingle lists; no
+    group compression). Include x2_minhash_lsh in subset runs that name
+    x101/x102 to get this path. Falls back to the SQL otherwise."""
     global _x101_cache
     if _x101_cache is not None:
         return _x101_cache
-    pairs = con.execute(oracle["x2_minhash_lsh"]).fetchall()
+    import os
+    x2dir = f"{out_dir}/x2_minhash_lsh" if out_dir else None
+    if x2dir and os.path.isdir(x2dir):
+        pairs = con.execute(
+            f"SELECT doc_a, doc_b FROM read_parquet('{x2dir}/*.parquet')"
+        ).fetchall()
+    else:
+        pairs = con.execute(oracle["x2_minhash_lsh"]).fetchall()
     docs = [d for (d,) in con.execute(
         "SELECT doc_id FROM documents").fetchall()]
     parent = {d: d for d in docs}
@@ -170,10 +184,10 @@ def x101_expected(con, oracle):
     return _x101_cache
 
 
-def x102_expected(con, oracle):
+def x102_expected(con, oracle, out_dir=None):
     """x101's union-find labels + the longest-member keep policy
     (n_chars desc, doc_id asc) for x102_canonical_keep."""
-    base = x101_expected(con, oracle)
+    base = x101_expected(con, oracle, out_dir)
     nc = dict(con.execute(
         "SELECT doc_id, n_chars FROM documents").fetchall())
     best = {}
@@ -211,9 +225,9 @@ def main(sf_dir, out_dir, skip=()):
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
             want = (x28_expected(con) if name == "x28_dup_clusters"
                     else x30_expected(con) if name == "x30_dedup_apply"
-                    else x101_expected(con, oracle_all)
+                    else x101_expected(con, oracle_all, out_dir)
                     if name == "x101_dup_components"
-                    else x102_expected(con, oracle_all)
+                    else x102_expected(con, oracle_all, out_dir)
                     if name == "x102_canonical_keep"
                     else con.execute(oracle[name]).df())
         except Exception as e:

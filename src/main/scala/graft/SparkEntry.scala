@@ -213,7 +213,12 @@ object SparkEntry {
     "x100_nb_distill" -> (TextAnalysis.nbDistill _),
     "x101_dup_components" -> (Dedup.dupComponents _),
     "x102_canonical_keep" -> (Dedup.canonicalKeep _),
-    "x103_delta_dedup" -> (Dedup.deltaDedup _)
+    "x103_delta_dedup" -> (Dedup.deltaDedup _),
+    // batch flavor of the STREAMING base-index near-dup (same
+    // composition, watermark eliminated; StreamingSpec drives the
+    // online side) — same oracle as x103 by construction
+    "x104_stream_delta_dedup" ->
+      (graft.streaming.CorpusStream.deltaDedupBatch _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -315,6 +320,64 @@ object SparkEntry {
         |sz AS (SELECT component_rep, COUNT(*) AS component_size
         |       FROM lab GROUP BY 1)
         |""".stripMargin
+
+  /** x103 / x104 shared oracle: the delta-vs-base near-dup SQL (both
+    * the batch pipeline and the streaming composition reduce to this
+    * relation on the documents table). */
+  private lazy val deltaDedupSql: String = {
+      val nm = graft.operators.Dedup.NumMinhashes
+      val cap = graft.operators.Dedup.MaxBandBucket
+      val tau = graft.operators.Dedup.DeltaDupTau
+      shingleCte +
+        s""", sp AS (SELECT CAST(FLOOR(CAST(MAX(doc_id) AS DOUBLE) * 4 / 5)
+           |    AS BIGINT) AS split_id FROM documents),
+           |ab AS (
+           |  SELECT doc_id, p.band,
+           |    substring(list_min(list_transform(sh,
+           |      x -> md5('s' || p.band || ':' || x))), 1, 15) AS h
+           |  FROM sh, (SELECT unnest(range(0, $nm)) AS band) p
+           |  WHERE len(sh) > 0
+           |), bb AS (SELECT ab.* FROM ab, sp WHERE ab.doc_id < sp.split_id),
+           |db AS (SELECT ab.* FROM ab, sp WHERE ab.doc_id >= sp.split_id),
+           |keptb AS (SELECT band, h FROM bb GROUP BY band, h
+           |          HAVING COUNT(*) <= $cap),
+           |cand AS (
+           |  SELECT d.doc_id AS delta_id, b.doc_id AS base_id
+           |  FROM db d JOIN keptb USING (band, h) JOIN bb b USING (band, h)
+           |  GROUP BY 1, 2),
+           |jv AS (
+           |  SELECT c.delta_id, c.base_id,
+           |    CAST(len(list_intersect(
+           |      list_transform(sd.sh, x -> substring(md5(x), 1, 15)),
+           |      list_transform(sb.sh, x -> substring(md5(x), 1, 15))))
+           |      AS BIGINT) AS inter,
+           |    len(sd.sh) AS nd, len(sb.sh) AS nb
+           |  FROM cand c
+           |  JOIN sh sd ON sd.doc_id = c.delta_id
+           |  JOIN sh sb ON sb.doc_id = c.base_id),
+           |v AS (
+           |  SELECT delta_id, base_id,
+           |    CAST(inter AS DOUBLE) / CAST(nd + nb - inter AS DOUBLE)
+           |      AS jaccard
+           |  FROM jv
+           |  WHERE CAST(inter AS DOUBLE) / CAST(nd + nb - inter AS DOUBLE)
+           |    >= 0.02),
+           |agg AS (SELECT delta_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+           |        FROM v GROUP BY 1),
+           |best AS (
+           |  SELECT delta_id, base_id AS best_base, jaccard AS best_jaccard
+           |  FROM (SELECT v.*, ROW_NUMBER() OVER (PARTITION BY delta_id
+           |          ORDER BY jaccard DESC, base_id ASC) AS rn FROM v)
+           |  WHERE rn = 1)
+           |SELECT d.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
+           |  b.best_base, b.best_jaccard,
+           |  COALESCE(b.best_jaccard >= $tau, FALSE) AS is_dup
+           |FROM documents d CROSS JOIN sp
+           |LEFT JOIN agg a ON a.delta_id = d.doc_id
+           |LEFT JOIN best b ON b.delta_id = d.doc_id
+           |WHERE d.doc_id >= sp.split_id
+           |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** x3's DF-capped inverted-index Jaccard as a CTE ending in
     * `ngram_pairs` (appends to [[shingleCte]] or [[lshPairsCte]]) —
@@ -3491,65 +3554,14 @@ object SparkEntry {
         |  JOIN best b USING (component_rep)
         |ORDER BY l.doc_id""".stripMargin),
 
-    // Mirrors Dedup.deltaDedup: base = doc_id below the in-plan 80th
-    // percentile of the id space, per-doc band keys (same md5-min
-    // scheme as x2's all_bands), buckets over MaxBandBucket BASE
-    // members cut, delta probes only, fingerprint verify from the 0.02
-    // floor, best match by (jaccard desc, base_id asc).
-    "x103_delta_dedup" -> {
-      val nm = graft.operators.Dedup.NumMinhashes
-      val cap = graft.operators.Dedup.MaxBandBucket
-      val tau = graft.operators.Dedup.DeltaDupTau
-      shingleCte +
-        s""", sp AS (SELECT CAST(FLOOR(CAST(MAX(doc_id) AS DOUBLE) * 4 / 5)
-           |    AS BIGINT) AS split_id FROM documents),
-           |ab AS (
-           |  SELECT doc_id, p.band,
-           |    substring(list_min(list_transform(sh,
-           |      x -> md5('s' || p.band || ':' || x))), 1, 15) AS h
-           |  FROM sh, (SELECT unnest(range(0, $nm)) AS band) p
-           |  WHERE len(sh) > 0
-           |), bb AS (SELECT ab.* FROM ab, sp WHERE ab.doc_id < sp.split_id),
-           |db AS (SELECT ab.* FROM ab, sp WHERE ab.doc_id >= sp.split_id),
-           |keptb AS (SELECT band, h FROM bb GROUP BY band, h
-           |          HAVING COUNT(*) <= $cap),
-           |cand AS (
-           |  SELECT d.doc_id AS delta_id, b.doc_id AS base_id
-           |  FROM db d JOIN keptb USING (band, h) JOIN bb b USING (band, h)
-           |  GROUP BY 1, 2),
-           |jv AS (
-           |  SELECT c.delta_id, c.base_id,
-           |    CAST(len(list_intersect(
-           |      list_transform(sd.sh, x -> substring(md5(x), 1, 15)),
-           |      list_transform(sb.sh, x -> substring(md5(x), 1, 15))))
-           |      AS BIGINT) AS inter,
-           |    len(sd.sh) AS nd, len(sb.sh) AS nb
-           |  FROM cand c
-           |  JOIN sh sd ON sd.doc_id = c.delta_id
-           |  JOIN sh sb ON sb.doc_id = c.base_id),
-           |v AS (
-           |  SELECT delta_id, base_id,
-           |    CAST(inter AS DOUBLE) / CAST(nd + nb - inter AS DOUBLE)
-           |      AS jaccard
-           |  FROM jv
-           |  WHERE CAST(inter AS DOUBLE) / CAST(nd + nb - inter AS DOUBLE)
-           |    >= 0.02),
-           |agg AS (SELECT delta_id, CAST(COUNT(*) AS BIGINT) AS n_matches
-           |        FROM v GROUP BY 1),
-           |best AS (
-           |  SELECT delta_id, base_id AS best_base, jaccard AS best_jaccard
-           |  FROM (SELECT v.*, ROW_NUMBER() OVER (PARTITION BY delta_id
-           |          ORDER BY jaccard DESC, base_id ASC) AS rn FROM v)
-           |  WHERE rn = 1)
-           |SELECT d.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
-           |  b.best_base, b.best_jaccard,
-           |  COALESCE(b.best_jaccard >= $tau, FALSE) AS is_dup
-           |FROM documents d CROSS JOIN sp
-           |LEFT JOIN agg a ON a.delta_id = d.doc_id
-           |LEFT JOIN best b ON b.delta_id = d.doc_id
-           |WHERE d.doc_id >= sp.split_id
-           |ORDER BY d.doc_id""".stripMargin
-    },
+    // Mirrors Dedup.deltaDedup AND CorpusStream.deltaDedupBatch (the
+    // batch carrier of the streaming flavor): base = doc_id below the
+    // in-plan 80th percentile of the id space, per-doc band keys (same
+    // md5-min scheme as x2's all_bands), buckets over MaxBandBucket
+    // BASE members cut, delta probes only, fingerprint verify from the
+    // 0.02 floor, best match by (jaccard desc, base_id asc).
+    "x103_delta_dedup" -> deltaDedupSql,
+    "x104_stream_delta_dedup" -> deltaDedupSql,
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.functions.TextFunctions.{minhashSig, shingles}
+import graft.util.OperatorCaches
 
 /** Per-content-hash dedup state for [[CorpusStream.firstSeenDedup]]. */
 case class DedupKeyState(firstId: Long, n: Long)
@@ -90,5 +92,116 @@ object CorpusStream {
             out.iterator
           }
       }
+  }
+
+  /** x104: STREAMING NEAR-DUP AGAINST A STATIC BASE INDEX — the online
+    * flavor of x103's daily-batch shape, and the decision a crawl-ingest
+    * pipeline wants at ARRIVAL time: is this incoming document a
+    * near-copy of anything already in the corpus? Every streamed doc
+    * gets one verdict row (match count from the x2 verify floor, best
+    * base partner, the τ = [[graft.operators.Dedup.DeltaDupTau]] drop
+    * decision) — including no-candidate and empty/null-text docs, which
+    * ride a `posexplode_outer` null band through the left join instead
+    * of silently vanishing.
+    *
+    * Composition (all stream-STATIC — no stream-stream state):
+    * per-row MinHash band keys (narrow projections, no stream shuffle
+    * until the join) → left equi-join against the base band index
+    * (bucket cap on BASE membership, x103's discipline) → per-hit
+    * 60-bit fingerprint verify → `dropDuplicatesWithinWatermark` on
+    * (doc, base) (a pair surfaces once however many bands agree) → one
+    * watermarked per-doc windowed aggregate. In BATCH mode the same
+    * composition runs with plain `dropDuplicates` and the watermark
+    * eliminated — [[deltaDedupBatch]] is the oracle-checkable carrier
+    * (`x104_stream_delta_dedup`, same oracle SQL as x103).
+    *
+    * 100 TB note: the static side is built once per query start and
+    * persisted (a deployment materializes it as a bucketed table and
+    * hot-swaps on corpus compaction); per-micro-batch cost is
+    * ∝ batch·bands probe rows, and the only streaming state is the
+    * dedup + open-window buffers, both bounded by the watermark. */
+  def deltaDedupStream(spark: SparkSession, streamDocs: DataFrame,
+      baseDocs: DataFrame,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import graft.operators.Dedup
+    def bandLong(hs: Column) =
+      conv(substring(hs, 1, 15), 16, 10).cast("long")
+    def fpOf(arr: Column): Column = transform(arr,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val baseSh = Dedup.shingleTableFrom(
+      baseDocs.select(col("doc_id"), col("text")))
+    val baseBands = OperatorCaches.persist(
+      baseSh.select(col("doc_id").as("base_id"),
+          posexplode(minhashSig(col("sh"), Dedup.NumMinhashes)))
+        .toDF("base_id", "band", "hs")
+        .select(col("base_id"), col("band"), bandLong(col("hs")).as("h")))
+    val keptBuckets = baseBands.groupBy("band", "h")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= Dedup.MaxBandBucket)
+      .select("band", "h")
+    val index = OperatorCaches.persist(
+      baseBands.join(keptBuckets, Seq("band", "h")))
+    val baseFps = OperatorCaches.persist(
+      baseSh.select(col("doc_id").as("base_id"),
+        fpOf(col("sh")).as("fp_b"), size(col("sh")).as("nb")))
+    val probes = streamDocs
+      .select(col("doc_id"), col("ts").cast("timestamp"),
+        shingles(coalesce(col("text"), lit(""))).as("sh"))
+      .withWatermark("ts", watermarkDelay)
+    val banded = probes
+      .select(col("doc_id"), col("ts"), col("sh"),
+        posexplode_outer(
+          when(size(col("sh")) > 0,
+            minhashSig(col("sh"), Dedup.NumMinhashes))))
+      .toDF("doc_id", "ts", "sh", "band", "hs")
+      .select(col("doc_id"), col("ts"), col("sh"), col("band"),
+        bandLong(col("hs")).as("h"))
+    val scored = banded
+      .join(index, Seq("band", "h"), "left_outer")
+      .join(baseFps, Seq("base_id"), "left_outer")
+      .withColumn("inter",
+        size(array_intersect(fpOf(col("sh")), col("fp_b"))).cast("long"))
+      .withColumn("jaccard", when(col("base_id").isNotNull,
+        col("inter").cast("double") /
+          (size(col("sh")) + col("nb") - col("inter")).cast("double")))
+      .select(col("doc_id"), col("ts"), col("base_id"), col("jaccard"))
+    val pairs =
+      if (scored.isStreaming)
+        scored.dropDuplicatesWithinWatermark(Seq("doc_id", "base_id"))
+      else scored.dropDuplicates(Seq("doc_id", "base_id"))
+    pairs
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"))
+      .agg(
+        sum(when(col("jaccard") >= 0.02, 1L).otherwise(0L))
+          .as("n_matches"),
+        max(when(col("jaccard") >= 0.02,
+          struct(col("jaccard").as("j"), (-col("base_id")).as("nid"))))
+          .as("best"))
+      .select(col("doc_id"), col("n_matches"),
+        (-col("best.nid")).as("best_base"),
+        col("best.j").as("best_jaccard"),
+        coalesce(col("best.j") >= Dedup.DeltaDupTau, lit(false))
+          .as("is_dup"))
+  }
+
+  /** [[deltaDedupStream]]'s batch carrier over the documents table:
+    * the same in-plan 80th-percentile id-space split as
+    * [[graft.operators.Dedup.deltaDedup]] (base below, delta at/above,
+    * event time = doc_id seconds), so the TWO implementations — the
+    * batch pipeline and the streaming composition — are checked against
+    * the SAME oracle SQL, and against each other in the spec. */
+  def deltaDedupBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.queries.Tables.documentsParallel(spark, sfDir)
+    val split = docs.agg(
+      floor(max(col("doc_id")).cast("double") * 4.0 / 5.0)
+        .cast("long").as("split_id"))
+    val base = docs.crossJoin(broadcast(split))
+      .filter(col("doc_id") < col("split_id"))
+      .select("doc_id", "text")
+    val delta = docs.crossJoin(broadcast(split))
+      .filter(col("doc_id") >= col("split_id"))
+      .select(col("doc_id"),
+        timestamp_seconds(col("doc_id")).as("ts"), col("text"))
+    deltaDedupStream(spark, delta, base).orderBy("doc_id")
   }
 }

@@ -1759,4 +1759,22 @@ class OperatorsSpec extends SparkSpec {
       assert(r.isNullAt(2) && r.isNullAt(3) && !r.getBoolean(4))
     }
   }
+
+  test("x104 streaming delta dedup (batch flavor): row-identical to " +
+      "x103's batch pipeline on the same split") {
+    import graft.operators.Dedup
+    def snap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))
+    }.toSeq
+    val batch = snap(Dedup.deltaDedup(spark, Sf).collect())
+    graft.util.OperatorCaches.release(spark)
+    val streamFlavor = snap(
+      graft.streaming.CorpusStream.deltaDedupBatch(spark, Sf).collect())
+    graft.util.OperatorCaches.release(spark)
+    assert(streamFlavor === batch)
+    assert(batch.nonEmpty)
+  }
 }

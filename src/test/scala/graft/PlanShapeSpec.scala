@@ -923,6 +923,29 @@ class PlanShapeSpec extends SparkSpec {
       }.isDefined, s"x103 split join is not aggregate-backed:\n$build")
     }
     graft.util.OperatorCaches.release(spark)
+    // x104 (the streaming composition's batch carrier): same contracts —
+    // the base bucket cap survives, probes reach the index through
+    // equi-joins, and the only NLJ build is the split aggregate
+    val p104 = withoutAqe {
+      graft.streaming.CorpusStream.deltaDedupBatch(spark, Sf)
+        .queryExecution.executedPlan
+    }
+    assert(p104.toString.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"base bucket cap missing from x104's plan:\n$p104")
+    assert(!p104.toString.contains("CartesianProduct"),
+      s"cartesian in x104:\n$p104")
+    p104.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x104 split join is not aggregate-backed:\n$build")
+    }
+    graft.util.OperatorCaches.release(spark)
   }
 
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +

@@ -638,6 +638,67 @@ class StreamingSpec extends SparkSpec {
     assert(s.session_start.getTime === t0us / 1000L)
     assert(s.session_end.getTime === t0us / 1000L + (n - 1) * 1000L)
   }
+
+  test("deltaDedupStream: online verdicts against the static base index — " +
+      "match, no-match, and null-text docs all emit; restarts keep the " +
+      "composition consistent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("graft_ddd_cp").toString
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val src = MemoryStream[Doc]
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Long, Option[Long], Option[Double], Boolean)]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStream
+        .deltaDedupStream(spark, src.toDF(), base)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            df.collect().foreach { r =>
+              got(r.getLong(0)) = ((r.getLong(1),
+                if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+                r.getBoolean(4)))
+            }
+          }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val t0 = Timestamp.valueOf("2024-01-15 10:00:00").getTime
+    def at(minutes: Long) = new Timestamp(t0 + minutes * 60000)
+    // batch 1: an exact copy of base 0/2, a novel doc, a null-text doc
+    src.addData(
+      Doc(100, "the quick brown fox jumps over the lazy dog", at(0)),
+      Doc(101, "totally unrelated novel content in this words", at(0)),
+      Doc(102, null, at(0)))
+    run()
+    // batch 2 = a RESTARTED query: doc 103 matches base 1, and its
+    // event time advances the watermark past batch 1's windows
+    src.addData(Doc(103, "alpha beta gamma delta epsilon zeta eta theta",
+      at(5)))
+    run()
+    // batch 3: sentinel flushes doc 103's window
+    src.addData(Doc(104, "flush sentinel advancing the watermark far on",
+      at(10)))
+    run()
+    val byId = got.synchronized(got.toMap)
+    assert(byId(100L) === ((2L, Some(0L), Some(1.0), true)),
+      s"doc 100 must match bases 0 and 2, best = 0: ${byId.get(100L)}")
+    assert(byId(101L) === ((0L, None, None, false)))
+    assert(byId(102L) === ((0L, None, None, false)),
+      "null-text doc must still get a verdict")
+    assert(byId(103L)._1 === 1L)
+    assert(byId(103L)._2 === Some(1L) && byId(103L)._4)
+  }
 }
 
 /** Document row for the streaming-dedup spec. */

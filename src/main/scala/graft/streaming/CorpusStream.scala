@@ -105,12 +105,13 @@ object CorpusStream {
     * of silently vanishing.
     *
     * Composition (all stream-STATIC — no stream-stream state):
-    * per-row MinHash band keys (narrow projections, no stream shuffle
-    * until the join) → left equi-join against the base band index
-    * (bucket cap on BASE membership, x103's discipline) → per-hit
-    * 60-bit fingerprint verify → `dropDuplicatesWithinWatermark` on
-    * (doc, base) (a pair surfaces once however many bands agree) → one
-    * watermarked per-doc windowed aggregate. In BATCH mode the same
+    * per-row MinHash band keys + 60-bit probe fingerprints (narrow
+    * projections, computed once per doc BEFORE the band explode) →
+    * left equi-join against the base band index (bucket cap on BASE
+    * membership, x103's discipline) → `dropDuplicatesWithinWatermark`
+    * on (doc, base) (a pair surfaces once however many bands agree) →
+    * one fingerprint verify per surviving PAIR → one watermarked
+    * per-doc windowed aggregate. In BATCH mode the same
     * composition runs with plain `dropDuplicates` and the watermark
     * eliminated — [[deltaDedupBatch]] is the oracle-checkable carrier
     * (`x104_stream_delta_dedup`, same oracle SQL as x103).
@@ -144,32 +145,48 @@ object CorpusStream {
     val baseFps = OperatorCaches.persist(
       baseSh.select(col("doc_id").as("base_id"),
         fpOf(col("sh")).as("fp_b"), size(col("sh")).as("nb")))
+    // The shingle array is materialized by a Generate (explode of a
+    // 1-element array) — the stream-legal stand-in for the batch side's
+    // persist barrier: without it, project-collapse inlines the
+    // interpreted shingle builder into every consumer (fp, sig, size).
     val probes = streamDocs
       .select(col("doc_id"), col("ts").cast("timestamp"),
-        shingles(coalesce(col("text"), lit(""))).as("sh"))
+        explode(array(shingles(coalesce(col("text"), lit("")))))
+          .as("sh"))
       .withWatermark("ts", watermarkDelay)
+    // Probe fingerprints are computed ONCE per doc BEFORE the band
+    // explode and ride the exchanges as 60-bit longs (the x2 sf10
+    // lesson) — never the shingle strings, and never per candidate row:
+    // the first x104 sf10 spot-run shipped the string arrays through
+    // the band join and re-md5'd them per band-hit, measuring 15.2×
+    // per decade; this shape measures linear again.
     val banded = probes
-      .select(col("doc_id"), col("ts"), col("sh"),
+      .select(col("doc_id"), col("ts"), fpOf(col("sh")).as("fp_d"),
+        size(col("sh")).cast("long").as("nd"),
         posexplode_outer(
           when(size(col("sh")) > 0,
             minhashSig(col("sh"), Dedup.NumMinhashes))))
-      .toDF("doc_id", "ts", "sh", "band", "hs")
-      .select(col("doc_id"), col("ts"), col("sh"), col("band"),
-        bandLong(col("hs")).as("h"))
-    val scored = banded
+      .toDF("doc_id", "ts", "fp_d", "nd", "band", "hs")
+      .select(col("doc_id"), col("ts"), col("fp_d"), col("nd"),
+        col("band"), bandLong(col("hs")).as("h"))
+    val cand = banded
       .join(index, Seq("band", "h"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("base_id"), col("fp_d"),
+        col("nd"))
+    // pair-dedupe BEFORE the verify: a pair surfaces once however many
+    // bands agree, so the fingerprint intersection runs once per PAIR
+    val pairs =
+      if (cand.isStreaming)
+        cand.dropDuplicatesWithinWatermark(Seq("doc_id", "base_id"))
+      else cand.dropDuplicates(Seq("doc_id", "base_id"))
+    pairs
       .join(baseFps, Seq("base_id"), "left_outer")
       .withColumn("inter",
-        size(array_intersect(fpOf(col("sh")), col("fp_b"))).cast("long"))
+        size(array_intersect(col("fp_d"), col("fp_b"))).cast("long"))
       .withColumn("jaccard", when(col("base_id").isNotNull,
         col("inter").cast("double") /
-          (size(col("sh")) + col("nb") - col("inter")).cast("double")))
+          (col("nd") + col("nb") - col("inter")).cast("double")))
       .select(col("doc_id"), col("ts"), col("base_id"), col("jaccard"))
-    val pairs =
-      if (scored.isStreaming)
-        scored.dropDuplicatesWithinWatermark(Seq("doc_id", "base_id"))
-      else scored.dropDuplicates(Seq("doc_id", "base_id"))
-    pairs
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))
       .agg(
         sum(when(col("jaccard") >= 0.02, 1L).otherwise(0L))

@@ -164,10 +164,19 @@ object Bench {
     // single JSON line outgrew the scrape window and BENCH_r09.json lost
     // the first ~65 queries' timings ("parsed": null). The file copy is
     // the complete, machine-readable record regardless of scrape limits.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // Written under BOTH the stable name (what the driver knows to read)
+    // and an sf-labeled name, so consecutive runs at different SFs don't
+    // silently overwrite each other's complete record.
+    val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val outFiles = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(Seq(_))
+      .getOrElse(Seq("BENCH_LATEST.json", s"BENCH_LATEST_$sfLabel.json"))
+    outFiles.foreach { outFile =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    }
     spark.stop()
     // A bench with ANY failed query must not look like a success to the
     // driver or to gate.sh — rc=0 with failures is how round 7 went blind.

@@ -3335,8 +3335,7 @@ object SparkEntry {
          |st AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
          |    CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_distinct_frames,
-         |    CAST(SUM(DISTINCT CAST(fh AS DECIMAL(38,0))) AS DECIMAL(38,0))
-         |      AS frame_digest
+         |    CAST(BIT_XOR(DISTINCT fh) AS BIGINT) AS frame_digest
          |  FROM fh GROUP BY 1),
          |sg AS (SELECT DISTINCT doc_id, fh FROM fh),
          |kp AS (SELECT fh FROM sg GROUP BY 1 HAVING COUNT(*) <= $cap),

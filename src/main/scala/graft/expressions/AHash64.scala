@@ -19,7 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * coordinate contraction a resize kernel performs). Bit k is set iff
   * bucket k's mean exceeds the global mean, decided in exact integer
   * arithmetic (`sum_k · n > total · count_k` — no float division, so the
-  * DuckDB oracle reproduces every bit). Near-identical byte streams
+  * DuckDB oracle reproduces every bit; the products are compared in
+  * 128 bits via `Math.multiplyHigh`, since `total · count_k` exceeds
+  * Long for streams around ≥ 9·10⁷ chars and a silent Long wrap would
+  * diverge from the oracle's overflow-checked arithmetic).
+  * Near-identical byte streams
   * (crops, pad/truncate edits, small splices) move few bucket means, so
   * they land within a small Hamming distance — the property
   * [[graft.operators.Multimodal.mediaDups]]'s banded join exploits.
@@ -61,7 +65,7 @@ case class AHash64(child: Expression) extends UnaryExpression {
     var h = 0L
     var k = 0
     while (k < 64) {
-      if (sums(k) * n > total * counts(k)) h |= (1L << k)
+      if (AHash64.gt128(sums(k), n.toLong, total, counts(k))) h |= (1L << k)
       k += 1
     }
     h
@@ -95,7 +99,8 @@ case class AHash64(child: Expression) extends UnaryExpression {
          |    $total += $v;
          |  }
          |  for (int $k = 0; $k < 64; $k++) {
-         |    if ($sums[$k] * $n > $total * $counts[$k]) $h |= (1L << $k);
+         |    if (graft.expressions.AHash64.gt128(
+         |        $sums[$k], (long) $n, $total, $counts[$k])) $h |= (1L << $k);
          |  }
          |}
          |${ev.value} = $h;
@@ -104,4 +109,18 @@ case class AHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): AHash64 =
     copy(child = newChild)
+}
+
+object AHash64 {
+  /** 128-bit-exact `a·b > c·d` for NON-NEGATIVE longs (char sums and
+    * position counts are always ≥ 0 here). `Math.multiplyHigh` yields
+    * the signed high word, which for non-negative operands equals the
+    * unsigned high word, so (high, unsigned-low) lexicographic compare
+    * is the exact 128-bit product compare — no BigInt allocation in the
+    * per-row hot loop, callable from generated code. */
+  def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2 else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+  }
 }

@@ -991,18 +991,49 @@ object Dedup {
     * the reliable checkpoint when the caller has configured a
     * checkpoint dir (the cluster deployment — survives executor loss),
     * else a local checkpoint (executor-block-backed; right for
-    * local-mode tests and gates). */
-  private def materializeRound(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    * local-mode tests and gates).
+    *
+    * Returns the materialized frame PLUS a release thunk, so the star
+    * loop retires round r's storage as
+    * soon as round r+1 is materialized and the convergence check has
+    * read both — without it, up to [[MaxCcRounds]] edge-set copies
+    * accumulate in executor storage (local checkpoint) or the
+    * checkpoint dir (reliable checkpoint) per invocation. The
+    * released storage is identified by diffing the persistent-RDD
+    * registry / checkpoint-dir listing around the materialization —
+    * exact for this driver-sequential loop (rounds never materialize
+    * concurrently); a host application materializing UNRELATED RDDs
+    * concurrently should run ccFrom in its own session. */
+  private def materializeRoundReleasable(
+      df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    sc.getCheckpointDir match {
+      case Some(dir) =>
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(sc.hadoopConfiguration)
+        def ls(): Set[String] =
+          if (!fs.exists(path)) Set.empty
+          else fs.listStatus(path).map(_.getPath.toString).toSet
+        val before = ls()
+        val out = df.checkpoint(eager = true)
+        val added = (ls() -- before).toSeq
+        (out, () => added.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)))
+      case None =>
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint(eager = true)
+        val added = (sc.getPersistentRDDs.keySet -- before).toSeq
+        (out, () => added.foreach(id => sc.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false))))
+    }
+  }
 
   /** [[dupComponents]]' core over arbitrary node ids (`doc_id`) and
     * pair edges (`u`, `v`) — the testable seam (fixtures drive path
     * graphs, stars, and merged components through the alternation and
     * check labels against a driver-side union-find). */
   private[graft] def ccFrom(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    var e = materializeRound(pairs
+    var (e, freeE) = materializeRoundReleasable(pairs
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -1011,12 +1042,16 @@ object Dedup {
     var converged = nEdges == 0L
     var round = 0
     while (!converged && round < MaxCcRounds) {
-      val next = materializeRound(smallStar(largeStar(e)))
+      val (next, freeNext) = materializeRoundReleasable(smallStar(largeStar(e)))
       val nNext = next.count()
       // both sides are distinct sets: equal count + empty one-way
       // difference ⟺ set equality
       converged = nNext == nEdges && next.except(e).isEmpty
+      // round r's materialization is fully consumed (count + except):
+      // retire it now so only the two live rounds ever hold storage
+      freeE()
       e = next
+      freeE = freeNext
       nEdges = nNext
       round += 1
     }

@@ -219,8 +219,10 @@ object Multimodal {
     * (`2·m ≥ min(nd_a, nd_b)`, no float threshold), so the oracle
     * reproduces every decision. Output is PER VIDEO (the x95 pattern —
     * per-pair output would be near-empty and verify nothing): frame
-    * counts, the distinct-hash digest (DECIMAL(38,0) sum — pins every
-    * frame hash), and the near-dup partner degree.
+    * counts, the distinct-hash digest (BIGINT xor-fold — pins every
+    * frame hash while staying in int64, so the verify gate's value
+    * canonicalization is exact on both engines), and the near-dup
+    * partner degree.
     *
     * Scale shape: the frame relation is ≤ ⌈len/32⌉ rows per video (a
     * narrow map-side explode, no shuffle), the pair join forms only
@@ -254,7 +256,7 @@ object Multimodal {
     val stats = frames.groupBy("doc_id").agg(
       count(lit(1)).as("n_frames"),
       count_distinct(col("fh")).as("n_distinct_frames"),
-      sum_distinct(col("fh").cast("decimal(38,0)")).as("frame_digest"))
+      expr("bit_xor(DISTINCT fh)").as("frame_digest"))
     val sig = frames.distinct()
     val kept = sig.groupBy("fh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.MaxBandBucket).select("fh")

@@ -145,6 +145,25 @@ object GraftProperties extends Properties("graft") {
         graft.expressions.AHash64(Literal(s)).eval(null) == got
     }
 
+  /** The 128-bit threshold compare AHash64 uses: exact against BigInt
+    * for non-negative operands, INCLUDING products past Long.MaxValue —
+    * the silent-wrap regime (streams ≥ ~9·10⁷ chars) where the old
+    * 64-bit compare diverged from the oracle's checked arithmetic. */
+  property("AHash64.gt128 == BigInt product compare incl. Long-overflow range") =
+    forAll(
+      Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue),
+      Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue)) {
+      (a, b, c, d) =>
+        graft.expressions.AHash64.gt128(a, b, c, d) ==
+          (BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)) &&
+        // the realistic aHash magnitudes: char sums ≤ 65535·n, n ≤ 2³¹
+        graft.expressions.AHash64.gt128(
+          65535L * (a % 3000000000L), b % 3000000000L,
+          65535L * (c % 3000000000L), d % 3000000000L) ==
+          (BigInt(65535L) * BigInt(a % 3000000000L) * BigInt(b % 3000000000L) >
+            BigInt(65535L) * BigInt(c % 3000000000L) * BigInt(d % 3000000000L))
+    }
+
   private val neighbors: Gen[List[graft.functions.Neighbor]] =
     Gen.listOf(for {
       // few distinct scores → frequent cos ties exercising the id tiebreak

@@ -1419,7 +1419,7 @@ class OperatorsSpec extends SparkSpec {
     val docs = fixture.toDF("doc_id", "text")
     val out = Multimodal.videoFrameDupsFrom(docs).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3), r.getLong(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     graft.util.OperatorCaches.release(spark)
     // driver-side model: slice → aHash → DF cap → containment pairing
     val sets = fixture.map { case (id, t) =>
@@ -1445,8 +1445,7 @@ class OperatorsSpec extends SparkSpec {
       val (nf, ndx, dig, deg) = out(id)
       assert(nf === fs.size.toLong, s"n_frames($id)")
       assert(ndx === fs.distinct.size.toLong, s"n_distinct_frames($id)")
-      assert(BigInt(dig.toBigInteger) ===
-        fs.distinct.map(BigInt(_)).sum, s"frame_digest($id)")
+      assert(dig === fs.distinct.fold(0L)(_ ^ _), s"frame_digest($id)")
       assert(deg === modelDeg(id), s"n_partners($id)")
     }
   }

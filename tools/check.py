@@ -143,7 +143,10 @@ def x101_expected(con, oracle, out_dir=None):
     the oracle SQL by this very script, and the SQL re-derivation costs
     ~70 min at sf1 (DuckDB re-md5s every pair's full shingle lists; no
     group compression). Include x2_minhash_lsh in subset runs that name
-    x101/x102 to get this path. Falls back to the SQL otherwise."""
+    x101/x102 to get this path; main() only hands us out_dir after x2's
+    own check PASSED this invocation (x2 skipped/failed -> out_dir is
+    None here and we re-derive from SQL — never circular). Falls back
+    to the SQL otherwise."""
     global _x101_cache
     if _x101_cache is not None:
         return _x101_cache
@@ -213,6 +216,15 @@ def main(sf_dir, out_dir, skip=()):
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
+    # Check x2_minhash_lsh FIRST: x101/x102's union-find oracle may read
+    # x2's parquet as its pair source, and that fast path is only
+    # non-circular if x2's own hash check ran and PASSED in this
+    # invocation (x2 skipped or failed -> fall back to the SQL
+    # derivation, never let the system under test supply its own oracle).
+    if "x2_minhash_lsh" in names:
+        names.remove("x2_minhash_lsh")
+        names.insert(0, "x2_minhash_lsh")
+    x2_verified = False
     n_pass = n_fail = 0
     for name in names:
         if name not in oracle:
@@ -223,11 +235,12 @@ def main(sf_dir, out_dir, skip=()):
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            x2_dir = out_dir if x2_verified else None
             want = (x28_expected(con) if name == "x28_dup_clusters"
                     else x30_expected(con) if name == "x30_dedup_apply"
-                    else x101_expected(con, oracle_all, out_dir)
+                    else x101_expected(con, oracle_all, x2_dir)
                     if name == "x101_dup_components"
-                    else x102_expected(con, oracle_all, out_dir)
+                    else x102_expected(con, oracle_all, x2_dir)
                     if name == "x102_canonical_keep"
                     else con.execute(oracle[name]).df())
         except Exception as e:
@@ -274,6 +287,8 @@ def main(sf_dir, out_dir, skip=()):
             note = f"  dtypes differ: {dt}" if dt else ""
             print(f"{'PASS':>9}  {name}: {len(got)} rows{note}")
             n_pass += 1
+            if name == "x2_minhash_lsh":
+                x2_verified = True
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     return 1 if n_fail else 0
 

@@ -15,7 +15,7 @@ import graft.streaming.NatsLikeStream
   * {{{
   * sbt "runMain graft.Service --config nats.yml --backlog <jsonl dir> \
   *   --warehouse <out dir> [--sink parquet|blocks|http|native] [--once] \
-  *   [--capture] [--sessions] [--topk]"
+  *   [--capture] [--sessions] [--topk] [--delta <baseDocsParquet>]"
   * }}}
   *
   * `--sink parquet` (default) streams the raw + analytics MV cascade as
@@ -44,6 +44,16 @@ import graft.streaming.NatsLikeStream
   * final ranking to `<warehouse>/window_topk` under an independent
   * checkpoint.
   *
+  * `--delta <baseDocsParquet>` additionally runs x104 at-ingest near-dup
+  * over the same envelope stream
+  * ([[graft.streaming.CorpusStream.deltaDedupEnvelopes]] — payload
+  * `doc_id`/`text`, streamSeq fallback id): each envelope is MinHash-
+  * probed against the static base corpus index built once from the
+  * given parquet, and its verdict row (match count, best base partner,
+  * the τ drop decision) appends to `<warehouse>/delta_verdicts` under
+  * an independent checkpoint. Verdicts are FINAL (one watermark-closed
+  * window per doc), so the parquet appends are exactly-once.
+  *
   * `--capture` makes the config's `nats://` URL a REAL dial: drain the
   * subscription ([[graft.sources.NatsCapture]] — socket handshake,
   * queue-grouped SUB, JetStream-metadata extraction, ack-after-write)
@@ -57,7 +67,7 @@ object Service {
     // token, so the valueless --once/--capture work in ANY position (a
     // pairwise sliding would mis-pair everything after a non-trailing
     // valueless flag).
-    val valueKeys = Set("config", "backlog", "warehouse", "sink")
+    val valueKeys = Set("config", "backlog", "warehouse", "sink", "delta")
     val opts = {
       @annotation.tailrec
       def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
@@ -225,15 +235,36 @@ object Service {
         .start()
     } else None
 
+    // x104 through the service (--delta): at-ingest near-dup of every
+    // envelope against the static base corpus index (built ONCE from the
+    // given parquet at query start and persisted — a deployment swaps in
+    // a freshly compacted index by restarting the query). Verdict rows
+    // are final watermark-closed windows, so per-micro-batch parquet
+    // appends under the query's own checkpoint are exactly-once.
+    val deltaQuery = opts.get("delta").map { basePath =>
+      val baseDocs = spark.read.parquet(basePath).select("doc_id", "text")
+      log.info("delta dedup", "base" -> basePath)
+      graft.streaming.CorpusStream.deltaDedupEnvelopes(spark, envelopes, baseDocs)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$warehouse/delta_verdicts")
+        .option("checkpointLocation", s"$warehouse/_checkpoint_delta")
+        .trigger(trigger)
+        .start()
+    }
+
     // B4: SIGTERM/SIGINT → graceful stop; checkpoint replays the tail.
     sys.addShutdownHook {
       if (query.isActive) query.stop()
       sessionQuery.foreach(q => if (q.isActive) q.stop())
       topkQuery.foreach(q => if (q.isActive) q.stop())
+      deltaQuery.foreach(q => if (q.isActive) q.stop())
     }
     query.awaitTermination()
     sessionQuery.foreach(_.awaitTermination())
     topkQuery.foreach(_.awaitTermination())
+    deltaQuery.foreach(_.awaitTermination())
     spark.stop()
   }
 }

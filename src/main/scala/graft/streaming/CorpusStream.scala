@@ -201,6 +201,24 @@ object CorpusStream {
           .as("is_dup"))
   }
 
+  /** [[deltaDedupStream]] over the service's NATS ENVELOPE stream — the
+    * `graft.Service --delta <base>` adapter, mirroring
+    * [[SessionStream.sessionizeEnvelopes]]: the payload carries the
+    * document (`$.doc_id` / `$.text`), `metaTimestamp` is the event
+    * time, and envelopes without a payload doc_id fall back to the
+    * JetStream sequence (so EVERY envelope — including null/absent-text
+    * ones — still receives a verdict row, the operator's contract). */
+  def deltaDedupEnvelopes(spark: SparkSession, envelopes: DataFrame,
+      baseDocs: DataFrame,
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    deltaDedupStream(spark,
+      envelopes.select(
+        coalesce(get_json_object(col("data"), "$.doc_id").cast("long"),
+          col("streamSeq").cast("long")).as("doc_id"),
+        col("metaTimestamp").cast("timestamp").as("ts"),
+        get_json_object(col("data"), "$.text").as("text")),
+      baseDocs, watermarkDelay)
+
   /** [[deltaDedupStream]]'s batch carrier over the documents table:
     * the same in-plan 80th-percentile id-space split as
     * [[graft.operators.Dedup.deltaDedup]] (base below, delta at/above,

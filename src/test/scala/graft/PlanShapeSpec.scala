@@ -948,6 +948,45 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("x104 batch carrier: probe fingerprints are computed once per doc " +
+      "BEFORE the band join (no md5 above it — the sf10 15.2×/decade " +
+      "composition re-md5'd shingles per band-hit) and the null band " +
+      "rides an OUTER posexplode") {
+    val p104 = withoutAqe {
+      graft.streaming.CorpusStream.deltaDedupBatch(spark, Sf)
+        .queryExecution.executedPlan
+    }
+    // locate the probe→index band equi-join: its keys are (band, h)
+    val all = p104.collect { case n => n }
+    val bandJoin = all.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.toSet == Set("band", "h") => j
+    }
+    assert(bandJoin.isDefined, s"no (band, h) equi-join in x104:\n$p104")
+    // every node whose subtree CONTAINS the band join (= the join and
+    // its ancestors — the post-join pipeline) must evaluate no md5: the
+    // probe fingerprints must already be 60-bit longs by the time they
+    // reach the band exchange. (The base side's own md5 lives in a
+    // SIBLING branch — baseFps — and is legitimately invisible here.)
+    val offenders = all.filter(n =>
+      n.collectFirst { case x if x eq bandJoin.get => x }.isDefined)
+      .filter(n => n.expressions.exists(_.collectFirst {
+        case e: org.apache.spark.sql.catalyst.expressions.Md5 => e
+      }.isDefined))
+    assert(offenders.isEmpty,
+      s"md5 evaluated at/above the band join (per-band-hit recompute):\n" +
+        offenders.map(_.nodeName).mkString(", ") + s"\n$p104")
+    // empty/null-text docs keep a null band row through the left join —
+    // the generate feeding the band keys must be OUTER
+    assert(p104.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec if g.outer => g
+    }.nonEmpty, s"no outer generate (posexplode_outer) in x104:\n$p104")
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

@@ -699,6 +699,75 @@ class StreamingSpec extends SparkSpec {
     assert(byId(103L)._1 === 1L)
     assert(byId(103L)._2 === Some(1L) && byId(103L)._4)
   }
+
+  test("deltaDedup end-to-end through the DSv2 replay source: verdicts " +
+      "survive a checkpoint restart and land in the parquet sink (the " +
+      "Service --delta path)") {
+    import spark.implicits._
+    val backlog = Files.createTempDirectory("graft_delta_backlog").toString
+    val cp = Files.createTempDirectory("graft_delta_e2e_cp").toString
+    val out = Files.createTempDirectory("graft_delta_out").toString + "/verdicts"
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def env(seq: Long, docId: Long, text: String, hhmm: String): String = {
+      val payload =
+        s"""{\\"doc_id\\":$docId,\\"text\\":\\"$text\\"}"""
+      s"""{"subject":"globex.crawl.docs","data":"$payload","metaTimestamp":"2024-01-15T$hhmm:00+00:00","streamSeq":$seq}"""
+    }
+    def run(): Unit = {
+      val envelopes = spark.readStream
+        .format("graft.sources.ReplayStreamProvider")
+        .option("path", backlog)
+        .option("maxRowsPerTrigger", 2)
+        .load()
+      // the exact Service --delta sink: append-mode parquet under the
+      // query's own checkpoint (verdict windows are final, exactly-once)
+      val q = graft.streaming.CorpusStream
+        .deltaDedupEnvelopes(spark, envelopes, base)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: an exact copy of base 0/2, a novel doc, and a payload with
+    // NO doc (streamSeq-fallback id, null text) — windows stay open
+    Files.writeString(Paths.get(backlog, "part-000.jsonl"),
+      Seq(env(1, 100, "the quick brown fox jumps over the lazy dog", "10:00"),
+        env(2, 101, "totally unrelated novel content in this words", "10:00"),
+        """{"subject":"globex.crawl.docs","data":"{}","metaTimestamp":"2024-01-15T10:00:00+00:00","streamSeq":7}""")
+        .mkString("\n") + "\n")
+    run()
+    // run 2 = RESTART from the checkpoint: doc 103 matches base 1 and
+    // its later event time flushes run 1's windows across the restart
+    Files.writeString(Paths.get(backlog, "part-001.jsonl"),
+      env(4, 103, "alpha beta gamma delta epsilon zeta eta theta", "10:05")
+        + "\n")
+    run()
+    // run 3: sentinel flushes doc 103's window
+    Files.writeString(Paths.get(backlog, "part-002.jsonl"),
+      env(5, 104, "flush sentinel advancing the watermark far on", "10:10")
+        + "\n")
+    run()
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(4)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    assert(got(100L) === ((2L, Some(0L), true)),
+      s"doc 100 must match bases 0 and 2 across the restart: $got")
+    assert(got(101L) === ((0L, None, false)))
+    assert(got(7L) === ((0L, None, false)),
+      "the no-doc envelope must still get a streamSeq-keyed verdict")
+    assert(got(103L) === ((1L, Some(1L), true)),
+      s"post-restart doc must match against the rebuilt base index: $got")
+  }
 }
 
 /** Document row for the streaming-dedup spec. */

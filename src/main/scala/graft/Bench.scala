@@ -18,16 +18,47 @@ object Bench {
     // while writing nothing.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // --shared: EMBEDDING-SESSION mode — run the named queries once
+    // each, in order, WITHOUT per-query cache release, measuring the
+    // materialize-once deployment stance (Dedup.pairTable: the first
+    // consumer pays for the LSH pair build, the rest read it). Emits
+    // metric "shared_session" so the number can never be confused with
+    // the standalone battery, which releases caches between timed runs
+    // and charges every query its own build (the honesty rule). Default
+    // set = the composed-dedup trio behind the seam.
+    val sharedMode = args.contains("--shared")
+    val qargs = args.filterNot(_ == "--shared")
     // Optional args restrict the run to the named queries (iteration aid);
     // unknown names fail fast instead of silently measuring nothing.
-    val unknown = args.filterNot(SparkEntry.queries.contains)
+    val unknown = qargs.filterNot(SparkEntry.queries.contains)
     if (unknown.nonEmpty) {
       System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      if (qargs.nonEmpty) SparkEntry.queries.filter(kv => qargs.contains(kv._1))
       else SparkEntry.queries
+    if (sharedMode) {
+      val names =
+        if (qargs.nonEmpty) qargs.toSeq
+        else Seq("x99_lsh_recall", "x101_dup_components",
+          "x102_canonical_keep")
+      // JIT/codegen warmup on the first query, caches released — the
+      // timed pass still pays the pair build exactly once (first query)
+      try run(SparkEntry.queries(names.head)) catch { case _: Throwable => }
+      util.OperatorCaches.release(spark)
+      val timed = names.map { n =>
+        val t0 = System.nanoTime()
+        run(SparkEntry.queries(n))
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+      util.OperatorCaches.release(spark)
+      val qsJson = timed.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"shared_session","value":${timed.map(_._2).sum},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     // FAIL LOUDLY. Round 7 shipped a 15-query outage as "total 89 s, rc=0"
     // because every exception here was swallowed: a query that throws was
     // recorded as a ~0.06 s success. Every failure now lands in the

@@ -188,6 +188,24 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshFrom(shingleTable(spark, sfDir))
 
+  /** The VERIFIED near-dup PAIR RELATION — [[minhashLsh]]'s (doc_a,
+    * doc_b) output materialized once per batch ([[OperatorCaches]]) and
+    * shared by every downstream dedup consumer: the component solve
+    * ([[dupComponents]] → [[canonicalKeep]]) and the recall eval
+    * ([[lshRecallEval]]). This is x103's deployment stance ("production
+    * materializes the base index once per corpus compaction") applied
+    * to the pair table: within one session the trio pays for ONE LSH
+    * build — band join + fingerprint verify — instead of three. The
+    * bench still charges each query its own standalone cost (it
+    * releases operator caches between timed runs); an embedding session
+    * that runs the trio back-to-back gets the shared build for free,
+    * and `graft.Bench --shared` measures exactly that. */
+  def pairTable(spark: SparkSession, sfDir: String): DataFrame =
+    OperatorCaches.memoized(spark, s"dedup.pairTable:$sfDir") {
+      OperatorCaches.persist(
+        minhashLsh(spark, sfDir).select("doc_a", "doc_b"))
+    }
+
   /** [[minhashLsh]] over an arbitrary persisted (doc_id, sh) relation —
     * the testable core (the skew spec drives it with a mass-duplicated
     * fixture to prove the bucket cap engages).
@@ -886,11 +904,14 @@ object Dedup {
   def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE corpus scan + shingle build (and one cache), shared by the
     // exact-truth side and the LSH side — the two pipelines diverge
-    // only after the (doc_id, sh) relation
+    // only after the (doc_id, sh) relation. The predicted side is the
+    // session-shared [[pairTable]] materialization (its internal
+    // shingleTable call resolves to the SAME cached plan as `sh`), so
+    // a session that already ran x101/x102 reuses their pair build.
     val sh = shingleTable(spark, sfDir)
     lshRecallFrom(
       ngramJaccardFromSh(sh).select("doc_a", "doc_b", "jaccard"),
-      minhashLshFrom(sh).select("doc_a", "doc_b"))
+      pairTable(spark, sfDir))
   }
 
   /** [[lshRecallEval]]'s eval core over arbitrary truth
@@ -948,12 +969,20 @@ object Dedup {
     * closure. Docs in no pair (including null-text docs) are singleton
     * components labeled by themselves. */
   def dupComponents(spark: SparkSession, sfDir: String): DataFrame =
-    ccFrom(
-      Tables.documentsParallel(spark, sfDir).select(col("doc_id")),
-      // doc_a < doc_b by x2's construction → (u, v) = (doc_b, doc_a)
-      // is already in canonical larger-first orientation
-      minhashLsh(spark, sfDir)
-        .select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // memoized like [[pairTable]], and for a stronger reason: the star
+    // loop's rounds are CHECKPOINTED RDDs — fresh blocks every
+    // invocation that no plan matcher can unify — so without the memo a
+    // same-session consumer (x102's keep policy) re-pays the whole
+    // solve, not just the pair build
+    OperatorCaches.memoized(spark, s"dedup.dupComponents:$sfDir") {
+      ccFrom(
+        Tables.documentsParallel(spark, sfDir).select(col("doc_id")),
+        // doc_a < doc_b by x2's construction → (u, v) = (doc_b, doc_a)
+        // is already in canonical larger-first orientation; the pair
+        // relation is the session-shared [[pairTable]] materialization
+        pairTable(spark, sfDir)
+          .select(col("doc_b").as("u"), col("doc_a").as("v")))
+    }
 
   /** Large-star: connect every strictly-larger neighbor of u to
     * min(Γ(u) ∪ {u}). Input/output edges canonical (u > v). */

@@ -33,6 +33,32 @@ object OperatorCaches {
   private val handles =
     mutable.Map.empty[SparkSession, mutable.ArrayBuffer[Dataset[_]]]
 
+  private val memos =
+    mutable.Map.empty[SparkSession, mutable.Map[String, DataFrame]]
+
+  /** Session-scoped MEMO for operator seams whose materialization the
+    * CacheManager cannot match by plan — e.g. a checkpointed iterative
+    * result ([[graft.operators.Dedup.dupComponents]]'s star rounds are
+    * fresh RDDs every invocation, so two calls build equal answers the
+    * plan matcher can never unify). The first call under a key runs
+    * `build` (which may execute jobs eagerly) and every later call in
+    * the same session returns the SAME DataFrame — cleared by
+    * [[release]], so per-query standalone measurement (Bench/Verify,
+    * which release between runs) still charges every query its own
+    * build. `build` runs outside the lock (it may run Spark jobs); two
+    * racing first-callers may both build, and one result wins. */
+  def memoized(spark: SparkSession, key: String)(build: => DataFrame)
+      : DataFrame =
+    synchronized(memos.get(spark).flatMap(_.get(key))) match {
+      case Some(df) => df
+      case None =>
+        val df = build
+        synchronized {
+          memos.getOrElseUpdate(spark, mutable.Map.empty)
+            .getOrElseUpdate(key, df)
+        }
+    }
+
   /** Persist `df` MEMORY_AND_DISK and record the handle for release. */
   def persist(df: DataFrame): DataFrame = synchronized {
     df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -46,12 +72,18 @@ object OperatorCaches {
   def release(spark: SparkSession, blocking: Boolean = false): Unit =
     synchronized {
       handles.remove(spark).foreach(_.foreach(_.unpersist(blocking)))
+      // memoized seams die with the caches they reference; their
+      // checkpointed blocks are reclaimed by the ContextCleaner once
+      // the dropped DataFrames become unreachable
+      memos.remove(spark)
+      ()
     }
 
   /** [[release]] for every session with registered handles. */
   def releaseAll(blocking: Boolean = false): Unit = synchronized {
     handles.valuesIterator.foreach(_.foreach(_.unpersist(blocking)))
     handles.clear()
+    memos.clear()
   }
 
   /** Number of currently-registered cache handles (test/monitoring aid). */

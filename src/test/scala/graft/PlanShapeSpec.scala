@@ -209,6 +209,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pairTable/dupComponents memo: one build per session (same handle " +
+      "back — the x99/x101/x102 shared seam), a fresh build after release") {
+    import graft.util.OperatorCaches
+    var builds = 0
+    def build() = OperatorCaches.memoized(spark, "memo-spec-key") {
+      builds += 1
+      spark.range(3).toDF("id")
+    }
+    val first = build()
+    assert((build() eq first) && builds === 1,
+      "memoized must return the same handle without rebuilding")
+    // the operator seams ride the same registry: same-session consumers
+    // (x102 after x101, x99 after either) get the SAME relation —
+    // dupComponents' checkpointed star rounds run once, not per query
+    val p1 = Dedup.pairTable(spark, Sf)
+    assert(Dedup.pairTable(spark, Sf) eq p1)
+    val c1 = Dedup.dupComponents(spark, Sf)
+    assert(Dedup.dupComponents(spark, Sf) eq c1)
+    OperatorCaches.release(spark)
+    // release clears the memo with the caches: standalone measurement
+    // (Bench/Verify release between runs) charges every query its build
+    assert(build() ne first)
+    assert(builds === 2)
+    assert(Dedup.pairTable(spark, Sf) ne p1)
+    OperatorCaches.release(spark)
+  }
+
   test("skew guards: the band-bucket cap (x2) and shingle-DF cut (x3) " +
       "suppress a mass-duplicated group, keep under-cap groups intact") {
     import spark.implicits._

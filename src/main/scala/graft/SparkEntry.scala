@@ -218,7 +218,9 @@ object SparkEntry {
     // composition, watermark eliminated; StreamingSpec drives the
     // online side) — same oracle as x103 by construction
     "x104_stream_delta_dedup" ->
-      (graft.streaming.CorpusStream.deltaDedupBatch _)
+      (graft.streaming.CorpusStream.deltaDedupBatch _),
+    "x105_ivfpq_topk" -> (ProductQuantization.ivfPqTopK _),
+    "x106_ivfpq_recall" -> (ProductQuantization.ivfPqRecall _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -577,6 +579,46 @@ object SparkEntry {
     s""", knc AS (SELECT GREATEST($k, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
        |c0 AS (SELECT vec_id AS cid, u AS cu FROM unit_t, knc WHERE vec_id < knc.k),
        |${blocks.mkString(",\n")}
+       |""".stripMargin
+  }
+
+  /** DuckDB fragment shared by x105/x106: the full IVF-PQ (IVFADC)
+    * pipeline — mirrors [[graft.operators.ProductQuantization.ivfPqTopK]].
+    * Composes [[kmeansCte]] (trained centroids), [[quantizedRankedSql]]
+    * (cell routing: crn=1 assignment, crn≤2 probe list for the harness
+    * queries), and [[pqCte]] (codes + codebook); per-query LUTs in
+    * (sub, code) order, the ADC fold over probed cells' codes only, and
+    * the (adc DESC, neighbor_id) rank. Emits
+    * `ipq(query_id, neighbor_id, cell, adc, rank)`. Requires
+    * [[unitCte]] prefixed. */
+  private val ivfPqCte: String = {
+    val m = graft.operators.ProductQuantization.NumSubspaces
+    val k = graft.operators.ProductQuantization.CodebookSize
+    kmeansCte + pqCte +
+    s""", cents AS (SELECT cid, cu FROM c${graft.operators.Similarity.KmeansIters}),
+       |${quantizedRankedSql("cents")},
+       |pqassign AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn = 1),
+       |cw AS (SELECT vec_id, array_agg(code ORDER BY sub) AS codes
+       |  FROM enc WHERE rn = 1 GROUP BY 1),
+       |pqcodes AS (SELECT cw.vec_id, a.cell, cw.codes
+       |  FROM cw JOIN pqassign a USING (vec_id)),
+       |pqprobes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+       |  WHERE crn <= 2 AND vec_id < 10),
+       |pqqs AS (SELECT vec_id AS query_id, sub, svec AS qsub
+       |  FROM sv WHERE vec_id < 10),
+       |pqlutr AS (SELECT query_id, sub, code,
+       |    ${dotUnitSql("qsub", "cvec")} AS lv
+       |  FROM pqqs JOIN cb USING (sub)),
+       |pqluta AS (SELECT query_id, array_agg(lv ORDER BY sub, code) AS lut
+       |  FROM pqlutr GROUP BY 1),
+       |pqp AS (SELECT pr.query_id, c.vec_id AS neighbor_id, c.cell,
+       |    list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(0, $m),
+       |      mm -> lut[mm * $k + codes[mm + 1] + 1]), (x, y) -> x + y) AS adc
+       |  FROM pqprobes pr JOIN pqcodes c ON c.cell = pr.cell
+       |    JOIN pqluta l ON l.query_id = pr.query_id
+       |  WHERE pr.query_id <> c.vec_id),
+       |ipq AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc DESC, neighbor_id) AS rank FROM pqp)
        |""".stripMargin
   }
 
@@ -3561,6 +3603,40 @@ object SparkEntry {
     // 0.02 floor, best match by (jaccard desc, base_id asc).
     "x103_delta_dedup" -> deltaDedupSql,
     "x104_stream_delta_dedup" -> deltaDedupSql,
+
+    // Mirrors ProductQuantization.ivfPqTopK: Lloyd-trained √(N/8) cells
+    // (kmeansCte) routed by the two-level quantized ranking, PQ codes
+    // (pqCte) joined with the crn=1 cell assignment, probe list crn<=2
+    // for the harness queries, per-query (sub, code)-ordered LUTs, ADC
+    // restricted to probed cells, rank by (adc DESC, neighbor_id).
+    "x105_ivfpq_topk" -> (unitCte + ivfPqCte +
+      s"""SELECT query_id, neighbor_id, cell, adc, rank FROM ipq
+         |WHERE rank <= ${graft.operators.ProductQuantization.TopK}
+         |ORDER BY query_id, rank""".stripMargin),
+
+    // Mirrors ProductQuantization.ivfPqRecall: x58's recall@k shape with
+    // the IVF-PQ ranking as the approximate side — exact integers only.
+    "x106_ivfpq_recall" -> (unitCte + ivfPqCte + {
+      val k = graft.operators.Similarity.RecallK
+      s""", bq AS (SELECT vec_id AS query_id, u AS qu FROM unit_t WHERE vec_id < 10),
+         |bc AS (SELECT vec_id AS neighbor_id, u AS nu FROM unit_t),
+         |bep AS (
+         |  SELECT query_id, neighbor_id, ${dotUnitSql("qu", "nu")} AS cos
+         |  FROM bq, bc WHERE query_id <> neighbor_id),
+         |ber AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM bep),
+         |exactk AS (SELECT query_id, neighbor_id FROM ber WHERE rank <= $k),
+         |pqk AS (SELECT query_id, neighbor_id FROM ipq WHERE rank <= $k),
+         |h AS (SELECT e.query_id, COUNT(*) AS n_hits
+         |      FROM exactk e JOIN pqk i
+         |        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |      GROUP BY 1),
+         |ex AS (SELECT query_id, COUNT(*) AS n_exact FROM exactk GROUP BY 1)
+         |SELECT ex.query_id, ex.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+         |  COALESCE(h.n_hits, 0) * 1000000 // $k AS recall_ppm
+         |FROM ex LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+    }),
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

@@ -19,9 +19,10 @@ import graft.util.OperatorCaches
   * [[NumSubspaces]] lookups in a per-query table of
   * [[NumSubspaces]]·[[CodebookSize]] precomputed dot products
   * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
-  * Search", TPAMI 2011 — the IVFADC scan minus the IVF cell routing,
-  * which [[Similarity.ivfTopK]] demonstrates separately and composes
-  * orthogonally).
+  * Search", TPAMI 2011 — [[adcTopK]] is the ADC scan alone, and
+  * [[ivfPqTopK]] is the full IVFADC: trained-cell routing
+  * ([[Similarity.ivfTopKTrained]]) with the ADC scan restricted to the
+  * probed cells).
   *
   * Scale shape:
   *  - the codebook is [[NumSubspaces]]·[[CodebookSize]] = 128 rows — a
@@ -105,25 +106,21 @@ object ProductQuantization {
     encodeFrom(Similarity.normalized(spark, sfDir))
       .orderBy("vec_id", "sub")
 
-  /** x47: ADC top-k. See the object doc for the scan shape. */
-  def adcTopK(spark: SparkSession, sfDir: String): DataFrame =
-    adcTopK(spark, sfDir, None)
-
-  def adcTopK(spark: SparkSession, sfDir: String,
-              querySet: Option[DataFrame]): DataFrame = {
-    val e = Similarity.normalized(spark, sfDir)
-    // per-vector code word: (vec_id, codes[M]) ordered by subspace.
-    // Persisted: at scale this relation is read from the stored index;
-    // here both the build and any re-read share one materialization.
-    val codes = OperatorCaches.persist(encodeFrom(e)
+  /** Per-vector code word: (vec_id, codes[M]) ordered by subspace — the
+    * stored-index artifact both ADC scans read. */
+  private def codeWords(e: DataFrame): DataFrame =
+    encodeFrom(e)
       .groupBy("vec_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code").cast("int")).as("codes")))
-    // per-query LUT: lut[sub*K + code + 1] = <query subvector, codebook
-    // entry> — M·K bounded rows per query, assembled in (sub, code) order
-    val q = Similarity.queryRows(e, querySet)
-    val lut = subspaces(q)
+        x => x.getField("code").cast("int")).as("codes"))
+
+  /** Per-query LUT: lut[sub*K + code + 1] = <query subvector, codebook
+    * entry> — M·K bounded rows per query, assembled in (sub, code)
+    * order. */
+  private def queryLuts(e: DataFrame,
+      querySet: Option[DataFrame]): DataFrame =
+    subspaces(Similarity.queryRows(e, querySet))
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(codebook(e)), "sub")
       .withColumn("lv", dot(col("svec"), col("cvec")))
@@ -131,14 +128,31 @@ object ProductQuantization {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("lv")))),
         x => x.getField("lv")).as("lut"))
+
+  /** The ADC score: M array lookups summed by a sequential fold in
+    * subspace order (bit-identical to the oracle's `list_reduce`).
+    * Requires `lut` and `codes` columns in scope. */
+  private def adcScore: Column = expr(
+    s"aggregate(sequence(0, ${NumSubspaces - 1}), cast(0 as double), " +
+    s"(acc, m) -> acc + element_at(lut, " +
+    s"m * $CodebookSize + element_at(codes, m + 1) + 1))")
+
+  /** x47: ADC top-k. See the object doc for the scan shape. */
+  def adcTopK(spark: SparkSession, sfDir: String): DataFrame =
+    adcTopK(spark, sfDir, None)
+
+  def adcTopK(spark: SparkSession, sfDir: String,
+              querySet: Option[DataFrame]): DataFrame = {
+    val e = Similarity.normalized(spark, sfDir)
+    // Persisted: at scale this relation is read from the stored index;
+    // here both the build and any re-read share one materialization.
+    val codes = OperatorCaches.persist(codeWords(e))
     // ADC scan: one pass over the codes relation, M lookups per pair,
     // sequential fold over subspaces (bit-identical to the oracle's)
     val topk = udaf(new TopKByScore(TopK), ExpressionEncoder[Neighbor]())
-    broadcast(lut).join(codes, col("query_id") =!= col("vec_id"))
-      .withColumn("adc", expr(
-        s"aggregate(sequence(0, ${NumSubspaces - 1}), cast(0 as double), " +
-        s"(acc, m) -> acc + element_at(lut, " +
-        s"m * $CodebookSize + element_at(codes, m + 1) + 1))"))
+    broadcast(queryLuts(e, querySet))
+      .join(codes, col("query_id") =!= col("vec_id"))
+      .withColumn("adc", adcScore)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
       .groupBy("query_id")
       .agg(topk(col("adc"), col("neighbor_id"), lit(0)).as("nbs"))
@@ -146,5 +160,104 @@ object ProductQuantization {
       .select(col("query_id"), col("nb.neighbor_id").as("neighbor_id"),
         col("nb.cos").as("adc"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** x105: TRUE IVF-PQ (IVFADC) — the memory-bound index every
+    * production ANN system at 100 TB actually runs, and the capstone of
+    * this family: [[Similarity.ivfTopKTrained]]'s TRAINED √(N/8)-curve
+    * cells route each query to its nprobe nearest cells, and WITHIN the
+    * probed cells the scan is [[adcTopK]]'s asymmetric distance over PQ
+    * CODES — no float corpus vector is touched after the one-time
+    * encode (Jégou et al., TPAMI 2011, the full IVFADC; x47 is the ADC
+    * scan alone, x34 the routing alone).
+    *
+    * Composition (each piece already oracle-gated on its own):
+    *  - Lloyd-trained centroids ([[Similarity.kmeansTrain]], K on the
+    *    √(N/8) curve) + the two-level quantized ranking assign every
+    *    vector to its cell (crn = 1) and give each query its
+    *    nprobe-cell probe list;
+    *  - the PQ encode ([[pqEncode]]) compresses the corpus to M codes
+    *    per vector, joined with the cell assignment into the stored
+    *    index relation (vec_id, cell, codes[M]);
+    *  - per-query LUTs (M·K dots against the bounded codebook) join the
+    *    probe list into one broadcast-able (query, cell, lut) relation
+    *    — ≤ |queries|·nprobe rows;
+    *  - ONE hash join on the CELL key restricts the ADC scan to probed
+    *    cells' codes; top-k is the bounded-heap partial aggregate.
+    *
+    * Scale shape: the cell id is the partition key of the stored codes
+    * relation, so each query reads nprobe·N/K ∝ √N candidate CODE words
+    * (8 B each) instead of the corpus — the probe-volume curve measured
+    * for x34 (BASELINE.md round-10: ~2.5k candidates/query at sf10 vs
+    * 25k under fixed K) now over rows 64× narrower. No NLJ touches a
+    * corpus-sized relation: the only broadcasts are the codebook
+    * (M·K = 128 rows), the query LUT table, and the trainer's bounded
+    * centroid relations.
+    *
+    * Determinism: training, routing, encoding, LUTs, the ADC fold, and
+    * the (adc DESC, id) tie-break are each the bit-exact constructions
+    * of their parent operators, so the whole composition stays
+    * hash-exact against the oracle's identical derivation. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopK(spark, sfDir, None)
+
+  def ivfPqTopK(spark: SparkSession, sfDir: String,
+                querySet: Option[DataFrame]): DataFrame = {
+    val e = Similarity.normalized(spark, sfDir)
+    val ranked = OperatorCaches.persist(
+      Similarity.quantizedRanking(e,
+        Similarity.trainedCentroids(spark, sfDir)))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // the stored IVF-PQ index: cell-keyed PQ code words
+    val codes = OperatorCaches.persist(codeWords(e).join(assign, "vec_id"))
+    val probes = ranked
+      .join(broadcast(Similarity.queryRows(e, querySet).select("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .filter(col("crn") <= Similarity.NumProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    // (query, probed cell, lut): ≤ |queries|·nprobe rows — the bounded
+    // broadcast that makes the cell join one corpus-free hash probe
+    val qtab = probes.join(queryLuts(e, querySet), "query_id")
+    val topk = udaf(new TopKByScore(TopK), ExpressionEncoder[Neighbor]())
+    broadcast(qtab).join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc", adcScore)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("adc"))
+      .groupBy("query_id")
+      .agg(topk(col("adc"), col("neighbor_id"),
+        col("cell").cast("int")).as("nbs"))
+      .select(col("query_id"), posexplode(col("nbs")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.neighbor_id").as("neighbor_id"),
+        col("nb.label").cast("long").as("cell"), col("nb.cos").as("adc"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x106: IVF-PQ recall@k against the exact brute-force ranking — the
+    * x58 evaluation applied to [[ivfPqTopK]], closing the loop on the
+    * capstone index: both the routing loss (a true neighbor in an
+    * unprobed cell) and the quantization loss (ADC misranking inside a
+    * probed cell) land in one per-query `recall_ppm`. Same scale shape
+    * as x58: past the two scans under evaluation everything is
+    * |queries|·k-sized; the ppm arithmetic is exact integers, so the
+    * gate stays hash-exact. */
+  def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = Similarity.RecallK
+    val exact = Similarity.bruteForceTopK(spark, sfDir)
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val approx = ivfPqTopK(spark, sfDir)
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $k"))
+      .select("query_id", "n_exact", "n_hits", "recall_ppm")
+      .orderBy("query_id")
   }
 }

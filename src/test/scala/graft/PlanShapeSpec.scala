@@ -1014,6 +1014,55 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("x105 IVF-PQ: the ADC scan reaches the codes through a broadcast " +
+      "hash join on the CELL key with the bounded query/LUT table as the " +
+      "build side (the corpus codes stream), no cartesian, every NLJ " +
+      "build aggregate-backed") {
+    val p105 = withoutAqe {
+      graft.operators.ProductQuantization.ivfPqTopK(spark, Sf)
+        .queryExecution.executedPlan
+    }
+    assert(!p105.toString.contains("CartesianProduct"),
+      s"cartesian in x105:\n$p105")
+    // the probed-cell restriction: a broadcast hash join keyed on cell
+    // alone, with the |queries|·nprobe LUT table built (not the corpus)
+    val cellJoins = p105.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.toSet == Set("cell") => j
+    }
+    assert(cellJoins.nonEmpty, s"no broadcast cell join in x105:\n$p105")
+    cellJoins.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      // the build side is the query-bounded LUT assembly (its
+      // collect_list aggregate), never the cell-keyed corpus codes
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(
+            _.aggregateFunction.prettyName == "collect_list") => a
+      }.isDefined, s"x105 cell-join build side is not the LUT table:\n$build")
+    }
+    // the only NLJ shapes are the bounded one-row-aggregate crossJoins
+    // (centroid counts / cell-curve derivations)
+    p105.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x105 NLJ build is not aggregate-backed:\n$build")
+    }
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

@@ -98,4 +98,91 @@ class ProductQuantizationSpec extends SparkSpec {
       default.filter(col("query_id") === 3L).collect().toSeq)
     OperatorCaches.release(spark)
   }
+
+  test("ivf-pq top-k: every neighbor comes from a probed cell and is " +
+      "ranked by the exact ADC score (recomputed independently from the " +
+      "public encode table); ranks are consecutive with the (adc desc, " +
+      "id) tiebreak") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val out = ProductQuantization.ivfPqTopK(spark, Sf).collect()
+    // routing truth from the same (already spec'd and oracle-gated)
+    // two-level ranking the operator composes
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val ranked = Similarity.ivfTopKTrained(spark, Sf)
+    // probe/assignment facts come from x34's own gated output: a
+    // returned (query, neighbor, cell) must agree with x34's cell for
+    // that neighbor (crn=1 assignment is shared by construction)
+    val x34cells = ranked.select("neighbor_id", "cell").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (q, nb, cell) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      x34cells.get(nb).foreach(c =>
+        assert(c === cell, s"cell disagrees with x34's assignment: $r"))
+      assert(q < 10 && q != nb)
+    }
+    // per-query rank structure
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val better = a.getDouble(3) > b.getDouble(3) ||
+            (a.getDouble(3) == b.getDouble(3) && a.getLong(1) < b.getLong(1))
+          assert(better, s"rank order violated for query $q: $a vs $b")
+        case _ => ()
+      }
+    }
+    // ADC recomputation from the PUBLIC encode table + a driver-side
+    // LUT over the raw embeddings (unit-normalized the same way):
+    // exact equality — both are the same per-subspace sums
+    val enc = ProductQuantization.pqEncode(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toInt) }
+    val raw = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def unit(v: Array[Float]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      v.map(_.toDouble / n)
+    }
+    val us = raw.map { case (id, v) => id -> unit(v) }
+    val sd = SubDim
+    def lutVal(q: Long, sub: Int, code: Int): Double = {
+      val qu = us(q); val cu = us(code.toLong)
+      var s = 0.0; var i = 0
+      while (i < sd) { s += qu(sub * sd + i) * cu(sub * sd + i); i += 1 }
+      s
+    }
+    out.foreach { r =>
+      val (q, nb, adc) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val model = enc(nb).zipWithIndex
+        .foldLeft(0.0) { case (acc, (code, sub)) => acc + lutVal(q, sub, code) }
+      assert(java.lang.Double.doubleToLongBits(adc) ===
+        java.lang.Double.doubleToLongBits(model), s"adc mismatch: $r")
+    }
+    OperatorCaches.release(spark)
+  }
+
+  test("ivf-pq recall eval: recall_ppm equals the driver-side " +
+      "intersection of the brute-force and IVF-PQ top-k outputs") {
+    import graft.operators.Similarity
+    val k = Similarity.RecallK
+    def topSets(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(_.getLong(rows.head.length - 1) <= k) // rank column is last
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(spark, Sf).collect())
+    val approx = topSets(ProductQuantization.ivfPqTopK(spark, Sf).collect())
+    val got = ProductQuantization.ivfPqRecall(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    exact.foreach { case (q, ex) =>
+      val hits = ex.intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(got(q) === ((ex.size.toLong, hits, hits * 1000000L / k)),
+        s"recall row disagrees for query $q: ${got(q)}")
+    }
+    assert(got.keySet === exact.keySet)
+    OperatorCaches.release(spark)
+  }
 }

@@ -421,6 +421,37 @@ object SparkEntry {
     s"list_transform(string_split($col, ''), c -> CAST(ascii(c) AS BIGINT)), " +
     "(a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** DuckDB fragment: the media BLOB's byte stream — mirrors
+    * [[graft.operators.Multimodal.blobOf]] in the HEX domain (DuckDB has
+    * no BLOB indexing/md5): `hx` = the per-type container magic ++
+    * `hex(encode(text))` (uppercase on both engines), `n` = the blob's
+    * byte length, `vals` = the unsigned byte values parsed from the hex
+    * pairs. `where` filters the documents scan ('' = all docs). Emits
+    * `bb(doc_id, hx, n, vals)`. */
+  private def blobBytesCte(where: String): String = {
+    val m = graft.operators.Multimodal.MagicHex
+    s"""hx0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN '${m("image")}'
+       |         WHEN doc_id % 3 = 1 THEN '${m("audio")}'
+       |         ELSE '${m("video")}' END || hex(encode(text)) AS hx
+       |  FROM documents $where),
+       |bb AS (
+       |  SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS n,
+       |    list_transform(range(1, length(hx) // 2 + 1), i ->
+       |      CAST((strpos('0123456789ABCDEF', hx[2*i-1:2*i-1]) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', hx[2*i:2*i]) - 1) AS BIGINT))
+       |      AS vals
+       |  FROM hx0)""".stripMargin
+  }
+
+  /** DuckDB expression: [[graft.expressions.PolyHash]] over a BIGINT
+    * byte-value list (the BINARY-input flavor — same fold as
+    * [[polyhashSql]] but over parsed blob bytes instead of characters). */
+  private def bytePolySql(vals: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || $vals, " +
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+
   /** DuckDB expression: Σ aᵢ·bᵢ as the same sequential double left fold as
     * [[graft.functions.VectorFunctions.dot]] — bit-identical IEEE result. */
   private def dotSql(a: String, b: String): String =
@@ -1163,31 +1194,39 @@ object SparkEntry {
          |  FROM documents d JOIN sh ON sh.doc_id = d.doc_id)
          |SELECT doc_id, fp, fp_norm, fp_minhash FROM f ORDER BY doc_id""".stripMargin),
 
+    // Mirrors Multimodal.mediaMeta over the BLOB (magic + UTF-8 payload
+    // bytes — blobBytesCte); the digest is md5 of the uppercase hex form
+    // on both engines (DuckDB's md5 takes no BLOB).
     "x13_media_meta" ->
+      (s"WITH ${blobBytesCte("")}" +
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio'
         |       ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  (CAST(strlen(text) AS BIGINT) + 255) // 256 AS n_chunks,
-        |  md5(text) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  n AS n_bytes,
+        |  (n + 255) // 256 AS n_chunks,
+        |  md5(hx) AS content_hash
+        |FROM bb ORDER BY doc_id""".stripMargin),
 
+    // Mirrors Multimodal.decodeFeatures: FakeDecoder's checksum IS the
+    // byte polyhash of the blob (magic included), so width/height/
+    // feat_mean derive from the same fold both sides.
     "x14_media_decode" ->
-      s"""WITH m AS (
+      (s"WITH ${blobBytesCte("")}," +
+      s"""m AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0 THEN 'image'
          |         WHEN doc_id % 3 = 1 THEN 'audio'
          |         ELSE 'video' END AS media_type,
-         |    CAST(strlen(text) AS BIGINT) AS n_bytes,
-         |    ${polyhashSql("text")} AS checksum
-         |  FROM documents)
+         |    n AS n_bytes,
+         |    ${bytePolySql("vals")} AS checksum
+         |  FROM bb)
          |SELECT doc_id, media_type, n_bytes,
          |  CAST(16 + checksum % 624 AS INTEGER) AS width,
          |  CAST(16 + (checksum // 624) % 464 AS INTEGER) AS height,
          |  CAST(CASE WHEN media_type = 'video' THEN 1 + n_bytes % 120 ELSE 1 END AS INTEGER) AS n_frames,
          |  CAST(checksum % 10000 AS DOUBLE) / 10000.0 AS feat_mean
-         |FROM m ORDER BY doc_id""".stripMargin,
+         |FROM m ORDER BY doc_id""".stripMargin),
 
     "x15_asof_join" ->
       """WITH views AS (
@@ -1240,10 +1279,11 @@ object SparkEntry {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "x18_frame_sample" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-         |    ${polyhashSql("text")} AS checksum
-         |  FROM documents WHERE doc_id % 3 = 2),
+      (s"WITH ${blobBytesCte("WHERE doc_id % 3 = 2")}," +
+      s"""m AS (
+         |  SELECT doc_id, n AS n_bytes,
+         |    ${bytePolySql("vals")} AS checksum
+         |  FROM bb),
          |f AS (
          |  SELECT doc_id, n_bytes, checksum,
          |    CAST(1 + n_bytes % 120 AS INTEGER) AS n_frames
@@ -1253,7 +1293,7 @@ object SparkEntry {
          |  (n_bytes // CAST(n_frames AS BIGINT)) * u.i AS byte_offset,
          |  (checksum + u.i) % 1000000007 AS frame_sig
          |FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 8)) AS u(i)
-         |ORDER BY doc_id, frame_idx""".stripMargin,
+         |ORDER BY doc_id, frame_idx""".stripMargin),
 
     "x17_udaf_wavg" ->
       """SELECT l_returnflag,
@@ -1264,11 +1304,12 @@ object SparkEntry {
 
     // Mirrors Multimodal.resizePlan: integer letterbox fit to 224.
     "x24_media_resize" ->
-      s"""WITH m AS (
+      (s"WITH ${blobBytesCte("WHERE doc_id % 3 <> 1")}," +
+      s"""m AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type,
-         |    ${polyhashSql("text")} AS checksum
-         |  FROM documents WHERE doc_id % 3 <> 1),
+         |    ${bytePolySql("vals")} AS checksum
+         |  FROM bb),
          |d AS (
          |  SELECT doc_id, media_type,
          |    CAST(16 + checksum % 624 AS INTEGER) AS width,
@@ -1282,7 +1323,7 @@ object SparkEntry {
          |SELECT doc_id, media_type, width, height, out_w, out_h,
          |  224 - out_w AS pad_x, 224 - out_h AS pad_y,
          |  CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes
-         |FROM f ORDER BY doc_id""".stripMargin,
+         |FROM f ORDER BY doc_id""".stripMargin),
 
     // Mirrors Curation.trainSplit: content-hash buckets, 80/10/10.
     "x20_train_split" ->
@@ -3294,15 +3335,16 @@ object SparkEntry {
     // simhashCte device).
     "x95_media_dups" -> {
       val cap = graft.operators.Dedup.MaxBandBucket
-      s"""WITH md AS (
+      s"""WITH ${blobBytesCte("WHERE text IS NOT NULL")},
+         |md AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0 THEN 'image'
          |         WHEN doc_id % 3 = 1 THEN 'audio'
          |         ELSE 'video' END AS media_type,
-         |    string_split(text, '') AS cs, strlen(text) AS n
-         |  FROM documents WHERE text IS NOT NULL),
+         |    vals, n
+         |  FROM bb),
          |ch AS (
-         |  SELECT doc_id, n, ascii(cs[u.i]) AS v, ((u.i - 1) * 64) // n AS b
+         |  SELECT doc_id, n, vals[u.i] AS v, ((u.i - 1) * 64) // n AS b
          |  FROM md, unnest(range(1, n + 1)) AS u(i)),
          |tot AS (SELECT doc_id, SUM(v) AS total FROM ch GROUP BY 1),
          |bu AS (SELECT doc_id, b, SUM(v) AS s, COUNT(*) AS c
@@ -3345,25 +3387,22 @@ object SparkEntry {
          |ORDER BY asig.doc_id""".stripMargin
     },
 
-    // Mirrors Multimodal.videoFrameDups: fixed 32-char frame slices of
+    // Mirrors Multimodal.videoFrameDups: fixed 32-BYTE frame slices of
     // video blobs, per-frame aHash (the x95 bucketing per SLICE — frame
     // length L ≤ 32 keeps every bucket index ≤ 62, so no sign-bit
     // device is needed), DF-capped exact-hash pairing, integer
     // containment test 2m ≥ min(nd_a, nd_b).
     "x96_video_frame_dups" -> {
       val cap = graft.operators.Dedup.MaxBandBucket
-      val fs = graft.operators.Multimodal.FrameSliceChars
+      val fs = graft.operators.Multimodal.FrameSliceBytes
       val mm = graft.operators.Multimodal.MinFrameMatches
-      s"""WITH v AS (
-         |  SELECT doc_id, string_split(text, '') AS cs,
-         |    CAST(strlen(text) AS BIGINT) AS n
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND doc_id % 3 = 2 AND strlen(text) >= 1),
+      s"""WITH ${blobBytesCte("WHERE text IS NOT NULL AND doc_id % 3 = 2")},
+         |v AS (SELECT doc_id, vals, n FROM bb),
          |ch AS (
          |  SELECT doc_id, (u.i - 1) // $fs AS f,
          |    LEAST($fs, n - ((u.i - 1) // $fs) * $fs) AS L,
          |    (((u.i - 1) % $fs) * 64) // LEAST($fs, n - ((u.i - 1) // $fs) * $fs) AS b,
-         |    CAST(ascii(cs[u.i]) AS BIGINT) AS val
+         |    vals[u.i] AS val
          |  FROM v, unnest(range(1, n + 1)) AS u(i)),
          |ft AS (SELECT doc_id, f, MAX(L) AS L, SUM(val) AS total
          |       FROM ch GROUP BY 1, 2),
@@ -3405,25 +3444,23 @@ object SparkEntry {
 
     // Mirrors Multimodal.audioLandmarkDups: x87's CDC boundary rule →
     // chunk (start, len) relation, per-chunk polyhash landmarks
-    // (len ≥ MinLandmarkChars), DF-capped (lhash, len) bucket join with
+    // (len ≥ MinLandmarkBytes), DF-capped (lhash, len) bucket join with
     // an offset-delta vote histogram; pairs need >= LandmarkVotes votes
     // at ONE delta.
     "x97_audio_landmarks" -> {
       val w = graft.expressions.CdcChunks.Window
       val m = 1L << graft.expressions.CdcChunks.MaskBits
-      val minL = graft.operators.Multimodal.MinLandmarkChars
+      val minL = graft.operators.Multimodal.MinLandmarkBytes
       val votes = graft.operators.Multimodal.LandmarkVotes
       val cap = graft.operators.Dedup.MaxBandBucket
-      s"""WITH a AS (
-         |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND doc_id % 3 = 1 AND strlen(text) >= 1),
+      s"""WITH ${blobBytesCte("WHERE text IS NOT NULL AND doc_id % 3 = 1")},
+         |a AS (SELECT doc_id, vals, n FROM bb),
          |bd AS (
          |  SELECT doc_id, j
-         |  FROM (SELECT doc_id, text, n,
+         |  FROM (SELECT doc_id, vals, n,
          |          unnest(range($w, GREATEST(n, $w))) AS j
          |        FROM a)
-         |  WHERE ${polyhashSql(s"substring(text, CAST(j - ${w - 1} AS INTEGER), $w)")} % $m = 0),
+         |  WHERE ${bytePolySql(s"vals[CAST(j - ${w - 1} AS INTEGER):CAST(j AS INTEGER)]")} % $m = 0),
          |l AS (
          |  SELECT bd.doc_id, a.n, bd.j,
          |    COALESCE(lag(bd.j) OVER (PARTITION BY bd.doc_id ORDER BY bd.j), 0)
@@ -3441,7 +3478,7 @@ object SparkEntry {
          |lh AS (
          |  SELECT ck.doc_id, CAST(ck.start AS BIGINT) AS start,
          |    CAST(ck.len AS BIGINT) AS len,
-         |    ${polyhashSql("substring(a.text, CAST(ck.start + 1 AS INTEGER), CAST(ck.len AS INTEGER))")} AS lhash
+         |    ${bytePolySql("a.vals[CAST(ck.start + 1 AS INTEGER):CAST(ck.start + ck.len AS INTEGER)]")} AS lhash
          |  FROM ck JOIN a USING (doc_id)),
          |st AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,

@@ -3,26 +3,30 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit average-hash (aHash) perceptual fingerprint over a byte/char
+/** 64-bit average-hash (aHash) perceptual fingerprint over a BYTE
   * stream, as a whole-stage-codegen'd two-pass loop.
   *
   * The classical aHash decodes an image, shrinks it to an 8×8 grid, and
   * sets bit k iff cell k's mean intensity exceeds the global mean. Here
-  * the "decoded pixel stream" is the deterministic stub decode of
-  * [[graft.operators.Multimodal.FakeDecoder]] — the blob's own bytes (the
-  * corpus is ASCII, so UTF-16 code units ARE the bytes) — and the 8×8
-  * grid becomes 64 contiguous index buckets: position i of an n-char
-  * stream lands in bucket (i·64)/n (integer division — the same
-  * coordinate contraction a resize kernel performs). Bit k is set iff
-  * bucket k's mean exceeds the global mean, decided in exact integer
-  * arithmetic (`sum_k · n > total · count_k` — no float division, so the
-  * DuckDB oracle reproduces every bit; the products are compared in
-  * 128 bits via `Math.multiplyHigh`, since `total · count_k` exceeds
-  * Long for streams around ≥ 9·10⁷ chars and a silent Long wrap would
-  * diverge from the oracle's overflow-checked arithmetic).
+  * the "decoded pixel stream" is the blob's raw bytes (the deterministic
+  * stub decode of [[graft.operators.Multimodal.FakeDecoder]] — unsigned
+  * values 0..255, exactly a pixel channel's range), and the 8×8 grid
+  * becomes 64 contiguous index buckets: byte i of an n-byte stream lands
+  * in bucket (i·64)/n (integer division — the same coordinate
+  * contraction a resize kernel performs). Bit k is set iff bucket k's
+  * mean exceeds the global mean, decided in exact integer arithmetic
+  * (`sum_k · n > total · count_k` — no float division, so the DuckDB
+  * oracle reproduces every bit; the products are compared in 128 bits
+  * via `Math.multiplyHigh`, since `total · count_k` exceeds Long for
+  * streams around ≥ 9·10⁷ bytes and a silent Long wrap would diverge
+  * from the oracle's overflow-checked arithmetic).
+  * A STRING input hashes its UTF-8 BYTES (`UTF8String.getBytes` — the
+  * same bytes `encode(text)` yields in either engine), so there is no
+  * code-unit-vs-code-point question for any input: both engines always
+  * see the identical byte stream, ASCII or not.
   * Near-identical byte streams
   * (crops, pad/truncate edits, small splices) move few bucket means, so
   * they land within a small Hamming distance — the property
@@ -38,24 +42,28 @@ import org.apache.spark.unsafe.types.UTF8String
 case class AHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+      s"$prettyName requires a string or binary argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = LongType
 
   override def prettyName: String = "ahash64"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    val bytes = input match {
+      case b: Array[Byte] => b
+      case s => s.asInstanceOf[UTF8String].getBytes
+    }
+    val n = bytes.length
     if (n == 0) return 0L
     val sums = new Array[Long](64)
     val counts = new Array[Long](64)
     var total = 0L
     var i = 0
     while (i < n) {
-      val v = s.charAt(i).toLong
+      val v = (bytes(i) & 0xff).toLong
       val b = ((i.toLong * 64L) / n).toInt
       sums(b) += v
       counts(b) += 1L
@@ -73,7 +81,7 @@ case class AHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s")
+      val bts = ctx.freshName("bts")
       val n = ctx.freshName("n")
       val sums = ctx.freshName("sums")
       val counts = ctx.freshName("counts")
@@ -83,16 +91,19 @@ case class AHash64(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val k = ctx.freshName("k")
+      val get =
+        if (child.dataType == BinaryType) s"byte[] $bts = $c;"
+        else s"byte[] $bts = $c.getBytes();"
       s"""
-         |java.lang.String $s = $c.toString();
-         |int $n = $s.length();
+         |$get
+         |int $n = $bts.length;
          |long $h = 0L;
          |if ($n > 0) {
          |  long[] $sums = new long[64];
          |  long[] $counts = new long[64];
          |  long $total = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $v = (long) $s.charAt($i);
+         |    long $v = (long) ($bts[$i] & 0xff);
          |    int $b = (int) (((long) $i * 64L) / $n);
          |    $sums[$b] += $v;
          |    $counts[$b] += 1L;
@@ -112,7 +123,7 @@ case class AHash64(child: Expression) extends UnaryExpression {
 }
 
 object AHash64 {
-  /** 128-bit-exact `a·b > c·d` for NON-NEGATIVE longs (char sums and
+  /** 128-bit-exact `a·b > c·d` for NON-NEGATIVE longs (byte sums and
     * position counts are always ≥ 0 here). `Math.multiplyHigh` yields
     * the signed high word, which for non-negative operands equals the
     * unsigned high word, so (high, unsigned-low) lexicographic compare

@@ -33,6 +33,35 @@ object Multimodal {
       .when(docId % 3 === 1, "audio")
       .otherwise("video")
 
+  /** Per-type container MAGIC bytes (the real formats' signatures: PNG,
+    * ID3v2, MP4 `ftyp`) prepended to every payload by [[blobOf]]. Every
+    * blob therefore carries NON-ASCII bytes (0x89, 0x96, 0x00 runs), so
+    * the byte-level semantics of the media family ([[graft.expressions.AHash64]]/
+    * [[graft.expressions.PolyHash]]/[[graft.expressions.CdcChunks]] over
+    * BINARY) are exercised on EVERY corpus — including the driver's
+    * pure-ASCII one — rather than only when a payload happens to be
+    * non-ASCII. */
+  val MagicHex: Map[String, String] = Map(
+    "image" -> "89504E470D0A1A0A", // PNG signature
+    "audio" -> "494433960000",     // ID3v2-style header (raw 0x96 byte)
+    "video" -> "0000001866747970") // MP4 'ftyp' box prefix
+
+  /** The media BLOB column: typed container magic + the payload's UTF-8
+    * bytes (the deterministic stand-in for real media bytes — the
+    * driver's corpora carry no binary column, so the blob is DERIVED
+    * identically in both engines: Spark `unhex(magic) || encode(text)`,
+    * DuckDB `hex`-domain concatenation). Null text → null blob, like a
+    * row whose media object is missing. A lake table with a physical
+    * `blob BINARY` column drops in by replacing this derivation with
+    * the column — every consumer below reads bytes either way. */
+  private[graft] def blobOf(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      unhex(when(docId % 3 === 0, MagicHex("image"))
+        .when(docId % 3 === 1, MagicHex("audio"))
+        .otherwise(MagicHex("video"))),
+      encode(text, "UTF-8"))
+
   /** STUB decoder — deterministic fake standing in for the real codec. */
   object FakeDecoder {
     /** Pretend-decode a blob: dimensions and a feature statistic derived
@@ -48,20 +77,25 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from `documents` (text bytes standing in for
-    * media payloads — the schema is the point, not the pixels). */
+  /** Build a media table from `documents` ([[blobOf]]'s magic + payload
+    * bytes standing in for media blobs — the schema is the point, not
+    * the pixels). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documentsParallel(spark, sfDir)
       .select(
         col("doc_id"),
         mediaTypeOf(col("doc_id")).as("media_type"),
-        col("text").cast("binary").as("content"))
+        blobOf(col("doc_id"), col("text")).as("content"))
       .as[MediaRow]
   }
 
   /** Pure-SQL media metadata (byte size, 256-byte chunk count, content
-    * digest) — the part of the multimodal path that IS oracle-checkable. */
+    * digest) — the part of the multimodal path that IS oracle-checkable.
+    * The digest is md5 over the blob's HEX form: DuckDB's md5 takes no
+    * BLOB argument, and hashing the (identical, uppercase) hex string on
+    * both sides keeps the gate exact without a cast that would reject
+    * non-UTF-8 bytes. */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     mediaTable(spark, sfDir).toDF()
       .select(
@@ -69,25 +103,26 @@ object Multimodal {
         octet_length(col("content")).cast("long").as("n_bytes"),
         ((octet_length(col("content")) + 255) / 256).cast("long")
           .as("n_chunks"),
-        md5(col("content")).as("content_hash"))
+        md5(hex(col("content"))).as("content_hash"))
       .orderBy("doc_id")
 
   /** Frame sampling over video blobs: every `stride`-th frame with its
     * byte offset and a per-frame signature — the plan shape of a
     * frame-extraction pass (explode over a per-row frame range; no
     * shuffle). Frame count/signature come from the deterministic fake
-    * decode, so the whole operator is oracle-checkable.
-    *
-    * Caveat: the SQL-side checksum folds CHARACTERS ([[graft.functions.TextFunctions.polyHash]])
-    * while [[FakeDecoder]] folds raw bytes — identical only while the
-    * corpus is ASCII (it is; both oracles rely on it). */
+    * decode, so the whole operator is oracle-checkable. The checksum is
+    * [[graft.functions.TextFunctions.polyHash]] over the BLOB's bytes —
+    * exactly [[FakeDecoder.decode]]'s fold, for any payload (the old
+    * character fold matched it only while the corpus was ASCII). */
   def frameSample(spark: SparkSession, sfDir: String, stride: Int = 8): DataFrame = {
     import graft.functions.TextFunctions.polyHash
     Tables.documents(spark, sfDir)
       .filter(mediaTypeOf(col("doc_id")) === "video")
       .select(col("doc_id"),
-        octet_length(col("text")).cast("long").as("n_bytes"),
-        polyHash(col("text")).as("checksum"))
+        blobOf(col("doc_id"), col("text")).as("blob"))
+      .select(col("doc_id"),
+        octet_length(col("blob")).cast("long").as("n_bytes"),
+        polyHash(col("blob")).as("checksum"))
       .withColumn("n_frames",
         (lit(1) + col("n_bytes") % VideoFrameMod).cast("int"))
       .withColumn("bytes_per_frame",
@@ -113,7 +148,7 @@ object Multimodal {
     Tables.documents(spark, sfDir)
       .filter(mediaTypeOf(col("doc_id")) =!= "audio")
       .select(col("doc_id"), mediaTypeOf(col("doc_id")).as("media_type"),
-        polyHash(col("text")).as("checksum"))
+        polyHash(blobOf(col("doc_id"), col("text"))).as("checksum"))
       .withColumn("width", (lit(16) + col("checksum") % 624).cast("int"))
       .withColumn("height",
         (lit(16) + expr("(checksum div 624) % 464")).cast("int"))
@@ -192,13 +227,13 @@ object Multimodal {
     graft.util.OperatorCaches.persist(
       docs.filter(col("text").isNotNull)
         .select(col("doc_id"), mediaTypeOf(col("doc_id")).as("media_type"),
-          ahash64(col("text")).as("ahash")))
+          ahash64(blobOf(col("doc_id"), col("text"))).as("ahash")))
   }
 
   /** x96/x97 tuning constants — see the operators for semantics. */
-  val FrameSliceChars = 32
+  val FrameSliceBytes = 32
   val MinFrameMatches = 2
-  val MinLandmarkChars = 8
+  val MinLandmarkBytes = 8
   val LandmarkVotes = 2
 
   /** x96: VIDEO frame-level near-dup — the aligned-content counterpart
@@ -207,7 +242,7 @@ object Multimodal {
     * of their FRAMES even when the whole-file hash differs, so the
     * classical recipe fingerprints each frame and pairs videos whose
     * frame-signature SETS overlap. Here the stub decode's byte stream is
-    * sliced into fixed [[FrameSliceChars]]-char frames (the constant-
+    * sliced into fixed [[FrameSliceBytes]]-char frames (the constant-
     * bytes-per-frame layout of a fixed-resolution raw stream; a real
     * build feeds decoded frames into the same bucketing) and each slice
     * gets a perceptual [[graft.functions.TextFunctions.ahash64]] — exact
@@ -235,9 +270,9 @@ object Multimodal {
   def videoFrameDups(spark: SparkSession, sfDir: String): DataFrame =
     videoFrameDupsFrom(Tables.documentsParallel(spark, sfDir))
 
-  /** [[videoFrameDups]] over an arbitrary (doc_id, text) relation — the
-    * testable core (fixtures plant frame-aligned partial copies and a
-    * mass-common frame). */
+  /** [[videoFrameDups]] over an arbitrary (doc_id, text) relation
+    * (blob-ified by [[blobOf]]) — the testable core (fixtures plant
+    * frame-aligned partial copies and a mass-common frame). */
   private[graft] def videoFrameDupsFrom(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.ahash64
     // O(N·18)-narrow frame relation; read by the stats pass and both
@@ -245,14 +280,16 @@ object Multimodal {
     // mediaSignatures.
     val frames = graft.util.OperatorCaches.persist(
       docs.filter(col("text").isNotNull &&
-          mediaTypeOf(col("doc_id")) === "video" && length(col("text")) >= 1)
-        .select(col("doc_id"), col("text"),
+          mediaTypeOf(col("doc_id")) === "video")
+        .select(col("doc_id"),
+          blobOf(col("doc_id"), col("text")).as("blob"))
+        .select(col("doc_id"), col("blob"),
           explode(expr(s"sequence(bigint(0)," +
-            s" bigint((length(text) - 1) div $FrameSliceChars))"))
+            s" bigint((octet_length(blob) - 1) div $FrameSliceBytes))"))
             .as("frame_idx"))
         .select(col("doc_id"), ahash64(expr(
-          s"substring(text, cast(frame_idx * $FrameSliceChars + 1 as int)," +
-            s" $FrameSliceChars)")).as("fh")))
+          s"substring(blob, cast(frame_idx * $FrameSliceBytes + 1 as int)," +
+            s" $FrameSliceBytes)")).as("fh")))
     val stats = frames.groupBy("doc_id").agg(
       count(lit(1)).as("n_frames"),
       count_distinct(col("fh")).as("n_distinct_frames"),
@@ -292,7 +329,7 @@ object Multimodal {
     * [[graft.expressions.CdcChunks]] (x87's oracle-mirrored cut rule —
     * boundaries move with content, so a prefix insertion shifts all
     * downstream chunk STARTS by a constant but preserves their content
-    * and hashes), each chunk of length ≥ [[MinLandmarkChars]]
+    * and hashes), each chunk of length ≥ [[MinLandmarkBytes]]
     * fingerprinted by the chunk text's [[graft.functions.TextFunctions.polyHash]].
     * Two blobs match iff ≥ [[LandmarkVotes]] landmark pairs agree on ONE
     * offset delta (`start_a − start_b`) — the vote histogram is what
@@ -319,10 +356,10 @@ object Multimodal {
     val lm = audioLandmarkChunks(docs)
     val stats = lm.groupBy("doc_id").agg(
       count(lit(1)).as("n_chunks"),
-      count(when(col("len") >= MinLandmarkChars, 1)).as("n_landmarks"),
-      coalesce(sum(when(col("len") >= MinLandmarkChars, col("lhash"))),
+      count(when(col("len") >= MinLandmarkBytes, 1)).as("n_landmarks"),
+      coalesce(sum(when(col("len") >= MinLandmarkBytes, col("lhash"))),
         lit(0L)).as("lm_digest"))
-    val marks = lm.filter(col("len") >= MinLandmarkChars)
+    val marks = lm.filter(col("len") >= MinLandmarkBytes)
       .select("doc_id", "start", "len", "lhash")
     val kept = marks.groupBy("lhash", "len").agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.MaxBandBucket).select("lhash", "len")
@@ -350,7 +387,7 @@ object Multimodal {
   /** The matched-pair relation behind [[audioLandmarkDups]]. */
   private[graft] def audioLandmarkPairs(docs: DataFrame): DataFrame = {
     val marks = audioLandmarkChunks(docs)
-      .filter(col("len") >= MinLandmarkChars)
+      .filter(col("len") >= MinLandmarkBytes)
     val kept = marks.groupBy("lhash", "len").agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.MaxBandBucket).select("lhash", "len")
     val cut = marks.join(kept, Seq("lhash", "len"))
@@ -376,14 +413,16 @@ object Multimodal {
     import graft.functions.TextFunctions.{cdcChunks, polyHash}
     graft.util.OperatorCaches.persist(
       docs.filter(col("text").isNotNull &&
-          mediaTypeOf(col("doc_id")) === "audio" && length(col("text")) >= 1)
-        .select(col("doc_id"), col("text"), cdcChunks(col("text")).as("lens"))
-        .select(col("doc_id"), col("text"), col("lens"),
+          mediaTypeOf(col("doc_id")) === "audio")
+        .select(col("doc_id"),
+          blobOf(col("doc_id"), col("text")).as("blob"))
+        .select(col("doc_id"), col("blob"), cdcChunks(col("blob")).as("lens"))
+        .select(col("doc_id"), col("blob"), col("lens"),
           posexplode(col("lens")).as(Seq("pos", "len")))
         .withColumn("start",
           expr("aggregate(slice(lens, 1, pos), 0L, (a, x) -> a + bigint(x))"))
         .select(col("doc_id"), col("start"), col("len").cast("long").as("len"),
-          polyHash(expr("substring(text, cast(start + 1 as int), len)"))
+          polyHash(expr("substring(blob, cast(start + 1 as int), len)"))
             .as("lhash")))
   }
 

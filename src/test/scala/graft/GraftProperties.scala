@@ -92,6 +92,23 @@ object GraftProperties extends Properties("graft") {
         (s.isEmpty == model.isEmpty)
     }
 
+  /** The BINARY flavors of PolyHash/CdcChunks (the media-blob path) —
+    * eval against the byte models on arbitrary byte arrays, including
+    * values ≥ 0x80 where a signed-byte slip would diverge; chunk
+    * lengths sum to the array length. */
+  property("PolyHash/CdcChunks binary eval == unsigned-byte models") =
+    forAll(Gen.listOf(Gen.choose(0, 255))) { vs =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val b = vs.map(_.toByte).toArray
+      val phModel = vs.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L)
+      val chunks = graft.expressions.CdcChunks(Literal(b)).eval(null)
+        .asInstanceOf[ArrayData].toIntArray()
+      graft.expressions.PolyHash(Literal(b)).eval(null) == phModel &&
+        chunks.sameElements(graft.expressions.CdcChunks.model(b)) &&
+        chunks.sum == b.length
+    }
+
   /** Strings biased toward space-adjacent edge cases (leading/trailing/
     * double spaces) plus arbitrary unicode — the token-boundary logic is
     * where a one-pass split implementation can drift from split(' '). */
@@ -113,15 +130,19 @@ object GraftProperties extends Properties("graft") {
     }
 
   /** AHash64 (interpreted eval) against the driver-side bucket-mean
-    * model, plus the invariants the dedup join relies on: empty → 0,
-    * a constant stream → 0 (no bucket exceeds the mean of itself), and
-    * equal inputs → equal hashes (Hamming 0 — what makes byte-identical
-    * blobs pair). (The codegen'd path runs through the x95 operator plan
-    * in OperatorsSpec/Verify.) */
-  property("AHash64 expression == bucket-mean model; constant streams hash to 0") =
+    * model over UNSIGNED UTF-8 BYTES, plus the invariants the dedup
+    * join relies on: empty → 0, a constant byte stream → 0 (no bucket
+    * exceeds the mean of itself), string input ≡ its UTF-8 bytes as
+    * binary input (so a blob column and a text stand-in can never
+    * disagree), and equal inputs → equal hashes (Hamming 0 — what makes
+    * byte-identical blobs pair). (The codegen'd path runs through the
+    * x95 operator plan in OperatorsSpec/Verify.) */
+  property("AHash64 expression == unsigned-byte bucket-mean model; " +
+      "string == its UTF-8 bytes; constant streams hash to 0") =
     forAll(Gen.oneOf(Gen.asciiStr, validUnicodeStr)) { s =>
       import org.apache.spark.sql.catalyst.expressions.Literal
-      val n = s.length
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = bytes.length
       val model =
         if (n == 0) 0L
         else {
@@ -129,18 +150,21 @@ object GraftProperties extends Properties("graft") {
           val counts = new Array[Long](64)
           var total = 0L
           for (i <- 0 until n) {
+            val v = (bytes(i) & 0xff).toLong
             val b = ((i.toLong * 64L) / n).toInt
-            sums(b) += s.charAt(i).toLong
+            sums(b) += v
             counts(b) += 1L
-            total += s.charAt(i).toLong
+            total += v
           }
           (0 until 64).foldLeft(0L) { (h, k) =>
             if (sums(k) * n > total * counts(k)) h | (1L << k) else h
           }
         }
       val got = graft.expressions.AHash64(Literal(s)).eval(null)
-      val constant = if (n == 0) "" else s.charAt(0).toString * n
-      got == model &&
+      val asBinary = graft.expressions.AHash64(Literal(bytes)).eval(null)
+      val constant =
+        if (n == 0) Array.empty[Byte] else Array.fill(n)(bytes(0))
+      got == model && asBinary == got &&
         graft.expressions.AHash64(Literal(constant)).eval(null) == 0L &&
         graft.expressions.AHash64(Literal(s)).eval(null) == got
     }

@@ -1328,30 +1328,43 @@ class OperatorsSpec extends SparkSpec {
     // doc_id mod 3 picks the media type (0=image, 1=audio, 2=video)
     val trioText = "alpha beta gamma delta epsilon zeta eta theta"
     val trio = Seq(3L, 9L, 12L).map(i => (i, trioText))         // image
+    // NON-ASCII payload (multi-byte UTF-8, incl. a non-BMP code point):
+    // byte-identical copies must hash identically and pair — this is the
+    // case the old character-stream hash got right only by ASCII luck
+    val uniText = "héllo wörld 汉字テスト 🚀 naïve café über ñandú"
     val audioPair = Seq(1L, 4L).map(i => (i, "iota kappa lambda mu nu xi"))
-    val crossType = Seq((2L, trioText))                          // video, same bytes
+    val uniPair = Seq(7L, 10L).map(i => (i, uniText))            // audio
+    val crossType = Seq((2L, trioText))                          // video, same payload
     // 300 byte-identical image blobs: every band bucket they form holds
     // 300 (> MaxBandBucket) members, so the whole family must be cut
     val boiler = (0 until 300).map(i =>
       (3000L + 3 * i, "mass family boilerplate payload bytes"))
     val chaff = (0 until 20).map(i =>
       (9001L + 3 * i, s"unique${i}a unique${i}b unique${i}c unique${i}d"))
-    val docs = (trio ++ audioPair ++ crossType ++ boiler ++ chaff)
+    val docs = (trio ++ audioPair ++ uniPair ++ crossType ++ boiler ++ chaff)
       .toDF("doc_id", "text")
+    val allDocs = trio ++ audioPair ++ uniPair ++ crossType ++ boiler ++ chaff
     val out = Multimodal.mediaDupsFrom(docs).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
         r.getLong(3)))).toMap
     graft.util.OperatorCaches.release(spark)
-    // identical bytes → identical hash (Hamming 0), within-type pairing:
-    // each trio member partners with the other two, never the video copy
+    // every hash equals the byte model (magic + UTF-8 payload) — incl.
+    // the multi-byte/non-BMP payloads
+    allDocs.foreach { case (id, t) =>
+      assert(out(id)._2 === aHashModel(blobBytes(id, t)),
+        s"ahash($id) diverges from the byte model")
+    }
+    // identical payloads → identical blobs within a type (same magic),
+    // within-type pairing: each trio member partners with the other two,
+    // never the video copy (different magic AND the media_type join key)
     Seq(3L, 9L, 12L).foreach { id =>
       assert(out(id)._1 === "image" && out(id)._3 === 2L,
         s"trio member $id: ${out(id)}")
     }
-    assert(out(3L)._2 === out(2L)._2,
-      "identical bytes must produce identical hashes across types")
     assert(out(2L)._3 === 0L, "the video copy must not pair across types")
     Seq(1L, 4L).foreach { id => assert(out(id)._3 === 1L) }
+    Seq(7L, 10L).foreach { id => assert(out(id)._3 === 1L,
+      s"non-ASCII byte-identical pair must match: $id -> ${out(id)}") }
     // the 300-copy family exceeds every chunk bucket's cap → no pairs
     boiler.foreach { case (id, _) => assert(out(id)._3 === 0L,
       s"capped mass-family member $id reported partners") }
@@ -1378,21 +1391,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side blob derivation — mirrors
+    * [[graft.operators.Multimodal.blobOf]]: per-type container magic ++
+    * the payload's UTF-8 bytes. */
+  private def blobBytes(id: Long, text: String): Array[Byte] = {
+    val mt = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val hexStr = Multimodal.MagicHex(mt)
+    val magic = hexStr.grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray
+    magic ++ text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Driver-side reference of [[graft.expressions.AHash64]] (two-pass
-    * bucket means vs global mean) — GraftProperties pins the expression
-    * against the same formula. */
-  private def aHashModel(s: String): Long = {
-    val n = s.length
+    * bucket means vs global mean over UNSIGNED BYTES) — GraftProperties
+    * pins the expression against the same formula. */
+  private def aHashModel(bytes: Array[Byte]): Long = {
+    val n = bytes.length
     if (n == 0) return 0L
     val sums = new Array[Long](64); val counts = new Array[Long](64)
     var total = 0L
     for (i <- 0 until n) {
-      val v = s.charAt(i).toLong
+      val v = (bytes(i) & 0xff).toLong
       val b = ((i.toLong * 64L) / n).toInt
       sums(b) += v; counts(b) += 1L; total += v
     }
     (0 until 64).foldLeft(0L) { (h, k) =>
-      if (sums(k) * n > total * counts(k)) h | (1L << k) else h
+      if (BigInt(sums(k)) * n > BigInt(total) * counts(k)) h | (1L << k)
+      else h
     }
   }
 
@@ -1403,17 +1430,28 @@ class OperatorsSpec extends SparkSpec {
     // 32-char frames of decorrelated content (seeded, deterministic)
     def frame(i: Int): String = {
       val rng = new scala.util.Random(4242 + i)
-      (0 until Multimodal.FrameSliceChars)
+      (0 until Multimodal.FrameSliceBytes)
         .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
     }
     val Seq(f0, f1, f2, f3, f4, f5, g1, g2) = (0 to 7).map(frame)
-    // video ids ≡ 2 (mod 3)
+    // video ids ≡ 2 (mod 3). NOTE the magic header's side effect: every
+    // all-lowercase video's FIRST byte frame is [magic + 24 letters],
+    // and since every letter byte exceeds that frame's mean (the magic
+    // bytes drag it down) its aHash is IDENTICAL across all such videos
+    // — a mass-common "intro frame" that the DF cap cuts, exactly the
+    // blank-intro case the cap exists for. Planted pairs therefore ride
+    // the PAYLOAD frames.
     val fixture = Seq(
       2L -> (f0 + f1 + f2 + f3),            // A
-      5L -> (f0 + f1 + f2 + f4),            // B: 3 of A's 4 frames
-      8L -> (f0 + f5 + g1 + g2),            // C: only f0 shared → no pair
-      11L -> (f0 + f1),                     // D: contained in A and B
-      14L -> (f1 + f2 + "shortend")         // E: 8-char tail slice
+      5L -> (f0 + f1 + f2 + f3 + f4),       // B: shares A's payload frames
+      8L -> (f0 + f5 + g1 + g2),            // C: nothing kept shared → no pair
+      11L -> (f0 + f1 + f2),                // D: contained in A and B
+      14L -> (f0 + f1 + f2 + "shortend"),   // E: 8-byte tail slice
+      // NON-ASCII copies (multi-byte UTF-8 split ACROSS byte frames —
+      // the case character slicing can't even express): identical
+      // payloads → identical byte frames → must pair
+      17L -> ("héllo汉字🚀 " * 12),
+      20L -> ("héllo汉字🚀 " * 12)
     ) ++ (0 until 300).map(i => (3002L + 3 * i) -> frame(9)) ++
       (0 until 10).map(i => (5000L + 3 * i) -> (frame(20 + i) + frame(40 + i)))
     val docs = fixture.toDF("doc_id", "text")
@@ -1421,9 +1459,11 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     graft.util.OperatorCaches.release(spark)
-    // driver-side model: slice → aHash → DF cap → containment pairing
+    // driver-side model: blob bytes → 32-byte slices → aHash → DF cap →
+    // containment pairing
     val sets = fixture.map { case (id, t) =>
-      id -> t.grouped(Multimodal.FrameSliceChars).map(aHashModel).toList }
+      id -> blobBytes(id, t).grouped(Multimodal.FrameSliceBytes)
+        .map(aHashModel).toList }
     val dfreq = sets.flatMap { case (id, fs) => fs.distinct.map(_ -> id) }
       .groupBy(_._1).map { case (h, xs) => h -> xs.size }
     val kept = (h: Long) => dfreq(h) <= Dedup.MaxBandBucket
@@ -1440,6 +1480,8 @@ class OperatorsSpec extends SparkSpec {
     assert(modelDeg(8L) === 0L, "a single shared frame must not pair")
     assert(modelDeg(14L) >= 1L, "the tail-slice video must pair")
     assert(modelDeg(3002L) === 0L, "capped mass frame must not pair")
+    assert(modelDeg(17L) >= 1L && modelDeg(20L) >= 1L,
+      "non-ASCII byte-identical videos must pair")
     // full agreement with the operator
     sets.foreach { case (id, fs) =>
       val (nf, ndx, dig, deg) = out(id)
@@ -1454,29 +1496,36 @@ class OperatorsSpec extends SparkSpec {
       "delta (the case whole-blob hashing misses), the cap kills the mass " +
       "family, and counts/digests/degrees match the model") {
     import spark.implicits._
-    def polyhash(s: String): Long =
-      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def polyhash(b: Array[Byte]): Long =
+      b.foldLeft(0L)((a, c) => (a * 31 + (c & 0xff).toLong) % 1000000007L)
     val rng = new scala.util.Random(7)
     val p = (0 until 400).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
     val scrambled = (0 until 200).map(_ => ('A' + rng.nextInt(26)).toChar).mkString
+    // NON-ASCII payload: the shifted-copy property must survive
+    // multi-byte UTF-8 (CDC boundaries land mid-code-point — a case
+    // character chunking can't even express)
+    val uni = "héllo汉字🚀 köln née φάρος " * 14
     // audio ids ≡ 1 (mod 3)
-    val fixture = Seq(1L -> p, 4L -> ("INTRO:" + p), 7L -> scrambled) ++
+    val fixture = Seq(1L -> p, 4L -> ("INTRO:" + p), 7L -> scrambled,
+      10L -> uni, 13L -> ("präfix:" + uni)) ++
       (0 until 300).map(i => (3001L + 3 * i) -> p.take(100))
     val docs = fixture.toDF("doc_id", "text")
     val out = Multimodal.audioLandmarkDupsFrom(docs).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     graft.util.OperatorCaches.release(spark)
-    // driver-side model: CDC chunks (the expression's own model) →
-    // (start, len, polyhash) landmarks → DF cap → delta-vote pairing
+    // driver-side model: blob bytes → CDC chunks (the expression's own
+    // byte model) → (start, len, polyhash) landmarks → DF cap →
+    // delta-vote pairing
     val chunks = fixture.map { case (id, t) =>
-      val lens = graft.expressions.CdcChunks.model(t)
+      val bb = blobBytes(id, t)
+      val lens = graft.expressions.CdcChunks.model(bb)
       val starts = lens.scanLeft(0)(_ + _).init
       id -> starts.zip(lens).map { case (st, ln) =>
-        (st.toLong, ln.toLong, polyhash(t.substring(st, st + ln))) }.toList
+        (st.toLong, ln.toLong, polyhash(bb.slice(st, st + ln))) }.toList
     }
     val marks = chunks.map { case (id, cs) =>
-      id -> cs.filter(_._2 >= Multimodal.MinLandmarkChars) }
+      id -> cs.filter(_._2 >= Multimodal.MinLandmarkBytes) }
     val buckets = marks.flatMap { case (_, ms) => ms.map(m => (m._3, m._2)) }
       .groupBy(identity).map { case (k, xs) => k -> xs.size }
     val keptM = marks.map { case (id, ms) =>
@@ -1494,6 +1543,8 @@ class OperatorsSpec extends SparkSpec {
     assert(modelDeg(1L) >= 1L && modelDeg(4L) >= 1L,
       "prefix-shifted copy must landmark-match")
     assert(modelDeg(7L) === 0L)
+    assert(modelDeg(10L) >= 1L && modelDeg(13L) >= 1L,
+      "non-ASCII prefix-shifted copy must landmark-match")
     assert(modelDeg(3001L) === 0L, "capped mass family must not pair")
     chunks.foreach { case (id, cs) =>
       val ms = marks.toMap.apply(id)

@@ -145,6 +145,16 @@ def main():
         src_docs = load("documents")
         vocab = sorted({w for txt in src_docs.column("text").to_pylist()
                         if txt is not None for w in txt.split(" ")})
+        # BMP non-ASCII vocabulary (multi-byte UTF-8): the generated
+        # corpora force the byte-vs-character question on every text and
+        # media operator at the scale gates, instead of the driver
+        # corpus's ASCII luck. BMP ONLY: Spark's charAt-based folds see
+        # UTF-16 code units while DuckDB's ascii() sees code points --
+        # equal exactly on the BMP (a non-BMP char would diverge by
+        # construction, and the media family reads UTF-8 BYTES anyway).
+        vocab += ["café", "naïve", "über", "déjà", "niño", "çay",
+                  "tårta", "żółć", "φάρος", "κήπος", "чай", "мир",
+                  "日本語", "汉字", "한글", "ありがとう"]
         langs, lang_counts = np.unique(
             np.array(src_docs.column("lang").to_pylist()), return_counts=True)
         lang_p = lang_counts / lang_counts.sum()

@@ -29,13 +29,23 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
+      } finally {
         // release the operator-level persists so 50+ queries don't
         // accumulate cached signature tables in one session — scoped to
         // THIS session's graft-registered caches (releaseAll would also
         // drop another live session's registered caches, and clearCache
         // any caller-owned ones, in an embedding process)
         graft.util.OperatorCaches.release(spark)
+        // ...and nudge the ContextCleaner: finished queries' SHUFFLE
+        // FILES are deleted only when their dependencies are GC'd, and
+        // a long single-JVM battery at a large SF otherwise accumulates
+        // them until the disk fills (observed: the sf10 full battery
+        // died with SPILL_OUT_OF_MEMORY "No space left on device" ~80
+        // queries in; Spark's own periodicGC defaults to 30 min —
+        // far too slow for a battery that writes tens of GB of shuffle
+        // per query)
+        System.gc()
+      }
     }
     // JSON escape (graft.util.JsonText): a tab or CR in builder-authored
     // SQL would otherwise make the driver's json.load fail and silently

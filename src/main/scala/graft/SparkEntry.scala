@@ -220,7 +220,10 @@ object SparkEntry {
     "x104_stream_delta_dedup" ->
       (graft.streaming.CorpusStream.deltaDedupBatch _),
     "x105_ivfpq_topk" -> (ProductQuantization.ivfPqTopK _),
-    "x106_ivfpq_recall" -> (ProductQuantization.ivfPqRecall _)
+    "x106_ivfpq_recall" -> (ProductQuantization.ivfPqRecall _),
+    "x107_gopher_rules" -> (TextAnalysis.gopherRules _),
+    "x108_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
+    "x109_length_drift" -> (CorpusStats.lengthDrift _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -3674,6 +3677,127 @@ object SparkEntry {
          |  COALESCE(h.n_hits, 0) * 1000000 // $k AS recall_ppm
          |FROM ex LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
     }),
+
+    // Mirrors TextAnalysis.gopherRules: identical token/line splits,
+    // code-point length counts, literal (non-regex) replace for the
+    // symbol counts, and integer-exact cross-multiplied rule compares;
+    // the two ratio columns are single divisions (x9's pattern).
+    "x107_gopher_rules" -> {
+      val stops = graft.operators.TextAnalysis.GopherStops
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT *, string_split(text, ' ') AS t,
+         |            string_split(text, chr(10)) AS ls FROM documents),
+         |s AS (SELECT doc_id, lang, source,
+         |  CAST(len(t) AS BIGINT) AS n_words,
+         |  list_reduce([CAST(0 AS BIGINT)] ||
+         |    list_transform(t, w -> CAST(length(w) AS BIGINT)),
+         |    (a, b) -> a + b) AS n_word_chars,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |    AS n_hash,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |    AS BIGINT) AS n_ellipsis,
+         |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+         |    AS BIGINT) AS n_alpha_words,
+         |  CAST(len(list_filter(t, w -> w IN ($stops))) AS BIGINT)
+         |    AS n_stop_hits,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR
+         |    starts_with(l, '* '))) AS BIGINT) AS n_bullet_lines,
+         |  CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT)
+         |    AS n_ellipsis_lines
+         |  FROM d)
+         |SELECT *,
+         |  CAST(n_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS mean_word_len,
+         |  CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS alpha_frac,
+         |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         |  3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+         |    AS r_word_len,
+         |  10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
+         |    AS r_symbol,
+         |  10 * n_bullet_lines <= n_lines AS r_bullet,
+         |  10 * n_ellipsis_lines <= 3 * n_lines AS r_ellipsis_lines,
+         |  5 * n_alpha_words >= 4 * n_words AS r_alpha,
+         |  n_stop_hits >= 2 AS r_stop,
+         |  (n_words >= 50 AND n_words <= 100000) AND
+         |  (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AND
+         |  (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words) AND
+         |  (10 * n_bullet_lines <= n_lines) AND
+         |  (10 * n_ellipsis_lines <= 3 * n_lines) AND
+         |  (5 * n_alpha_words >= 4 * n_words) AND
+         |  (n_stop_hits >= 2) AS gopher_keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors Similarity.semanticDecontaminate: x34's trained probe
+    // pipeline (identical kmeans + two-level ranking CTEs), the τ
+    // threshold on the bit-identical dot, COUNT + (cos DESC, id DESC)
+    // argmax per query, zero-hit queries kept via the left joins.
+    "x108_semantic_decontaminate" -> (unitCte + kmeansCte +
+      s""", cents AS (SELECT cid, cu FROM c${graft.operators.Similarity.KmeansIters}),
+         |${quantizedRankedSql("cents")},
+         |assign AS (SELECT vec_id AS neighbor_id, cid AS cell, u AS nu
+         |           FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell, u AS qu
+         |           FROM ranked WHERE crn <= 2 AND vec_id < 10),
+         |hits AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    ${dotUnitSql("p.qu", "a.nu")} AS cos
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |    AND p.query_id <> a.neighbor_id
+         |  WHERE ${dotUnitSql("p.qu", "a.nu")} >=
+         |    ${graft.operators.Similarity.DecontamTau}),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_flagged FROM hits GROUP BY 1),
+         |best AS (SELECT query_id, neighbor_id, cos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id DESC) AS rn FROM hits)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id FROM unit_t WHERE vec_id < 10)
+         |SELECT q.query_id,
+         |  COALESCE(cnt.n_flagged, CAST(0 AS BIGINT)) AS n_flagged,
+         |  COALESCE(best.neighbor_id, CAST(-1 AS BIGINT)) AS best_id,
+         |  COALESCE(best.cos, -1.0) AS best_cos
+         |FROM q LEFT JOIN cnt USING (query_id) LEFT JOIN best USING (query_id)
+         |ORDER BY query_id""".stripMargin),
+
+    // Mirrors CorpusStats.lengthDrift: same bounded histograms, the same
+    // per-source cumulative windows over the global length grid, the
+    // exact integer gap |cum_src·N − cum_all·n_src| maxed with the
+    // (gap, length) lexicographic argmax, one double division at the end.
+    "x109_length_drift" ->
+      """WITH pl AS (SELECT n_chars, COUNT(*) AS c_all FROM documents GROUP BY 1),
+        |psl AS (SELECT source, n_chars, COUNT(*) AS c_src
+        |        FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_all FROM documents),
+        |ca AS (SELECT n_chars, c_all,
+        |         SUM(c_all) OVER (ORDER BY n_chars
+        |           ROWS UNBOUNDED PRECEDING) AS cum_all FROM pl),
+        |grid AS (
+        |  SELECT ca.n_chars, ca.cum_all, st.source, st.n_src,
+        |    COALESCE(psl.c_src, 0) AS c_src
+        |  FROM ca CROSS JOIN st
+        |  LEFT JOIN psl ON psl.source = st.source
+        |    AND psl.n_chars = ca.n_chars),
+        |cum AS (
+        |  SELECT *, SUM(c_src) OVER (PARTITION BY source ORDER BY n_chars
+        |    ROWS UNBOUNDED PRECEDING) AS cum_src FROM grid),
+        |gap AS (
+        |  SELECT source, n_src, n_chars,
+        |    abs(cum_src * tot.n_all - cum_all * n_src) AS gap_scaled,
+        |    tot.n_all AS n_all
+        |  FROM cum CROSS JOIN tot),
+        |mx AS (
+        |  SELECT source, n_src, n_all, gap_scaled, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY gap_scaled DESC, n_chars DESC) AS rn FROM gap)
+        |SELECT source, CAST(n_src AS BIGINT) AS n_src,
+        |  CAST(gap_scaled AS BIGINT) AS ks_scaled,
+        |  n_chars AS ks_at_len,
+        |  CAST(gap_scaled AS DOUBLE) /
+        |    CAST(n_src * n_all AS DOUBLE) AS ks_stat
+        |FROM mx WHERE rn = 1 ORDER BY source""".stripMargin,
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

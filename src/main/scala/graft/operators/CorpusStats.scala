@@ -210,4 +210,68 @@ object CorpusStats {
       .select("source", "n_bigrams", "cond_entropy")
       .orderBy("source")
   }
+
+  /** x109: per-source length-distribution drift — the exact two-sample
+    * Kolmogorov–Smirnov statistic between each source's `n_chars`
+    * distribution and the whole corpus's, the drift alarm a mixture
+    * pipeline runs per ingest batch (a source whose length profile
+    * shifts is re-crawling, truncating, or changed its extractor —
+    * catches what per-source means miss). Completes the per-source
+    * fingerprint family: x69 (vocabulary JS), x76 (Zipf slope), x93
+    * (bigram entropy) — this is the LENGTH marginal.
+    *
+    * Shape for scale: the corpus reduces to (source × n_chars) and
+    * (n_chars) count aggregates FIRST (both partial-aggregated; the
+    * relations are bounded by |sources| × |distinct lengths|, and doc
+    * lengths are generator/extractor-bounded small integers — the x79
+    * histogram judgment), so every window below runs over bounded
+    * relations, never the corpus: the CDF grid is sources × global
+    * lengths via a broadcast of the source-count aggregate, cumulated
+    * per source. KS is computed in EXACT integers — the scaled gap
+    * |cum_src·N − cum_all·n_src| (≤ n_src·N < 2⁶³ at any realistic
+    * corpus) maxed via one `max(struct)` argmax per source — and the
+    * exposed statistic is that integer over one double division, so the
+    * gate stays hash-exact with the argmax length pinned (ties → larger
+    * length). Evaluating both step functions at every GLOBAL distinct
+    * length is sufficient: the sup of |F_s − F| over ℝ is attained at a
+    * jump point of either CDF, and every jump of either is a global
+    * length. */
+  def lengthDrift(spark: SparkSession, sfDir: String): DataFrame =
+    lengthDriftFrom(docs(spark, sfDir))
+
+  private[graft] def lengthDriftFrom(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLen = d.groupBy("n_chars").agg(count(lit(1)).as("c_all"))
+    val perSrcLen =
+      d.groupBy("source", "n_chars").agg(count(lit(1)).as("c_src"))
+    val srcTotals = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val totals = d.agg(count(lit(1)).as("n_all"))
+    // global CDF over the bounded length histogram (the x37 bounded-
+    // relation window judgment: |distinct lengths| rows, never corpus)
+    val cumAll = perLen.withColumn("cum_all",
+      sum(col("c_all")).over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // grid = every (source, global length): broadcast the |sources|-row
+    // aggregate across the |lengths|-row one (bounded × bounded)
+    val grid = cumAll.crossJoin(broadcast(srcTotals))
+      .join(perSrcLen, Seq("source", "n_chars"), "left_outer")
+      .withColumn("c_src", coalesce(col("c_src"), lit(0L)))
+      .withColumn("cum_src",
+        sum(col("c_src")).over(Window.partitionBy("source")
+          .orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid.crossJoin(broadcast(totals))
+      .withColumn("gap_scaled",
+        abs(col("cum_src") * col("n_all") - col("cum_all") * col("n_src")))
+      .groupBy("source")
+      .agg(first(col("n_src")).as("n_src"),
+        first(col("n_all")).as("n_all"),
+        max(struct(col("gap_scaled"), col("n_chars"))).as("m"))
+      .select(col("source"), col("n_src"),
+        col("m.gap_scaled").as("ks_scaled"),
+        col("m.n_chars").as("ks_at_len"),
+        (col("m.gap_scaled").cast("double") /
+          (col("n_src") * col("n_all")).cast("double")).as("ks_stat"))
+      .orderBy("source")
+  }
 }

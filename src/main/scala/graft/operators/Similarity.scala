@@ -604,4 +604,66 @@ object Similarity {
       .select("query_id", "n_exact", "n_hits", "recall_ppm")
       .orderBy("query_id")
   }
+
+  /** Cosine threshold for [[semanticDecontaminate]] — low enough to be
+    * non-vacuous on the harness corpora (random 64-dim unit vectors
+    * concentrate cosine near 0 ± 1/8, so ≥ 0.2 flags the upper tail of
+    * each probed cell); a deployment tunes it against a labeled
+    * contamination set. Threshold compares are safe cross-engine
+    * because both sides compute bit-identical dot folds. */
+  val DecontamTau = 0.2
+
+  /** x108: SEMANTIC decontamination — the embedding-space flavor of
+    * x29/x52/x75's n-gram/substring decontamination: for each benchmark
+    * (eval) vector, find every corpus vector with cosine ≥
+    * [[DecontamTau]] and report the contamination count plus the worst
+    * offender. Paraphrased or lightly-reworded benchmark leakage defeats
+    * n-gram matching entirely; embedding similarity is how production
+    * pipelines (GPT-3 appendix C descendants) catch it.
+    *
+    * Shape for scale: the trained-IVF probe path, NOT brute force — the
+    * eval set probes its [[NumProbes]] nearest Lloyd cells
+    * ([[quantizedRanking]] over [[trainedCentroids]], K on the √(N/8)
+    * curve) and scans only those cells' members, so per-eval-vector work
+    * is ∝ √N and the full scan shape matches x34's audited plan: one
+    * persisted ranking pass, a broadcast of the |eval|·nprobe probe
+    * relation, one codegen'd [[graft.expressions.VecDot]] per candidate.
+    * Recall semantics are x34's (a contaminant outside the probed cells
+    * is missed — the oracle mirrors the identical probe pipeline, so the
+    * gate stays hash-exact; x58/x106 are the recall audits for this
+    * trade). Zero-hit eval vectors still emit a row (count 0, sentinel
+    * partner), so the output is non-vacuous at any τ. */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normalized(spark, sfDir)
+    val ranked = OperatorCaches.persist(
+      quantizedRanking(e, trainedCentroids(spark, sfDir))
+        .withColumn("is_q", defaultQueryPred)
+        .filter(col("crn") === 1 ||
+          (col("is_q") && col("crn") <= NumProbes)))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").as("cell"),
+        col("u").as("nu"))
+    val probes = ranked.filter(col("is_q") && col("crn") <= NumProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+        col("u").as("qu"))
+    // a (query, neighbor) pair can appear at most once: the neighbor's
+    // cell is its unique crn=1 assignment, so no distinct is needed
+    // before the count. max(struct) is the deterministic argmax (best
+    // cos, ties to the larger id) — never a per-query window over the
+    // candidate set.
+    val hits = broadcast(probes).join(assign, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qu"), col("nu")))
+      .filter(col("cos") >= DecontamTau)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_flagged"),
+        max(struct(col("cos"), col("neighbor_id"))).as("best"))
+    e.filter(defaultQueryPred).select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("best.neighbor_id"), lit(-1L)).as("best_id"),
+        coalesce(col("best.cos"), lit(-1.0)).as("best_cos"))
+      .orderBy("query_id")
+  }
 }

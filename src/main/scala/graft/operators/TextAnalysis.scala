@@ -1092,4 +1092,84 @@ object TextAnalysis {
         (coalesce(col("score_q"), lit(0L)) > 0L).as("student_keep"))
       .orderBy("doc_id")
   }
+
+  /** The Gopher rule stopword set (Rae et al. 2021, appendix A1.1) —
+    * deliberately distinct from [[graft.functions.TextFunctions.Stopwords]]
+    * (the scoring list): the Gopher rule asks for ≥ 2 hits from exactly
+    * these eight words. */
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** x107: the Gopher document-quality rule bundle (Rae et al. 2021,
+    * appendix A1.1) — the de-facto standard heuristic filter most
+    * production LLM corpora run before any model-based scoring:
+    * word-count bounds, mean-word-length bounds, symbol-to-word caps
+    * (hash and ellipsis separately), bullet-/ellipsis-line caps,
+    * minimum alphabetic-word fraction, and a minimum stop-word hit
+    * count. x25 (repetition) and x41 (boilerplate) cover Gopher's other
+    * two rule families; this operator completes the set.
+    *
+    * Shape for scale: ONE narrow map projection over the scan — every
+    * signal is an in-row fold over the token/line arrays — so the
+    * operator runs at scan speed at 100 TB (the x9/x32 class; the only
+    * exchange is the gate's output sort).
+    *
+    * Every RULE decision is integer-exact (cross-multiplied counts, no
+    * float ratios), so the keep column is engine-identical by
+    * construction; the two exposed ratio columns are single
+    * correctly-rounded divisions (the x9 house rule). Character counts
+    * are code points on both engines (equal on the BMP corpus; the
+    * non-ASCII sf1 gate covers this). */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesFrom(docs(spark, sfDir))
+
+  private[graft] def gopherRulesFrom(docsDf: DataFrame): DataFrame = {
+    val gopherSql = GopherStops.map(w => s"'$w'").mkString(", ")
+    docsDf
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("lns", split(col("text"), "\n"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (a, w) -> a + length(w))")
+          .as("n_word_chars"),
+        (length(col("text")) -
+          length(replace(col("text"), lit("#")))).cast("long").as("n_hash"),
+        ((length(col("text")) -
+          length(replace(col("text"), lit("...")))) / lit(3))
+          .cast("long").as("n_ellipsis"),
+        expr("size(filter(toks, w -> w rlike '[a-zA-Z]'))").cast("long")
+          .as("n_alpha_words"),
+        expr(s"size(filter(toks, w -> w in ($gopherSql)))").cast("long")
+          .as("n_stop_hits"),
+        size(col("lns")).cast("long").as("n_lines"),
+        expr("size(filter(lns, l -> startswith(l, '- ') or " +
+          "startswith(l, '* ')))").cast("long").as("n_bullet_lines"),
+        expr("size(filter(lns, l -> endswith(l, '...')))").cast("long")
+          .as("n_ellipsis_lines"))
+      .withColumn("mean_word_len",
+        col("n_word_chars").cast("double") / col("n_words").cast("double"))
+      .withColumn("alpha_frac",
+        col("n_alpha_words").cast("double") / col("n_words").cast("double"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_word_len",
+        lit(3L) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("r_symbol",
+        lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis") <= col("n_words"))
+      .withColumn("r_bullet",
+        lit(10L) * col("n_bullet_lines") <= col("n_lines"))
+      .withColumn("r_ellipsis_lines",
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+      .withColumn("r_alpha",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("r_stop", col("n_stop_hits") >= 2L)
+      .withColumn("gopher_keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis_lines") && col("r_alpha") &&
+          col("r_stop"))
+      .orderBy("doc_id")
+  }
 }

@@ -81,4 +81,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!pairs.contains(("a", "e")))
     assert(pairs.contains(("a", "d")) && pairs.contains(("b", "e")))
   }
+
+  test("lengthDrift: exact two-sample KS against the corpus, integer-scaled") {
+    // srcA lengths {1,1,2,2}, srcB {3,3,4,4}; corpus = all 8.
+    // At len 2: F_A = 1, F = 1/2 → |4·8 − 4·4| = 16, ks = 16/32 = 0.5.
+    // By symmetry srcB peaks at len 2 as well (F_B = 0, F = 1/2).
+    val d = Seq(
+      ("A", 1L), ("A", 1L), ("A", 2L), ("A", 2L),
+      ("B", 3L), ("B", 3L), ("B", 4L), ("B", 4L)
+    ).toDF("source", "n_chars")
+    val out = CorpusStats.lengthDriftFrom(d)
+      .select("source", "n_src", "ks_scaled", "ks_at_len", "ks_stat")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    Seq("A", "B").foreach { s =>
+      val (n, ks, at, stat) = out(s)
+      assert(n === 4L)
+      assert(ks === 16L, s"$s ks_scaled=$ks")
+      assert(at === 2L, s"$s ks_at_len=$at")
+      assert(stat === 0.5)
+    }
+  }
+
+  test("lengthDrift: identical per-source distributions → KS exactly 0") {
+    val d = Seq("A", "B", "C").flatMap(s =>
+      Seq((s, 5L), (s, 7L), (s, 7L), (s, 11L))).toDF("source", "n_chars")
+    val out = CorpusStats.lengthDriftFrom(d).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("ks_scaled") === 0L)
+      assert(r.getAs[Double]("ks_stat") === 0.0)
+    }
+  }
 }

@@ -1827,4 +1827,69 @@ class OperatorsSpec extends SparkSpec {
     assert(streamFlavor === batch)
     assert(batch.nonEmpty)
   }
+
+  test("x107 gopher rules: each rule fires on exactly its construction") {
+    import spark.implicits._
+    val sixty = (1 to 60).map(i => s"word$i").mkString(" ")
+    val stops = "the be to of and that have with"
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    val fixture = Seq(
+      // 0: 68 words, all rules pass (stops give 8 hits, words alpha)
+      doc(0, s"$sixty $stops"),
+      // 1: word count below 50 — only r_word_count fails
+      doc(1, s"short doc $stops"),
+      // 2: symbol rule — 8 hashes on 68 words > 10% cap
+      doc(2, s"$sixty $stops ######## extra few words here now"),
+      // 3: alpha rule — 20 numeric words on top of 60+8 → alpha frac < 0.8
+      doc(3, s"$sixty $stops " + Seq.fill(20)("12345").mkString(" ")),
+      // 4: stop rule — one stop hit only
+      doc(4, (1 to 60).map(i => s"tok$i").mkString(" ") + " the"),
+      // 5: bullet + ellipsis lines — 1 bullet of 2 lines (50% > 10%),
+      //    1 of 2 ending in ellipsis (50% > 30%)
+      doc(5, s"- bullet line one...\n$sixty $stops"),
+      // 6: word length — sixty 1-char words mean < 3
+      doc(6, (1 to 60).map(_ => "a").mkString(" ") + s" $stops")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.gopherRulesFrom(fixture).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def rule(id: Long, name: String) = r(id).getAs[Boolean](name)
+    assert(rule(0, "gopher_keep"))
+    Seq("r_word_count", "r_word_len", "r_symbol", "r_bullet",
+      "r_ellipsis_lines", "r_alpha", "r_stop").foreach(n =>
+      assert(rule(0, n), s"doc 0 must pass $n"))
+    assert(!rule(1, "r_word_count") && rule(1, "r_stop") && !rule(1, "gopher_keep"))
+    assert(!rule(2, "r_symbol") && rule(2, "r_word_count"))
+    assert(!rule(3, "r_alpha") && rule(3, "r_word_count"))
+    assert(!rule(4, "r_stop") && rule(4, "r_alpha"))
+    assert(!rule(5, "r_bullet") && !rule(5, "r_ellipsis_lines"))
+    assert(!rule(6, "r_word_len") && rule(6, "r_word_count"))
+  }
+
+  test("x108 semantic decontamination: one row per query; agrees with " +
+      "the trained-IVF rank-1 neighbor over the same candidate relation") {
+    val de = Similarity.semanticDecontaminate(spark, Sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_flagged"), r.getAs[Long]("best_id"),
+          r.getAs[Double]("best_cos"))).toMap
+    assert(de.keySet === (0L to 9L).toSet)
+    graft.util.OperatorCaches.release(spark)
+    // both derive from the identical probe/assign candidate relation, so
+    // n_flagged > 0 iff the trained-IVF rank-1 cos clears τ, and the
+    // best partner IS that neighbor (double ties are measure-zero)
+    val rank1 = Similarity.ivfTopKTrained(spark, Sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    (0L to 9L).foreach { q =>
+      val (n, bid, bcos) = de(q)
+      rank1.get(q) match {
+        case Some((nb, c)) if c >= Similarity.DecontamTau =>
+          assert(n > 0, s"query $q: rank-1 cos $c >= tau but n_flagged=0")
+          assert(bid === nb && bcos === c, s"query $q best mismatch")
+        case _ =>
+          assert(n === 0L && bid === -1L && bcos === -1.0,
+            s"query $q: no candidate clears tau but n_flagged=$n")
+      }
+    }
+  }
 }

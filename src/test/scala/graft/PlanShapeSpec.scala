@@ -1063,6 +1063,75 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("round-11 tail: x107 is a pure map stage, x108 probes through the " +
+      "cell-keyed broadcast (no cartesian, NLJs aggregate-backed), x109's " +
+      "windows read only bounded aggregates") {
+    import graft.operators.{CorpusStats, TextAnalysis}
+    // x107: every signal is an in-row fold — no join, no window before
+    // the presentation sort (the x87/x88 scan-speed contract)
+    val p107 = withoutAqe {
+      TextAnalysis.gopherRules(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p107.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"x107 must be a pure map stage:\n$p107")
+    // x108: the candidate restriction is x34's audited shape — a
+    // broadcast hash join keyed on the CELL alone (build = the bounded
+    // |eval|·nprobe probe slice), never a cartesian; the only NLJs are
+    // the 1-row cell-curve aggregates
+    val p108 = withoutAqe {
+      Similarity.semanticDecontaminate(spark, Sf).queryExecution.executedPlan
+    }
+    assert(!p108.toString.contains("CartesianProduct"),
+      s"cartesian in x108:\n$p108")
+    assert(p108.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.toSet == Set("cell") => j
+    }.nonEmpty, s"no broadcast cell join in x108:\n$p108")
+    p108.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x108 NLJ build is not aggregate-backed:\n$build")
+    }
+    graft.util.OperatorCaches.release(spark)
+    // x109: the corpus reduces to count aggregates FIRST — every window
+    // (global length CDF, per-source cumsum) must read an aggregate, and
+    // every NLJ build (the sources / totals broadcasts) is an aggregate
+    val p109 = withoutAqe {
+      CorpusStats.lengthDrift(spark, Sf).queryExecution.executedPlan
+    }
+    val wins109 = p109.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins109.nonEmpty, s"no WindowExec in x109's plan:\n$p109")
+    wins109.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x109 window reads raw docs, not an aggregate:\n$p109")
+    }
+    p109.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x109 NLJ build is not aggregate-backed:\n$build")
+    }
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

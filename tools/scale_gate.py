@@ -106,9 +106,12 @@ def main():
     if not args.skip_correctness:
         vout = "/tmp/scale_gate_verify"
         run(["rm", "-rf", vout])
+        # Verify defaults to local[4] without SPARK_GRAFT_CPUS — at sf1+
+        # that quadruples the correctness phase for no signal gain
         v = run(["sbt", "-batch",
                  f"runMain graft.Verify {args.big_dir} {vout} "
-                 + " ".join(args.queries)])
+                 + " ".join(args.queries)],
+                env=dict(os.environ, SPARK_GRAFT_CPUS="32"))
         if v.returncode != 0:
             sys.exit(f"Verify failed at {args.big_dir}")
         chk = [sys.executable, "tools/check.py", args.big_dir, vout]

@@ -7,6 +7,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Exchanges START wide and AQE coalesces them to its advisory
+      // target from measured sizes (the PLANS.md deployment sizing) —
+      // at sf <= 0.1 every exchange coalesces back to a handful of
+      // partitions (no behavior change), while a corpus-scale exchange
+      // at sf10 (e.g. x3's budgeted pair volume, ~3e8 rows) lands
+      // ~1M rows per final-aggregation task instead of ~10M: the
+      // per-task hash map stays under the task memory slice and the
+      // sort-fallback spill (measured 47 GB of temp_local at sf10 under
+      // 32 fixed partitions — 3x the exchange itself) never starts.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

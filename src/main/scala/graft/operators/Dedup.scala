@@ -102,15 +102,25 @@ object Dedup {
     * exceeded 85 min before being aborted). The budget keeps the
     * LOWEST-df (most discriminative) shingle classes and drops the rest:
     * exactly the stop-shingle ranking, but cut at a work bound instead
-    * of a popularity fraction. 2000 keeps every SF the driver measures
+    * of a popularity fraction. 600 keeps every SF the driver measures
     * uncut (sf0.01 ≈ 60, sf0.1 = 558) — behavior-preserving where
-    * recorded history exists — while sf1 (4,749) now trims to its
-    * most-discriminative half and sf10 becomes linear. A natural-text
-    * corpus (power-law dfs, vocabulary growing with N) stays far below
-    * the budget and is untouched; only vocabulary-degenerate corpora pay
-    * the trim, and for those "most shingles are boilerplate" is the
-    * correct reading. */
-  private[graft] val MaxCandidateVolumePerDoc = 2000L
+    * recorded history exists — while sf1 (4,749) and sf10 trim to their
+    * most-discriminative classes and total volume stays linear. A
+    * natural-text corpus (power-law dfs, vocabulary growing with N)
+    * stays far below the budget and is untouched; only
+    * vocabulary-degenerate corpora pay the trim, and for those "most
+    * shingles are boilerplate" is the correct reading.
+    *
+    * Budget history: round 8 set 2000 (time-sized: the sf10 join at
+    * 2000·N = 1e9 rows ran in budget). The round-11 full-battery sf10
+    * gate re-sized it for SCRATCH: 1e9 budgeted pair rows through the
+    * count aggregation measured ~70 GB of spill+shuffle on disk —
+    * past the gate host's headroom even with the pair row packed to 3
+    * longs (see below) and the LSH side checkpoint-staged. 600·N keeps
+    * the driver SFs bit-identical and holds the sf10 exchange at ~3e8
+    * rows (~20 GB) — a deployment sizes this knob to its shuffle
+    * capacity exactly like this. */
+  private[graft] val MaxCandidateVolumePerDoc = 600L
 
   /** (doc_id, sh) with non-empty shingle sets, from an arbitrary
     * (doc_id, text) relation — the testable core.
@@ -202,9 +212,40 @@ object Dedup {
     * and `graft.Bench --shared` measures exactly that. */
   def pairTable(spark: SparkSession, sfDir: String): DataFrame =
     OperatorCaches.memoized(spark, s"dedup.pairTable:$sfDir") {
-      OperatorCaches.persist(
+      // STAGED materialization with LINEAGE TRUNCATION, not a lazy
+      // persist — the round-11 sf10 gate finding: the LSH build's
+      // fingerprint-verify exchange is ~corpus-scale scratch (~50 GB at
+      // 500k docs on this host), and a consumer that composes the lazy
+      // pair relation with its OWN corpus-scale exchange in one plan
+      // (x99's exact-truth side) holds BOTH footprints on disk
+      // simultaneously — measured past the host's scratch headroom,
+      // where each phase alone fits. Checkpointing (reliable dir when
+      // configured, local otherwise — x101's round discipline) cuts the
+      // consumer's plan to a scan of the materialized pairs, and the GC
+      // nudge lets the ContextCleaner delete the build's shuffle files
+      // BEFORE any consumer stage runs: peak scratch = max(build,
+      // consumer), not their sum. Same production stance as before
+      // ("materialize the pair index once per compaction") — now with
+      // the build's scratch actually RETURNED at the seam.
+      val cp = materializeTruncated(
         minhashLsh(spark, sfDir).select("doc_a", "doc_b"))
+      System.gc()
+      cp
     }
+
+  /** Eager checkpoint with the build plan dereferenced — the
+    * [[materializeRoundReleasable]] storage choice without the releaser
+    * (the blocks live for the memo's lifetime; [[OperatorCaches.release]]
+    * + the caller's GC reclaim them). */
+  private def materializeTruncated(dfIn: DataFrame): DataFrame = {
+    var df = dfIn
+    val out = df.sparkSession.sparkContext.getCheckpointDir match {
+      case Some(_) => df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+    df = null
+    out
+  }
 
   /** [[minhashLsh]] over an arbitrary persisted (doc_id, sh) relation —
     * the testable core (the skew spec drives it with a mass-duplicated
@@ -241,23 +282,27 @@ object Dedup {
     *    streaming work (the output rows must be emitted regardless;
     *    nothing per-pair is COMPUTED there, `least/greatest` aside).
     *
-    * FINGERPRINT VERIFY (the sf10-decisive fix): the verify stage's cost
-    * is not the Jaccard arithmetic but the EXCHANGE PAYLOAD — the two
-    * fetch joins push one row per candidate pair carrying full shingle
-    * STRING arrays (~2 KB a side; at sf10's 60.3M capped candidates
-    * that is a ~240 GB spill, measured 585 s of the pre-fix ~750 s
-    * staged profile).
-    * Shingles therefore verify as 60-bit FINGERPRINTS: fp(s) = the
+    * FINGERPRINT VERIFY, IN THE BUCKET (two generations of the same
+    * fix — the verify stage's cost is not the Jaccard arithmetic but
+    * the EXCHANGE PAYLOAD). Round 8: full shingle STRING arrays rode
+    * the per-candidate fetch joins (~2 KB a side, a ~240 GB spill at
+    * sf10) and were replaced by 60-bit FINGERPRINTS: fp(s) = the
     * first 15 hex chars of md5(s) as a long (~8 B/element, built in a
-    * narrow pre-shuffle projection on the O(#groups) side). The map
-    * hex→long is a bijection on its domain, so Spark's long-array
-    * intersection count equals intersection over the 15-char md5
-    * prefixes — which is EXACTLY what the oracle computes (the DuckDB
-    * SQL transforms its lists through the same substring(md5(x),1,15)):
-    * any two shingles that collide at 60 bits collide identically in
-    * both engines, making the comparison exact by construction rather
-    * than up-to-hashing. Band-bucket hashes ride the candidate
-    * self-join the same way (min-signature truncated to the same 60-bit
+    * narrow projection on the O(#groups) side). The map hex→long is a
+    * bijection on its domain, so Spark's long-array intersection count
+    * equals intersection over the 15-char md5 prefixes — which is
+    * EXACTLY what the oracle computes (the DuckDB SQL transforms its
+    * lists through the same substring(md5(x),1,15)): any two shingles
+    * that collide at 60 bits collide identically in both engines,
+    * making the comparison exact by construction rather than
+    * up-to-hashing. Round 11 removed the per-PAIR array shipping
+    * entirely: the round-11 sf10 corpus (47-word vocabulary → every
+    * bucket ~230 docs, just under the cap) made candidates ≈
+    * #buckets·cap²/2 ≈ 3·10⁸ and even fp ARRAYS per pair measured a
+    * 55+ GB fetch exchange — so verify now happens INSIDE the bucket
+    * row (see the in-bucket comment at the code), and only survivor
+    * pairs cross an exchange. Band-bucket hashes ride the bucket key
+    * the same way (min-signature truncated to the same 60-bit
     * long, again oracle-mirrored — truncation after the min on both
     * sides, so no order property is even needed).
     *
@@ -313,40 +358,60 @@ object Dedup {
       .filter(col("bsz") <= MaxBandBucket)
       .select("band", "h")
     val bands = allBands.join(keptBuckets, Seq("band", "h"))
-    val a = bands.select(col("gk").as("gk_a"), col("gsz").as("gsz_a"),
-      col("band"), col("h"))
-    val b = bands.select(col("gk").as("gk_b"), col("band"), col("h"))
+    // IN-BUCKET VERIFY (the round-11 sf10 gate finding). The previous
+    // shape — a (band, h) candidate self-join, cross-band pair dedup,
+    // then two fingerprint-array fetch joins — ships one (fp_a, fp_b)
+    // array PAIR per candidate across an exchange: ~450 B a side. On a
+    // corpus whose kept buckets sit near the cap (the 47-word sf10
+    // vocabulary puts ~230 docs in every bucket), candidates reach
+    // ~#buckets·cap²/2 ≈ 3·10⁸ pairs and that fetch exchange measured
+    // 55+ GB of shuffle at 500k docs — the largest single scratch
+    // footprint in the battery, and pure plumbing (the arrays are the
+    // same ≤cap per-group arrays, copied once per pair).
+    //
+    // Instead: attach each group's fingerprint array ONCE per kept
+    // (group, band) membership row (an O(groups·bands) exchange),
+    // aggregate the bucket's members into one row (collect_list is
+    // BOUNDED at [[MaxBandBucket]] entries × ~450 B by the cap — the
+    // cap IS the state bound), enumerate the bucket's ordered pairs
+    // with a double explode, and verify IMMEDIATELY in the same map
+    // stage. Only (gk_a, gk_b, inter, jaccard) SURVIVORS ever reach
+    // another exchange — the per-pair array shipping is gone
+    // structurally, not just compressed. Verify work is unchanged
+    // (≤ cap²/2 intersections per bucket, in memory); a pair
+    // co-bucketed in k bands verifies k times instead of once
+    // (k ≤ [[NumMinhashes]], and identical arrays give identical
+    // values, so the n_bands groupBy's max() is exact). Skew is
+    // bounded STRUCTURALLY: one bucket row carries ≤ cap members and
+    // enumerates ≤ cap²/2 pairs inside one task — the quadratic
+    // blow-up the cap exists to prevent cannot reappear downstream
+    // of it. Values are bit-identical to the fetch-join formulation
+    // (same fingerprints, same arithmetic); the oracle is untouched.
+    def fp(arr: Column): Column = transform(arr,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val gfp = groups.select(col("gk"), fp(col("gsh")).as("fpa"),
+      size(col("gsh")).cast("long").as("n"))
+    val memb = bands.join(gfp, "gk")
+    val bucketed = memb.groupBy("band", "h")
+      .agg(collect_list(struct(col("gk"), col("gsz"), col("fpa"),
+        col("n"))).as("ms"))
     // <= keeps the self-pair (within-group duplicates); a singleton
     // group's self-pair would expand to zero member pairs — cut it here
     // instead of carrying every unique document through verify.
-    val gcand = a.join(b, Seq("band", "h"))
-      .filter(col("gk_a") < col("gk_b") ||
-        (col("gk_a") === col("gk_b") && col("gsz_a") >= 2))
-      .groupBy("gk_a", "gk_b")
-      .agg(count(lit(1)).as("n_bands"))
-    // Fingerprint fetch for the verify stage: UNHINTED equi-joins on the
-    // group key. The candidate set is data-dependent (unbounded on a
-    // self-similar corpus), so it must never be force-broadcast; both
-    // joins sit behind shuffles, which lets AQE pick broadcast-hash at
-    // runtime when the measured sizes permit — and degrade to a shuffled
-    // join when they don't, instead of OOMing the driver. Each side
-    // ships (60-bit fp array, set size), NOT the shingle strings — see
-    // the fingerprint-verify docstring; the fp projection is narrow and
-    // runs on the O(#groups) side before the exchange.
-    def fp(arr: Column): Column = transform(arr,
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
-    val gshA = groups.select(col("gk").as("gk_a"), fp(col("gsh")).as("fp_a"),
-      size(col("gsh")).as("na"))
-    val gshB = groups.select(col("gk").as("gk_b"), fp(col("gsh")).as("fp_b"),
-      size(col("gsh")).as("nb"))
-    val gver = gshB.join(gshA.join(gcand, "gk_a"), "gk_b")
+    val gver = bucketed
+      .select(col("band"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("band"), col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.gk") < col("b.gk") ||
+        (col("a.gk") === col("b.gk") && col("a.gsz") >= 2))
       .withColumn("inter",
-        size(array_intersect(col("fp_a"), col("fp_b"))).cast("long"))
+        size(array_intersect(col("a.fpa"), col("b.fpa"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
+          (col("a.n") + col("b.n") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.02)
-      .select("gk_a", "gk_b", "n_bands", "inter", "jaccard")
+      .groupBy(col("a.gk").as("gk_a"), col("b.gk").as("gk_b"))
+      .agg(count(lit(1)).as("n_bands"), max(col("inter")).as("inter"),
+        max(col("jaccard")).as("jaccard"))
     // Expansion to member pairs: cross-group survivors emit every member
     // combination (ordered per pair by id); self-pairs emit each
     // within-group pair once. Output-sized streaming joins on gk.
@@ -480,12 +545,32 @@ object Dedup {
     val cut = OperatorCaches.persist(ex
       .join(dfCounts, "s")
       .select("doc_id", "n", "s"))
-    cut.as("a")
+    // The pair-count groupBy is this operator's ONE corpus-scale
+    // exchange — the budget bounds it to [[MaxCandidateVolumePerDoc]]·N
+    // rows, and on a degenerate corpus most pairs share exactly one
+    // shingle, so map-side combining barely shrinks it: the exchange
+    // SIZE is rows × row width. Five-column (doc_a, doc_b, cnt, n_a,
+    // n_b) partial rows measured ~70 GB of scratch at sf10 (500k docs,
+    // 1e9 budgeted rows) — past this host's headroom; packing the two
+    // ids and the two sizes into one long each (ids and shingle counts
+    // are < 2^31 by construction — ids are dense corpus ordinals, n is
+    // bounded by document length) cuts the partial row to 3 columns.
+    // Unpacked immediately after the aggregation; pure plumbing — no
+    // value anywhere changes.
+    val packed = cut.as("a")
       .join(cut.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
+      .select(
+        (shiftleft(col("a.doc_id"), 32) + col("b.doc_id")).as("pk"),
+        (shiftleft(col("a.n"), 32) + col("b.n")).as("nn"))
+    packed.groupBy("pk")
+      .agg(count(lit(1)).as("inter"), max(col("nn")).as("nn"))
+      .select(
+        shiftright(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("inter"),
+        shiftright(col("nn"), 32).as("n_a"),
+        col("nn").bitwiseAND(lit(0xFFFFFFFFL)).as("n_b"))
   }
 
   /** 64-bit SimHash per document: four seeded polynomial token hashes

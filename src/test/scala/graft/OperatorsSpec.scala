@@ -123,19 +123,24 @@ class OperatorsSpec extends SparkSpec {
       "corpora the fractional cap cannot") {
     import spark.implicits._
     // n identical 65-word docs: 63 distinct shingles, each df = n —
-    // under the fractional cap (df <= max(32, ceil(n/100)) for n <= 32)
-    // but with candidate volume 63·n². The budget boundary sits between
-    // n=31 (63·961 = 60,543 <= 2000·31 = 62,000 — everything kept, all
-    // pairs identical) and n=32 (63·1024 = 64,512 > 64,000 — the only
-    // df class is dropped, output empty, join volume bounded).
+    // under the fractional cap (df <= max(32, ceil(n/100)) for small n)
+    // but with candidate volume 63·n². Everything is kept while
+    // 63·n² <= budget·n, i.e. n <= budget/63; the first n past that
+    // boundary drops the only df class — output empty, join volume
+    // bounded. Derived from the constant so the spec tracks budget
+    // re-sizing (round 11 cut it 2000 → 600 for sf10 scratch).
+    val nUnder = (Dedup.MaxCandidateVolumePerDoc / 63).toInt
+    val nOver = nUnder + 1
+    assert(63L * nUnder * nUnder <= Dedup.MaxCandidateVolumePerDoc * nUnder)
+    assert(63L * nOver * nOver > Dedup.MaxCandidateVolumePerDoc * nOver)
     val text = (1 to 65).map(i => s"t$i").mkString(" ")
     def corpus(n: Int) =
       (1 to n).map(i => (i.toLong, text)).toDF("doc_id", "text")
-    val under = Dedup.ngramJaccardFrom(corpus(31)).collect()
-    assert(under.length === 31 * 30 / 2)
+    val under = Dedup.ngramJaccardFrom(corpus(nUnder)).collect()
+    assert(under.length === nUnder * (nUnder - 1) / 2)
     assert(under.forall(_.getAs[Double]("jaccard") == 1.0))
     graft.util.OperatorCaches.release(spark)
-    assert(Dedup.ngramJaccardFrom(corpus(32)).count() === 0)
+    assert(Dedup.ngramJaccardFrom(corpus(nOver)).count() === 0)
     graft.util.OperatorCaches.release(spark)
   }
 

@@ -275,48 +275,52 @@ class PlanShapeSpec extends SparkSpec {
     OperatorCaches.release(spark)
   }
 
-  test("AQE skew-join mitigation engages on x2's candidate join " +
-      "when a SURVIVING bucket is hot") {
+  test("x2's verify is IN-BUCKET: no (band, h) candidate self-join, the " +
+      "pair enumeration reads the capped bucket aggregate, and a hot " +
+      "surviving bucket still yields every pair") {
     import spark.implicits._
     import graft.util.OperatorCaches
     // 200 DISTINCT near-duplicates (a shared 5-token core plus one
     // unique token each — distinct shingle SETS, so the exact-dup group
-    // compression cannot collapse them): whenever a doc's unique
-    // shingle does not own a band's minimum (~3/4 of docs per band),
-    // the band min is one of the shared shingles' md5s — a hot
-    // (band, h) bucket of ~150 GROUP entries, under the 256 cap so it
-    // survives into the self-join and concentrates ~10k candidate rows
-    // per band in one key, against thin chaff. With broadcast off and
-    // test-scaled skew thresholds, AQE must split the oversized
-    // partitions (skew=true in the final plan) — the runtime guard that
-    // protects the join between the cap (quadratic blow-up inside one
-    // key) and even load (many keys).
+    // compression cannot collapse them) form hot (band, h) buckets of
+    // ~150 GROUP entries, under the 256 cap so they survive. Under the
+    // round-11 in-bucket verify this is the worst case the cap ALLOWS:
+    // one bucket row of ≤cap members enumerating ≤cap²/2 pairs inside
+    // one task — bounded structurally, no AQE skew mitigation needed
+    // (the pre-round-11 candidate self-join concentrated the same
+    // bucket as ~10k join rows in one shuffle key and leaned on AQE
+    // skew splitting; the fp-array fetch exchange that shape required
+    // measured 55+ GB at sf10, which is why it's gone).
     val hot = (0 until 200).map(i =>
       (i.toLong, s"hotA hotB hotC hotD hotE uniq$i"))
     val chaff = (1000 until 1050).map(i =>
       (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
     val docs = (hot ++ chaff).toDF("doc_id", "text")
-    // 32 shuffle partitions (not the suite's 4): the 6 hot (band, h)
-    // keys land in ≤6 partitions against ~26 near-empty ones, so the
-    // MEDIAN partition size is tiny and the factor×median skew test can
-    // flag the hot ones — with 4 partitions the hot keys cover most
-    // partitions and the median itself is inflated, masking the skew
-    // (exactly why production skew detection needs partitions ≫ hot keys)
-    withConf(
-      "spark.sql.shuffle.partitions" -> "32",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
-      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
-      val df = Dedup.minhashLshFrom(Dedup.shingleTableFrom(docs.repartition(8)))
-      df.collect() // drive THIS queryExecution to its final adaptive plan
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"AQE skew split did not engage on the candidate join:\n$plan")
+    val df = Dedup.minhashLshFrom(Dedup.shingleTableFrom(docs.repartition(8)))
+    val rows = df.collect()
+    // correctness on the hot bucket: every hot pair shares 3 of its 4
+    // shingles (J = 3/5 ≥ 0.02). LSH banding surfaces a pair only when
+    // some band's two minima coincide — with these fixed strings' md5s
+    // exactly ONE of the C(200,2) = 19,900 pairs misses all 6 bands
+    // (deterministic, and identical under the pre-round-11 candidate
+    // self-join, which builds the same kept-bucket candidates).
+    assert(rows.count(r => r.getLong(0) < 200 && r.getLong(1) < 200)
+      === 200 * 199 / 2 - 1, "hot-bucket pairs missing under in-bucket verify")
+    val plan = df.queryExecution.executedPlan
+    // the old candidate self-join keyed on (band, h) must not exist
+    val bandHJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.size == 2 => j
     }
+    assert(bandHJoins.isEmpty,
+      s"x2 still self-joins on (band, h):\n$plan")
+    // the pair stream comes from a Generate (explode) whose subtree is
+    // the bucket collect_list aggregate — verify runs in that map stage
+    val plans = plan.toString
+    assert(plans.contains("collect_list"),
+      s"no bucket aggregate in x2's plan:\n$plans")
+    assert(plans.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"bucket cap missing from x2's plan:\n$plans")
     OperatorCaches.release(spark)
   }
 
@@ -857,14 +861,25 @@ class PlanShapeSpec extends SparkSpec {
       "4096-row weight table") {
     import graft.operators.{Dedup => D, TextAnalysis => TA}
     // x99: both composed pair relations keep their own candidate
-    // discipline — x2's band-bucket cap AND x3's volume-budget cut must
-    // both survive into the one physical plan; the eval adds only a
-    // pair-keyed join (no cartesian anywhere).
+    // discipline. Since the round-11 staged pairTable, the LSH side is
+    // checkpoint-materialized BEFORE the eval plan exists (so the two
+    // corpus-scale exchanges never share peak scratch — the sf10 gate
+    // finding): x2's band-bucket cap is asserted on the BUILD plan, and
+    // x99's own plan must read the materialized pairs as an RDD scan,
+    // keep x3's volume-budget cut, and add no cartesian.
+    val pBuild = withoutAqe {
+      D.minhashLsh(spark, Sf).queryExecution.executedPlan
+    }.toString
+    assert(pBuild.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"x2's band-bucket cap missing from the pair build:\n$pBuild")
     val p99 = withoutAqe {
       D.lshRecallEval(spark, Sf).queryExecution.executedPlan
     }.toString
-    assert(p99.contains(s"<= ${Dedup.MaxBandBucket}"),
-      s"x2's band-bucket cap missing from x99's plan:\n$p99")
+    assert(p99.contains("ExistingRDD") || p99.contains("Scan ExistingRDD"),
+      s"x99's predicted side is not the materialized pair table:\n$p99")
+    assert(!p99.contains(s"<= ${Dedup.MaxBandBucket}"),
+      "x99 re-plans the LSH build instead of scanning the checkpointed " +
+        s"pair table:\n$p99")
     assert(p99.contains("df_keep"),
       s"x3's volume-budget cut missing from x99's plan:\n$p99")
     assert(!p99.contains("CartesianProduct"), s"cartesian in x99:\n$p99")

@@ -223,7 +223,10 @@ object SparkEntry {
     "x106_ivfpq_recall" -> (ProductQuantization.ivfPqRecall _),
     "x107_gopher_rules" -> (TextAnalysis.gopherRules _),
     "x108_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
-    "x109_length_drift" -> (CorpusStats.lengthDrift _)
+    "x109_length_drift" -> (CorpusStats.lengthDrift _),
+    "x110_normalized_dedup" -> (Dedup.normalizedDedup _),
+    "x111_index_maintain" -> (Similarity.indexMaintain _),
+    "x112_cluster_quota" -> (Curation.clusterQuotaSample _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -463,6 +466,10 @@ object SparkEntry {
 
   /** [[dotSql]] over already-double unit vectors (no per-element cast) —
     * mirrors the Spark side's pre-normalized pair dot. */
+  /** SQL string literal with single quotes doubled — for embedding the
+    * x110 canonical-form alphabets (which contain `'`) in oracle SQL. */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
   private def dotUnitSql(a: String, b: String): String =
     s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
     s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
@@ -590,7 +597,7 @@ object SparkEntry {
     * [[graft.operators.Similarity.NumCells]]) — `knc` mirrors
     * [[graft.operators.Similarity.derivedCellsExpr]] so the trained
     * centroid SET is engine-identical at every corpus size. */
-  private val kmeansCte: String = {
+  private def kmeansCteOver(tbl: String): String = {
     val k = graft.operators.Similarity.NumCells
     val d = graft.operators.Similarity.Dim
     val iters = graft.operators.Similarity.KmeansIters
@@ -599,7 +606,7 @@ object SparkEntry {
          |  SELECT vec_id, u, cid,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id
          |      ORDER BY ${dotUnitSql("u", "cu")} DESC, cid) AS rn
-         |  FROM unit_t CROSS JOIN c${i - 1}),
+         |  FROM $tbl CROSS JOIN c${i - 1}),
          |m$i AS (SELECT vec_id, u, cid AS cell FROM a$i WHERE rn = 1),
          |s$i AS (
          |  SELECT cell, i - 1 AS pos,
@@ -610,11 +617,16 @@ object SparkEntry {
          |c$i AS (SELECT cell AS cid, array_agg(cval ORDER BY pos) AS cu
          |        FROM s$i GROUP BY 1)""".stripMargin
     }
-    s""", knc AS (SELECT GREATEST($k, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM unit_t),
-       |c0 AS (SELECT vec_id AS cid, u AS cu FROM unit_t, knc WHERE vec_id < knc.k),
+    s""", knc AS (SELECT GREATEST($k, CAST(FLOOR(SQRT(COUNT(*) / 8.0)) AS BIGINT)) AS k FROM $tbl),
+       |c0 AS (SELECT vec_id AS cid, u AS cu FROM $tbl, knc WHERE vec_id < knc.k),
        |${blocks.mkString(",\n")}
        |""".stripMargin
   }
+
+  /** The x33-family training CTE over the full corpus — the historical
+    * spelling; [[kmeansCteOver]] is the parameterized form x111 uses to
+    * train on the base slice only. */
+  private val kmeansCte: String = kmeansCteOver("unit_t")
 
   /** DuckDB fragment shared by x105/x106: the full IVF-PQ (IVFADC)
     * pipeline — mirrors [[graft.operators.ProductQuantization.ivfPqTopK]].
@@ -3798,6 +3810,84 @@ object SparkEntry {
         |  CAST(gap_scaled AS DOUBLE) /
         |    CAST(n_src * n_all AS DOUBLE) AS ks_stat
         |FROM mx WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    // Mirrors Dedup.normalizedDedup: identical canonical form (same
+    // translate alphabets built from the same Scala constants, portable
+    // ' +' regex with the 'g' flag DuckDB needs for replace-all), md5
+    // group stats joined back null-safely.
+    "x110_normalized_dedup" -> {
+      val up = sqlStr(graft.operators.Dedup.AsciiUpper)
+      val lo = sqlStr(graft.operators.Dedup.AsciiLower)
+      val pu = graft.operators.Dedup.AsciiPunct
+      val spaces = sqlStr(" " * (graft.operators.Dedup.CanonWs.length + pu.length))
+      val from = s"chr(9) || chr(10) || chr(13) || ${sqlStr(pu)}"
+      s"""WITH canon AS (SELECT doc_id,
+         |  trim(regexp_replace(translate(translate(text, $up, $lo),
+         |    $from, $spaces), ' +', ' ', 'g')) AS ctext FROM documents),
+         |h AS (SELECT doc_id, md5(ctext) AS norm_hash,
+         |  CAST(length(ctext) AS BIGINT) AS n_norm_chars FROM canon),
+         |g AS (SELECT norm_hash AS k_norm, MIN(doc_id) AS norm_rep,
+         |  CAST(COUNT(*) AS BIGINT) AS norm_group_size FROM h GROUP BY 1)
+         |SELECT h.doc_id, h.norm_hash, h.n_norm_chars, g.norm_rep,
+         |  g.norm_group_size, h.doc_id = g.norm_rep AS is_canonical
+         |FROM h JOIN g ON h.norm_hash IS NOT DISTINCT FROM g.k_norm
+         |ORDER BY h.doc_id""".stripMargin
+    },
+
+    // Mirrors Similarity.indexMaintain: the same in-plan 80th-percentile
+    // id split, kmeans trained over base_t ONLY (kmeansCteOver — K from
+    // the base count), the identical two-level quantized assignment of
+    // the FULL corpus, then exact integer ppm shares and the cross-ppm
+    // drift compare.
+    "x111_index_maintain" -> (unitCte +
+      s""", sp AS (SELECT CAST(FLOOR(MAX(vec_id) * 4.0 / 5.0) AS BIGINT)
+         |  AS split_id FROM unit_t),
+         |base_t AS (SELECT vec_id, u FROM unit_t, sp
+         |  WHERE vec_id < sp.split_id)""".stripMargin +
+      kmeansCteOver("base_t") +
+      s""", cents AS (SELECT cid, cu FROM c${graft.operators.Similarity.KmeansIters}),
+         |${quantizedRankedSql("cents")},
+         |asg AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+         |cc AS (SELECT cid,
+         |  CAST(SUM(CASE WHEN a.vec_id < sp.split_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_base,
+         |  CAST(SUM(CASE WHEN a.vec_id >= sp.split_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_delta
+         |  FROM asg a CROSS JOIN sp GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tot_base,
+         |  CAST(SUM(n_delta) AS BIGINT) AS tot_delta FROM cc)
+         |SELECT cid, n_base, n_delta,
+         |  CAST(n_base * 1000000 // tot_base AS BIGINT) AS base_share_ppm,
+         |  CAST(n_delta * 1000000 // tot_delta AS BIGINT) AS delta_share_ppm,
+         |  (n_delta * 1000000 // tot_delta) >
+         |    ${graft.operators.Similarity.IndexDriftTau} *
+         |    (n_base * 1000000 // tot_base) AS drift_flag
+         |FROM cc CROSS JOIN tt ORDER BY cid""".stripMargin),
+
+    // Mirrors Curation.clusterQuotaSample: the x28 16-bit cluster
+    // signature (simhash16Cte), quota rank over (13-hex md5 prefix,
+    // doc_id) — fixed-width lowercase hex orders identically to the
+    // Spark side's 52-bit numeric — null-cluster docs kept as
+    // singletons.
+    "x112_cluster_quota" -> (simhash16Cte +
+      s""", d AS (
+         |  SELECT doc.doc_id, sig.simhash AS cluster,
+         |    substring(md5(doc.text), 1, 13) AS h13
+         |  FROM documents doc LEFT JOIN sig ON doc.doc_id = sig.doc_id),
+         |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM d WHERE cluster IS NOT NULL GROUP BY 1),
+         |rk AS (SELECT doc_id, cluster,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY h13, doc_id) AS rn
+         |  FROM d WHERE cluster IS NOT NULL)
+         |SELECT d.doc_id, d.cluster,
+         |  COALESCE(sz.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+         |  CASE WHEN rk.rn <= ${graft.operators.Curation.ClusterQuota}
+         |    THEN CAST(rk.rn AS BIGINT) END AS q_rank,
+         |  (d.cluster IS NULL OR
+         |    rk.rn <= ${graft.operators.Curation.ClusterQuota}) AS kept
+         |FROM d LEFT JOIN sz ON d.cluster = sz.cluster
+         |LEFT JOIN rk ON d.doc_id = rk.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
 
     // q16/q22: the sketches are engine-specific, so the gated rows carry
     // exact values + booleans asserting the sketch landed within its

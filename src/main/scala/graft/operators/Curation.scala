@@ -838,4 +838,70 @@ object Curation {
           .as("oversample"))
       .orderBy("source")
   }
+
+  /** x112: per-cluster keep quota — at most this many documents survive
+    * from each near-dup signature cluster. A production run tunes it
+    * per corpus (D4-style diversity pruning keeps single digits per
+    * dense cluster). */
+  val ClusterQuota = 8
+
+  /** x112: DIVERSITY-QUOTA SAMPLING — the cluster-then-cap step between
+    * dedup and mixing (the D4 recipe, Tirumala et al. 2023,
+    * arXiv:2308.12284: dedup, cluster, then prune dense regions):
+    * every document is assigned to its 16-bit SimHash cluster (x28's
+    * CLUSTER signature — one codegen'd pass, no training), and each
+    * cluster keeps at most [[ClusterQuota]] members, chosen by content
+    * hash so the survivor set is a deterministic pure function of the
+    * corpus — reproducible across runs, partitionings, and engines.
+    * Dense boilerplate regions (one template crawled a million times
+    * lands in one cluster) are cut to a constant, while sparse clusters
+    * pass through whole — exactly the diversity-per-region contract a
+    * training mix wants after near-dedup.
+    *
+    * Scale shape is x77's (sourceCap): the per-cluster selection is the
+    * bounded-heap [[graft.functions.TopKByScore]] partial aggregate —
+    * each map partition reduces to ≤ quota rows per cluster BEFORE the
+    * shuffle, so the million-member cluster costs O(partitions·quota),
+    * never a `PARTITION BY cluster` rank window (which funnels the
+    * hottest cluster through one task). The 52-bit md5-prefix orders
+    * identically as a long (Spark, exact in the aggregator's double)
+    * and as a fixed-width lowercase hex string (oracle) — ties broken
+    * by doc_id on both sides. Null-text docs carry a null cluster and
+    * are kept as singletons (they have no content to be dense WITH —
+    * the x28 judgment). */
+  def clusterQuotaSample(spark: SparkSession, sfDir: String): DataFrame =
+    clusterQuotaSampleFrom(Tables.documentsParallel(spark, sfDir))
+
+  private[graft] def clusterQuotaSampleFrom(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val d = OperatorCaches.persist(docsDf.select(
+      col("doc_id"),
+      simhash64(col("text")).bitwiseAND(lit(Dedup.ClusterSigMask))
+        .as("cluster"),
+      conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long")
+        .as("h52")))
+    val withSig = d.filter(col("cluster").isNotNull)
+    val sizes = withSig.groupBy(col("cluster").as("k_cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val topk = udaf(new graft.functions.TopKByScore(ClusterQuota),
+      ExpressionEncoder[graft.functions.Neighbor]())
+    val kept = withSig
+      .groupBy("cluster")
+      .agg(topk((-col("h52")).cast("double"), col("doc_id"), lit(0))
+        .as("nbs"))
+      .select(col("cluster").as("q_cluster"),
+        posexplode(col("nbs")).as(Seq("pos", "nb")))
+      .select(col("q_cluster"), col("nb.neighbor_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("q_rank"))
+    d.join(sizes, col("cluster") === col("k_cluster"), "left")
+      .drop("k_cluster")
+      .join(kept,
+        col("cluster") === col("q_cluster") &&
+          d("doc_id") === kept("doc_id"), "left")
+      .select(d("doc_id"), col("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("q_rank"),
+        (col("cluster").isNull || col("q_rank").isNotNull).as("kept"))
+      .orderBy(d("doc_id"))
+  }
 }

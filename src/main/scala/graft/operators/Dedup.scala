@@ -180,6 +180,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** x110's canonical-form alphabet: ASCII A–Z / a–z for the case fold
+    * and the 32 ASCII punctuation characters (33–47, 58–64, 91–96,
+    * 123–126). Byte-level `translate` mappings, NOT Unicode case tables
+    * or regex character classes — locale-free and identical across
+    * engines by construction (Java's and utf8proc's Unicode lowercasing
+    * disagree on a handful of code points; a fixed 26-letter table
+    * cannot). Shared with the DuckDB oracle builder in lockstep. */
+  private[graft] val AsciiUpper: String = ('A' to 'Z').mkString
+  private[graft] val AsciiLower: String = ('a' to 'z').mkString
+  private[graft] val AsciiPunct: String =
+    ((33 to 47) ++ (58 to 64) ++ (91 to 96) ++ (123 to 126))
+      .map(_.toChar).mkString
+  private[graft] val CanonWs = "\t\n\r"
+
+  /** The canonical text form behind [[normalizedDedup]]: ASCII case
+    * fold, punctuation and control whitespace mapped to spaces, space
+    * runs collapsed, ends trimmed. Two `translate` passes plus one
+    * portable regex (`' +'` — no `\s`, whose class differs between
+    * Java and RE2) — a narrow codegen'd projection, scan speed at
+    * 100 TB. */
+  private[graft] def canonicalForm(text: Column): Column =
+    trim(regexp_replace(
+      translate(
+        translate(text, AsciiUpper, AsciiLower),
+        CanonWs + AsciiPunct,
+        " " * (CanonWs.length + AsciiPunct.length)),
+      " +", " "))
+
+  /** x110: NORMALIZED exact dedup — the second rung of the production
+    * dedup ladder (between x1's byte-exact hash and x2's MinHash): two
+    * documents are duplicates when their CANONICAL forms match, i.e.
+    * they differ only in case, punctuation, or whitespace — the CCNet /
+    * RefinedWeb normalization step that catches re-crawls and quote
+    * reformats byte-exact dedup misses. Same scale shape as x1: one
+    * narrow (doc_id, hash) projection persisted once, group stats via a
+    * partial-aggregated groupBy joined back on the hash (never a
+    * hash-partition window — a billion-copy boilerplate group must
+    * reduce map-side), null-safe join keys so null-text docs keep their
+    * group row. */
+  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
+    normalizedDedupFrom(Tables.documentsParallel(spark, sfDir))
+
+  private[graft] def normalizedDedupFrom(docs: DataFrame): DataFrame = {
+    val d = OperatorCaches.persist(docs
+      .select(col("doc_id"),
+        md5(canonicalForm(col("text"))).as("norm_hash"),
+        length(canonicalForm(col("text"))).cast("long").as("n_norm_chars")))
+    val groups = d.groupBy(col("norm_hash").as("k_norm")).agg(
+      min(col("doc_id")).as("norm_rep"),
+      count(lit(1)).as("norm_group_size"))
+    d.join(groups, col("norm_hash") <=> col("k_norm")).drop("k_norm")
+      .select(col("doc_id"), col("norm_hash"), col("n_norm_chars"),
+        col("norm_rep"), col("norm_group_size"),
+        (col("doc_id") === col("norm_rep")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash-LSH near-dup: candidates = pairs agreeing on ≥1 of 6 MinHash
     * bands (bucket join on (band, hash)), then verified with exact Jaccard
     * over the shingle sets — the classic generate→verify LSH shape. Only

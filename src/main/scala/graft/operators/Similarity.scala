@@ -407,8 +407,15 @@ object Similarity {
     * both sub-quadratic. Init is deterministic (lowest-vec_id slice), so
     * centroids remain bit-exact against the oracle's identical
     * derivation at every K. */
-  private def lloyd(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val e = normalized(spark, sfDir)
+  private def lloyd(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    lloydFrom(normalized(spark, sfDir))
+
+  /** [[lloyd]] over an arbitrary normalized (vec_id, u) relation — the
+    * seam that lets [[indexMaintain]] train on the BASE slice only (the
+    * production index is trained at snapshot time, then frozen while
+    * deltas stream in). K rides [[derivedCellsExpr]]'s √(N/8) curve over
+    * the TRAINING relation's count. */
+  private[graft] def lloydFrom(e: DataFrame): (DataFrame, DataFrame) = {
     var cents = standInCentroids(e)
     var lastAssign: DataFrame = null
     for (_ <- 1 to KmeansIters) {
@@ -665,5 +672,61 @@ object Similarity {
         coalesce(col("best.neighbor_id"), lit(-1L)).as("best_id"),
         coalesce(col("best.cos"), lit(-1.0)).as("best_cos"))
       .orderBy("query_id")
+  }
+
+  /** x111: drift factor — a cell is flagged when its ppm share of the
+    * DELTA exceeds [[IndexDriftTau]]× its ppm share of the BASE (the
+    * "this cell is filling up faster than the index was trained for"
+    * retrain alarm). Compared in exact ppm integers, never floats. */
+  val IndexDriftTau = 2L
+
+  /** x111: INCREMENTAL IVF INDEX MAINTENANCE — the between-retrains
+    * shape every production ANN deployment runs at 100 TB: the coarse
+    * quantizer is trained ONCE at snapshot time (here: Lloyd on the
+    * base 80% of the id space — x103's snapshot-boundary device), then
+    * frozen while new vectors are only ASSIGNED to the fixed cells.
+    * Output is the maintenance dashboard per cell: base/delta member
+    * counts, each side's ppm occupancy share, and a drift flag for
+    * cells receiving > [[IndexDriftTau]]× their proportional share of
+    * new mass — the signal that routing quality is decaying and a
+    * retrain (x33) plus quality audit (x90) is due.
+    *
+    * Scale shape: the split boundary is a 1-row broadcast aggregate
+    * (never a collect); training pays x33's fixed-round Lloyd cost on
+    * the base slice with K on the √(N/8) curve of the BASE count;
+    * assignment of the full corpus is the audited two-level
+    * [[quantizedRanking]] (~(1+[[SuperProbes]])·√K dots per vector, not
+    * K); everything after is one cell-keyed partial-aggregated groupBy
+    * (≤K rows) and a 1-row totals broadcast over it. The share math is
+    * integer ppm (exact in both engines); the flag is an integer
+    * compare of the two ppm shares, so a corpus of any size can never
+    * float-drift the gate. */
+  def indexMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normalized(spark, sfDir)
+    val split = e.agg(
+      floor(max(col("vec_id")).cast("double") * 4.0 / 5.0)
+        .cast("long").as("split_id"))
+    val base = e.crossJoin(broadcast(split))
+      .filter(col("vec_id") < col("split_id"))
+      .select("vec_id", "u")
+    val cents = lloydFrom(base)._1
+    val assign = quantizedRanking(e, cents).filter(col("crn") === 1)
+      .select("vec_id", "cid")
+    val counts = assign.crossJoin(broadcast(split))
+      .groupBy("cid")
+      .agg(
+        sum(when(col("vec_id") < col("split_id"), 1L).otherwise(0L))
+          .as("n_base"),
+        sum(when(col("vec_id") >= col("split_id"), 1L).otherwise(0L))
+          .as("n_delta"))
+    val totals = counts.agg(sum(col("n_base")).as("tot_base"),
+      sum(col("n_delta")).as("tot_delta"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cid"), col("n_base"), col("n_delta"),
+        expr("n_base * 1000000 DIV tot_base").as("base_share_ppm"),
+        expr("n_delta * 1000000 DIV tot_delta").as("delta_share_ppm"))
+      .withColumn("drift_flag",
+        col("delta_share_ppm") > lit(IndexDriftTau) * col("base_share_ppm"))
+      .orderBy("cid")
   }
 }

@@ -1897,4 +1897,105 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("x110 normalized dedup: case/punct/whitespace variants group; " +
+      "non-ASCII passes through; nulls and empty canonicals keep rows") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "Hello, World!"),       // canonical "hello world"
+      (1L, "hello world"),
+      (2L, "hello  \t world"),     // run + tab collapse
+      (3L, "Hello there"),         // distinct
+      (4L, null.asInstanceOf[String]),
+      (5L, "!!!"),                 // canonical "" ...
+      (6L, " \t "),                // ... groups with 5
+      (7L, "Café Bar"),       // é untouched, ASCII fold only →
+      (8L, "café bar")        // groups with 7
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.normalizedDedupFrom(fixture).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.size === 9, "every doc keeps its row")
+    def rep(id: Long) = r(id).getAs[Long]("norm_rep")
+    def sz(id: Long) = r(id).getAs[Long]("norm_group_size")
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(rep(id) === 0L && sz(id) === 3L, s"doc $id")
+    }
+    assert(r(0L).getAs[Boolean]("is_canonical"))
+    assert(!r(1L).getAs[Boolean]("is_canonical"))
+    assert(r(0L).getAs[Long]("n_norm_chars") === "hello world".length.toLong)
+    assert(rep(3L) === 3L && sz(3L) === 1L)
+    assert(r(4L).getAs[String]("norm_hash") === null)
+    assert(rep(4L) === 4L && sz(4L) === 1L, "null text is its own group")
+    assert(rep(5L) === 5L && sz(5L) === 2L && rep(6L) === 5L,
+      "all-punct and all-whitespace docs share the empty canonical")
+    assert(r(5L).getAs[Long]("n_norm_chars") === 0L)
+    assert(rep(7L) === 7L && sz(7L) === 2L && rep(8L) === 7L,
+      "ASCII-only case fold must still group the café pair")
+  }
+
+  test("x111 index maintenance: every vector assigned once, split at the " +
+      "80th percentile, ppm shares and drift flags self-consistent") {
+    val rows = Similarity.indexMaintain(spark, Sf).collect()
+    val e = graft.queries.Tables.embeddings(spark, Sf)
+    val n = e.count()
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val splitId = math.floor(maxId * 4.0 / 5.0).toLong
+    val nDelta = e.filter(col("vec_id") >= splitId).count()
+    val totBase = rows.map(_.getAs[Long]("n_base")).sum
+    val totDelta = rows.map(_.getAs[Long]("n_delta")).sum
+    assert(totBase + totDelta === n, "each vector lands in exactly one cell")
+    assert(totDelta === nDelta, "delta side is exactly the id-space tail")
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_base"); val nd = r.getAs[Long]("n_delta")
+      assert(nb + nd > 0)
+      assert(r.getAs[Long]("base_share_ppm") === nb * 1000000L / totBase)
+      assert(r.getAs[Long]("delta_share_ppm") === nd * 1000000L / totDelta)
+      assert(r.getAs[Boolean]("drift_flag") ===
+        (nd * 1000000L / totDelta >
+          Similarity.IndexDriftTau * (nb * 1000000L / totBase)))
+    }
+    val cids = rows.map(_.getAs[Long]("cid"))
+    assert(cids.distinct.length === cids.length, "one row per cell")
+  }
+
+  test("x112 cluster quota: dense cluster cut to the quota by (hash, id); " +
+      "sparse and null-cluster docs pass through") {
+    import spark.implicits._
+    val q = graft.operators.Curation.ClusterQuota
+    // 12 identical docs -> one cluster, identical content hash, so the
+    // quota must fall back to the doc_id tiebreak: lowest q kept
+    val dense = (0L until 12L).map(i => (i, "the same boilerplate page"))
+    val fixture = (dense ++ Seq(
+      (100L, "a genuinely unique document about alpine lakes"),
+      (101L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    val r = graft.operators.Curation.clusterQuotaSampleFrom(fixture)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.size === 14)
+    (0L until 12L).foreach { i =>
+      assert(r(i).getAs[Long]("cluster_size") === 12L)
+      assert(r(i).getAs[Boolean]("kept") === (i < q),
+        s"doc $i: identical hashes must keep the $q lowest ids")
+    }
+    (0L until q.toLong).foreach { i =>
+      assert(r(i).getAs[Long]("q_rank") === i + 1,
+        "rank order follows the doc_id tiebreak")
+    }
+    assert(r(100L).getAs[Boolean]("kept"))
+    assert(r(101L).getAs[Boolean]("kept") &&
+      r(101L).isNullAt(r(101L).fieldIndex("cluster")) &&
+      r(101L).getAs[Long]("cluster_size") === 1L,
+      "null text: null cluster, singleton, kept")
+    // corpus-level invariant: per cluster, kept == min(size, quota)
+    graft.util.OperatorCaches.release(spark)
+    val corpus = graft.operators.Curation.clusterQuotaSample(spark, Sf)
+      .collect()
+    corpus.filter(!_.isNullAt(1)).groupBy(_.getAs[Long]("cluster"))
+      .foreach { case (_, members) =>
+        val size = members.head.getAs[Long]("cluster_size")
+        assert(members.length.toLong === size)
+        assert(members.count(_.getAs[Boolean]("kept")).toLong ===
+          math.min(size, q.toLong))
+      }
+  }
 }

@@ -1147,6 +1147,68 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-11b tail: x110 has no window (group stats join back), " +
+      "x111's NLJs are aggregate-backed with no cartesian, x112 selects " +
+      "through the bounded-heap partial aggregate, never a cluster window") {
+    import graft.operators.Curation
+    def nljBuildsAggregateBacked(p: org.apache.spark.sql.execution.SparkPlan,
+        tag: String): Unit =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.foreach { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        }
+        // a ReusedExchangeExec is a LEAF that references its original
+        // exchange as a field — collect() cannot see through it, so
+        // resolve the reference before asking for the aggregate
+        def hasAgg(pl: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          pl.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+                if hasAgg(r.child) => null
+          }.isDefined
+        assert(hasAgg(build), s"$tag NLJ build is not aggregate-backed:\n$build")
+      }
+    // x110: x1's shape — a hash-partition window would buffer a
+    // billion-copy canonical group in one task; the guard pins the
+    // groupBy-join-back formulation (no WindowExec anywhere)
+    val p110 = withoutAqe {
+      Dedup.normalizedDedup(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p110.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"x110 must not window the corpus:\n$p110")
+    assert(!p110.toString.contains("CartesianProduct"))
+    graft.util.OperatorCaches.release(spark)
+    // x111: split boundary, cell-curve K, and ppm totals are 1-row
+    // aggregate broadcasts — every NLJ build must be aggregate-backed,
+    // and nothing may plan a cartesian
+    val p111 = withoutAqe {
+      Similarity.indexMaintain(spark, Sf).queryExecution.executedPlan
+    }
+    assert(!p111.toString.contains("CartesianProduct"),
+      s"cartesian in x111:\n$p111")
+    nljBuildsAggregateBacked(p111, "x111")
+    graft.util.OperatorCaches.release(spark)
+    // x112: the quota selection must be the ObjectHashAggregate bounded
+    // heap (partial-aggregated before the shuffle), NEVER a rank window
+    // partitioned by the cluster (which funnels the densest cluster
+    // through one task)
+    val p112 = withoutAqe {
+      Curation.clusterQuotaSample(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p112.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"x112 must not window by cluster:\n$p112")
+    assert(p112.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.nonEmpty, s"x112 quota selection is not the bounded-heap aggregate:\n$p112")
+    assert(!p112.toString.contains("CartesianProduct"))
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

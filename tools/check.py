@@ -226,7 +226,10 @@ def main(sf_dir, out_dir, skip=()):
         names.insert(0, "x2_minhash_lsh")
     x2_verified = False
     n_pass = n_fail = 0
+    import time
+    t_start = time.time()
     for name in names:
+        t_q = time.time()
         if name not in oracle:
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
@@ -244,7 +247,8 @@ def main(sf_dir, out_dir, skip=()):
                     if name == "x102_canonical_keep"
                     else con.execute(oracle[name]).df())
         except Exception as e:
-            print(f"{'ERROR':>9}  {name}: {e}")
+            print(f"{'ERROR':>9}  {name}: {e}  [{time.time() - t_q:.1f}s]",
+                  flush=True)
             n_fail += 1
             continue
         got = got[sorted(got.columns)]
@@ -285,11 +289,13 @@ def main(sf_dir, out_dir, skip=()):
             dt = [(c, str(got[c].dtype), str(want[c].dtype))
                   for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
             note = f"  dtypes differ: {dt}" if dt else ""
-            print(f"{'PASS':>9}  {name}: {len(got)} rows{note}")
+            print(f"{'PASS':>9}  {name}: {len(got)} rows{note}"
+                  f"  [{time.time() - t_q:.1f}s]", flush=True)
             n_pass += 1
             if name == "x2_minhash_lsh":
                 x2_verified = True
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total"
+          f"  [{time.time() - t_start:.0f}s]")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":

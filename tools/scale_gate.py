@@ -81,6 +81,12 @@ def main():
     ap.add_argument("--floor", type=float, default=2.0,
                     help="big-SF seconds below which the ratio is not judged")
     ap.add_argument("--skip-correctness", action="store_true")
+    ap.add_argument("--skip-oracle", default="",
+                    help="comma-separated queries to mark rows-only in the "
+                         "correctness phase (oracle SQL intractable at the "
+                         "big SF — e.g. the pair-relation re-derivations at "
+                         "sf10); they still run through Verify and both "
+                         "bench phases")
     ap.add_argument("--base-dir", default=SF01,
                     help="small-SF dir (ratio denominator)")
     ap.add_argument("--big-dir", default=SF1,
@@ -115,11 +121,12 @@ def main():
         if v.returncode != 0:
             sys.exit(f"Verify failed at {args.big_dir}")
         chk = [sys.executable, "tools/check.py", args.big_dir, vout]
+        skip = set(filter(None, args.skip_oracle.split(",")))
         if args.queries:
             oracle = json.load(open(os.path.join(vout, "oracle_sql.json")))
-            skip = sorted(set(oracle) - set(args.queries))
-            if skip:
-                chk += ["--skip", ",".join(skip)]
+            skip |= set(oracle) - set(args.queries)
+        if skip:
+            chk += ["--skip", ",".join(sorted(skip))]
         if run(chk).returncode != 0:
             failures.append(
                 f"{args.big_dir} correctness: check.py reported failures")

@@ -263,6 +263,12 @@ def main(sf_dir, out_dir, skip=()):
             continue
         bad = None
         for c in got.columns:
+            # vectorized fast path: Series.equals treats NaN==NaN and
+            # None==None as equal — exactly this loop's semantics; the
+            # python row loop below only runs to LOCATE a discrepancy
+            # (or when dtypes differ, where equals() is conservative)
+            if got[c].equals(want[c]):
+                continue
             a, b = got[c].tolist(), want[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
                 eq = (x == y) or (x is None and y is None)

@@ -113,11 +113,21 @@ def main():
         vout = "/tmp/scale_gate_verify"
         run(["rm", "-rf", vout])
         # Verify defaults to local[4] without SPARK_GRAFT_CPUS — at sf1+
-        # that quadruples the correctness phase for no signal gain
+        # that quadruples the correctness phase for no signal gain.
+        # SPARK_GRAFT_VERIFY_WIDE keeps the ordered range partitions as
+        # separate part files (DuckDB reads the glob back in name = sort
+        # order) — the single-file coalesce tail was measured to DOMINATE
+        # row-heavy queries at sf10 (6 of 6.5 min on the 10M-row MV).
+        # --skip-oracle queries are rows-only anyway; don't spend the
+        # Spark time materializing them here (bench still runs them).
+        excl = ""
+        if args.skip_oracle and not args.queries:
+            excl = " --exclude=" + args.skip_oracle
         v = run(["sbt", "-batch",
-                 f"runMain graft.Verify {args.big_dir} {vout} "
+                 f"runMain graft.Verify {args.big_dir} {vout}{excl} "
                  + " ".join(args.queries)],
-                env=dict(os.environ, SPARK_GRAFT_CPUS="32"))
+                env=dict(os.environ, SPARK_GRAFT_CPUS="32",
+                         SPARK_GRAFT_VERIFY_WIDE="1"))
         if v.returncode != 0:
             sys.exit(f"Verify failed at {args.big_dir}")
         chk = [sys.executable, "tools/check.py", args.big_dir, vout]

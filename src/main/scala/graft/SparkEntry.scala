@@ -226,7 +226,9 @@ object SparkEntry {
     "x109_length_drift" -> (CorpusStats.lengthDrift _),
     "x110_normalized_dedup" -> (Dedup.normalizedDedup _),
     "x111_index_maintain" -> (Similarity.indexMaintain _),
-    "x112_cluster_quota" -> (Curation.clusterQuotaSample _)
+    "x112_cluster_quota" -> (Curation.clusterQuotaSample _),
+    "x113_distill_calibration" -> (TextAnalysis.distillCalibration _),
+    "x114_split_leakage" -> (Curation.splitLeakage _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -328,6 +330,56 @@ object SparkEntry {
         |sz AS (SELECT component_rep, COUNT(*) AS component_size
         |       FROM lab GROUP BY 1)
         |""".stripMargin
+
+  /** x100's full distillation pipeline as a CTE ending in `nbout` (the
+    * mirror of [[graft.operators.TextAnalysis.nbDistillFrom]]'s output)
+    * — shared by the x100 oracle and x113's calibration table. */
+  private lazy val nbDistillCte: String = {
+    val b = graft.operators.TextAnalysis.ClassifierBuckets
+    val sc = graft.operators.TextAnalysis.IdfScale
+    val stopSql = graft.functions.TextFunctions.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |tb AS (
+       |  SELECT doc_id, ${polyhashSql("w")} % $b AS bucket,
+       |    CASE WHEN w IN ($stopSql) THEN 1 ELSE 0 END AS is_stop
+       |  FROM tk),
+       |tg AS (
+       |  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(is_stop) AS BIGINT) AS n_stop
+       |  FROM tb GROUP BY 1, 2),
+       |lab AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    SUM(n_stop) * 10 >= SUM(cnt) AS teacher_good
+       |  FROM tg GROUP BY 1),
+       |tr AS (
+       |  SELECT bucket,
+       |    CAST(SUM(CASE WHEN lab.teacher_good THEN cnt ELSE 0 END)
+       |      AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN NOT lab.teacher_good THEN cnt ELSE 0 END)
+       |      AS BIGINT) AS c0
+       |  FROM tg JOIN lab USING (doc_id) GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+       |         CAST(SUM(c0) AS BIGINT) AS t0 FROM tr),
+       |wt AS (
+       |  SELECT bucket,
+       |    CAST(FLOOR(LN(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + $b AS DOUBLE))
+       |      * $sc.0 + 0.5) AS BIGINT)
+       |    - CAST(FLOOR(LN(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + $b AS DOUBLE))
+       |      * $sc.0 + 0.5) AS BIGINT) AS w_q
+       |  FROM tr, tt),
+       |sc2 AS (
+       |  SELECT doc_id, CAST(SUM(cnt * w_q) AS BIGINT) AS score_q
+       |  FROM tg JOIN wt USING (bucket) GROUP BY 1),
+       |nbout AS (
+       |  SELECT lab.doc_id, lab.n_tokens, lab.teacher_good,
+       |    COALESCE(sc2.score_q, 0) AS score_q,
+       |    COALESCE(sc2.score_q, 0) > 0 AS student_keep
+       |  FROM lab LEFT JOIN sc2 USING (doc_id))
+       |""".stripMargin
+  }
 
   /** x103 / x104 shared oracle: the delta-vs-base near-dup SQL (both
     * the batch pipeline and the streaming composition reduce to this
@@ -3573,51 +3625,51 @@ object SparkEntry {
     // Mirrors TextAnalysis.nbDistill: one token pass into (doc, bucket)
     // counts, stopword-ratio teacher labels, add-one NB log-odds per
     // bucket through the IdfScale fixed-point ln, broadcast-applied.
-    "x100_nb_distill" -> {
-      val b = graft.operators.TextAnalysis.ClassifierBuckets
-      val sc = graft.operators.TextAnalysis.IdfScale
-      val stopSql = graft.functions.TextFunctions.Stopwords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |  FROM documents WHERE text IS NOT NULL),
-         |tb AS (
-         |  SELECT doc_id, ${polyhashSql("w")} % $b AS bucket,
-         |    CASE WHEN w IN ($stopSql) THEN 1 ELSE 0 END AS is_stop
-         |  FROM tk),
-         |tg AS (
-         |  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |    CAST(SUM(is_stop) AS BIGINT) AS n_stop
-         |  FROM tb GROUP BY 1, 2),
-         |lab AS (
-         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-         |    SUM(n_stop) * 10 >= SUM(cnt) AS teacher_good
-         |  FROM tg GROUP BY 1),
-         |tr AS (
-         |  SELECT bucket,
-         |    CAST(SUM(CASE WHEN lab.teacher_good THEN cnt ELSE 0 END)
-         |      AS BIGINT) AS c1,
-         |    CAST(SUM(CASE WHEN NOT lab.teacher_good THEN cnt ELSE 0 END)
-         |      AS BIGINT) AS c0
-         |  FROM tg JOIN lab USING (doc_id) GROUP BY 1),
-         |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
-         |         CAST(SUM(c0) AS BIGINT) AS t0 FROM tr),
-         |wt AS (
-         |  SELECT bucket,
-         |    CAST(FLOOR(LN(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + $b AS DOUBLE))
-         |      * $sc.0 + 0.5) AS BIGINT)
-         |    - CAST(FLOOR(LN(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + $b AS DOUBLE))
-         |      * $sc.0 + 0.5) AS BIGINT) AS w_q
-         |  FROM tr, tt),
-         |sc2 AS (
-         |  SELECT doc_id, CAST(SUM(cnt * w_q) AS BIGINT) AS score_q
-         |  FROM tg JOIN wt USING (bucket) GROUP BY 1)
-         |SELECT lab.doc_id, lab.n_tokens, lab.teacher_good,
-         |  COALESCE(sc2.score_q, 0) AS score_q,
-         |  COALESCE(sc2.score_q, 0) > 0 AS student_keep
-         |FROM lab LEFT JOIN sc2 USING (doc_id)
-         |ORDER BY lab.doc_id""".stripMargin
+    "x100_nb_distill" -> (nbDistillCte +
+      """SELECT doc_id, n_tokens, teacher_good, score_q, student_keep
+        |FROM nbout ORDER BY doc_id""".stripMargin),
+
+    // Mirrors TextAnalysis.distillCalibration: x100's student binned
+    // into 10 equal-width score bands (edges from the corpus's own
+    // min/max — integer `div`, numerator non-negative on both engines).
+    "x113_distill_calibration" -> {
+      val bins = graft.operators.TextAnalysis.CalibrationBins
+      nbDistillCte +
+        s""", rng AS (SELECT MIN(score_q) AS mn, MAX(score_q) AS mx
+           |           FROM nbout)
+           |SELECT ((score_q - mn) * $bins) // (mx - mn + 1) AS bin,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN teacher_good THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_good,
+           |  CAST(SUM(CASE WHEN student_keep THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_keep,
+           |  MIN(score_q) AS score_lo, MAX(score_q) AS score_hi,
+           |  CAST(SUM(CASE WHEN teacher_good THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS good_rate
+           |FROM nbout, rng GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // Mirrors Curation.splitLeakage: x2's verified pair relation
+    // cross-tabulated against x20's content-hash folds.
+    "x114_split_leakage" -> (lshPairsCte +
+      s""", fold AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${polyhashSql("text")} % 100 < 80 THEN 'train'
+         |         WHEN ${polyhashSql("text")} % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |cells AS (
+         |  SELECT LEAST(fa.split, fb.split) AS fold_a,
+         |    GREATEST(fa.split, fb.split) AS fold_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM lsh_pairs p
+         |  JOIN fold fa ON fa.doc_id = p.doc_a
+         |  JOIN fold fb ON fb.doc_id = p.doc_b
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells)
+         |SELECT fold_a, fold_b, n_pairs, fold_a <> fold_b AS leaked,
+         |  CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE) AS pair_share
+         |FROM cells, tot ORDER BY fold_a, fold_b""".stripMargin),
 
     // Mirrors Dedup.dupComponents: reachability closure over x2's pair
     // graph (the oracle can afford transitive closure at gate SF; the

@@ -904,4 +904,49 @@ object Curation {
         (col("cluster").isNull || col("q_rank").isNotNull).as("kept"))
       .orderBy(d("doc_id"))
   }
+
+  /** x114: SPLIT-LEAKAGE AUDIT — the contingency table of verified
+    * near-dup pairs (x2's pair relation) against x20's train/valid/test
+    * folds: for every fold pair, how many near-dup pairs land with one
+    * member in each. x20's content-hash split keeps EXACT duplicates in
+    * one fold by construction; near-duplicates can still straddle a
+    * boundary and leak eval text into training — the audit every
+    * dedup-aware split ships with (the reason production pipelines
+    * split by near-dup COMPONENT, not by document). Rows with
+    * `leaked = true` are the cross-fold mass; `pair_share` weights each
+    * cell against the whole pair relation.
+    *
+    * Scale shape: the pair relation is the session-shared
+    * [[Dedup.pairTable]] materialization (fourth consumer, after
+    * x99/x101/x102 — one LSH build per session); the fold table is a
+    * narrow per-doc projection joined twice on doc_id (shuffle linear
+    * in |pairs| + |docs|), the total a 1-row broadcast, and the output
+    * ≤ 6 rows (3 folds choose 2 + diagonal) at any corpus size. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakageFrom(
+      trainSplit(spark, sfDir).select(col("doc_id"), col("split")),
+      Dedup.pairTable(spark, sfDir))
+
+  /** [[splitLeakage]] over arbitrary (doc_id, split) fold and
+    * (doc_a, doc_b) pair relations — the testable core (fixtures pin
+    * the contingency cells and shares on hand-built graphs). */
+  private[graft] def splitLeakageFrom(
+      folds: DataFrame, pairs: DataFrame): DataFrame = {
+    val cells = pairs
+      .join(folds.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(folds.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .select(least(col("split_a"), col("split_b")).as("fold_a"),
+        greatest(col("split_a"), col("split_b")).as("fold_b"))
+      .groupBy("fold_a", "fold_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("fold_a"), col("fold_b"), col("n_pairs"),
+        (col("fold_a") =!= col("fold_b")).as("leaked"),
+        (col("n_pairs").cast("double") / col("n_total").cast("double"))
+          .as("pair_share"))
+      .orderBy("fold_a", "fold_b")
+  }
 }

@@ -1093,6 +1093,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x113: reliability-table bin count. */
+  val CalibrationBins = 10
+
+  /** x113: DISTILLATION CALIBRATION EVAL — the reliability table for
+    * x100's distilled student: documents are binned into
+    * [[CalibrationBins]] equal-width score bands (edges derived from
+    * the corpus's own min/max score, so the table is a pure function
+    * of the corpus), and each band reports how often the TEACHER said
+    * good — the monotone-rate check that tells a deployment whether
+    * the student's score orders documents the way the teacher would,
+    * and where to put the keep threshold (x100 hard-codes score > 0;
+    * this table is the evidence for moving it). Completes the
+    * every-model-ships-with-an-eval pattern: x58 evaluates x6/x7,
+    * x99 evaluates x2, x106 evaluates x105, x90 evaluates x33 — x100
+    * was the one trained artifact without its eval.
+    *
+    * Scale shape: inherits x100's (one corpus scan into the persisted
+    * doc×bucket relation, a 4096-row broadcast weight table); the eval
+    * layer adds a 1-row min/max broadcast and a ≤ [[CalibrationBins]]-
+    * row aggregate. Binning is exact integer arithmetic —
+    * `(score−mn)·bins div (mx−mn+1)`, numerator non-negative by
+    * construction, so truncation ≡ floor on both engines and the top
+    * score lands in bin bins−1; the only double is good_rate's single
+    * division. */
+  def distillCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    distillCalibrationFrom(docs(spark, sfDir))
+
+  /** [[distillCalibration]] over an arbitrary (doc_id, text) relation —
+    * the testable core (fixtures pin bin edges and rates against a
+    * driver-side model). */
+  private[graft] def distillCalibrationFrom(d: DataFrame): DataFrame = {
+    val scored = nbDistillFrom(d)
+    val rng = scored.agg(min(col("score_q")).as("mn"),
+      max(col("score_q")).as("mx"))
+    scored.crossJoin(broadcast(rng))
+      .withColumn("bin",
+        expr(s"((score_q - mn) * $CalibrationBins) div (mx - mn + 1)"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("teacher_good"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("student_keep"), 1L).otherwise(0L)).as("n_keep"),
+        min(col("score_q")).as("score_lo"),
+        max(col("score_q")).as("score_hi"))
+      .withColumn("good_rate",
+        col("n_good").cast("double") / col("n_docs").cast("double"))
+      .orderBy("bin")
+  }
+
   /** The Gopher rule stopword set (Rae et al. 2021, appendix A1.1) —
     * deliberately distinct from [[graft.functions.TextFunctions.Stopwords]]
     * (the scoring list): the Gopher rule asks for ≥ 2 hits from exactly

@@ -1672,6 +1672,77 @@ class OperatorsSpec extends SparkSpec {
     (4 to 6).foreach(i => assert(!out(i.toLong)._4, s"doc $i must drop"))
   }
 
+  test("x113 distill calibration: bins match a driver-side model over " +
+      "x100's own scores; extremes land in bins 0 and 9") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val stops = graft.functions.TextFunctions.Stopwords
+    // three score levels: all-stopword (high), mixed, stopword-free (low)
+    val hi = stops.take(8).mkString(" ") + " neutral"
+    val mid = stops.take(4).mkString(" ") + " xylo quark zept flurb"
+    val lo = "xylo quark zept flurb neutral"
+    val fixture = ((1 to 3).map(i => (i.toLong, hi)) ++
+      (4 to 6).map(i => (i.toLong, mid)) ++
+      (7 to 9).map(i => (i.toLong, lo))).toDF("doc_id", "text")
+    val scored = TextAnalysis.nbDistillFrom(fixture).collect()
+      .map(r => (r.getLong(3), r.getBoolean(2), r.getBoolean(4)))
+    val out = TextAnalysis.distillCalibrationFrom(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    val bins = TextAnalysis.CalibrationBins
+    val mn = scored.map(_._1).min
+    val mx = scored.map(_._1).max
+    val expected = scored.groupBy { case (s, _, _) =>
+      (s - mn) * bins / (mx - mn + 1) }
+      .map { case (bin, xs) =>
+        bin -> ((xs.size.toLong, xs.count(_._2).toLong,
+          xs.count(_._3).toLong, xs.map(_._1).min, xs.map(_._1).max,
+          xs.count(_._2).toDouble / xs.size)) }
+    assert(out === expected)
+    assert(out.contains(0L) && out.contains((bins - 1).toLong),
+      "min and max scores must land in the first and last bin")
+    // the reliability check itself: higher-score bins are never worse
+    val rates = out.toSeq.sortBy(_._1).map(_._2._6)
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      s"good_rate must be monotone on this separable fixture: $rates")
+  }
+
+  test("x113 calibration: a constant-score corpus degenerates to one " +
+      "full bin 0") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val fixture = (1 to 4).map(i => (i.toLong, "same text tokens here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.distillCalibrationFrom(fixture).collect()
+    graft.util.OperatorCaches.release(spark)
+    assert(out.length === 1 && out.head.getLong(0) === 0L &&
+      out.head.getLong(1) === 4L)
+  }
+
+  test("x114 split leakage: contingency cells, leak flags, and shares " +
+      "match a hand-built fold/pair graph") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val folds = Seq(
+      1L -> "train", 2L -> "train", 3L -> "valid", 4L -> "test",
+      5L -> "train", 6L -> "valid").toDF("doc_id", "split")
+    val pairs = Seq(
+      (1L, 2L), // train-train: clean
+      (1L, 3L), // train-valid: leak
+      (3L, 4L), // test-valid: leak (canonicalized lexically)
+      (5L, 6L), // train-valid: leak (same cell as (1,3))
+      (2L, 5L)  // train-train: clean
+    ).toDF("doc_a", "doc_b")
+    val out = Curation.splitLeakageFrom(folds, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      ("train", "train") -> ((2L, false, 0.4)),
+      ("train", "valid") -> ((2L, true, 0.4)),
+      ("test", "valid") -> ((1L, true, 0.2))))
+  }
+
   test("x101 cc core: large-star/small-star converges to min-labeled " +
       "components on path, star, merged, and isolated fixtures") {
     import spark.implicits._

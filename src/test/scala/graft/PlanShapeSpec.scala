@@ -1209,6 +1209,62 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("round-11c tail: x113 inherits x100's one-scan/broadcast-weight " +
+      "shape; x114 reads the materialized pair table (no LSH re-plan), " +
+      "folds join hash-wise, NLJs aggregate-backed") {
+    import graft.operators.{Curation, TextAnalysis => TA}
+    // x113: the calibration layer must not add a corpus rescan — the
+    // whole eval is x100's persisted token-bucket relation plus bounded
+    // aggregates; the min/max range rides a 1-row aggregate NLJ
+    val p113 = withoutAqe {
+      TA.distillCalibration(spark, Sf).queryExecution.executedPlan
+    }
+    val scans113 = p113.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans113.size <= 1, s"x113 rescans the corpus:\n$p113")
+    assert(!p113.toString.contains("CartesianProduct"),
+      s"cartesian in x113:\n$p113")
+    p113.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x113 NLJ build is not aggregate-backed:\n$build")
+    }
+    graft.util.OperatorCaches.release(spark)
+    // x114: fifth consumer of the pair-table seam — its plan must scan
+    // the checkpointed pairs (ExistingRDD), never re-plan the LSH build
+    // (no band-bucket cap downstream of the seam), and the fold lookups
+    // are equi-joins; the only NLJ is the 1-row pair-total share
+    val p114 = withoutAqe {
+      Curation.splitLeakage(spark, Sf).queryExecution.executedPlan
+    }
+    assert(p114.toString.contains("ExistingRDD"),
+      s"x114's pair side is not the materialized pair table:\n$p114")
+    assert(!p114.toString.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"x114 re-plans the LSH build instead of scanning the pair table:\n$p114")
+    assert(!p114.toString.contains("CartesianProduct"),
+      s"cartesian in x114:\n$p114")
+    p114.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x114 NLJ build is not aggregate-backed:\n$build")
+    }
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("Tables.parallelized: no-op (no Exchange) on already-parallel input, " +
       "repartitions only a narrow local scan") {
     import graft.queries.Tables

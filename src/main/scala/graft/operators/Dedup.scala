@@ -66,6 +66,23 @@ object Dedup {
     * results are unchanged. */
   private[graft] val MaxBandBucket = 256
 
+  /** x2's VERIFY-VOLUME budget (the round-11 full-battery sf10 gate
+    * finding): total in-bucket verify work — Σ over kept buckets of
+    * bsz² (the pair enumeration each bucket pays) — is capped at this
+    * × N documents. The per-bucket cap alone ([[MaxBandBucket]]) bounds
+    * the WORST bucket but not the AGGREGATE: on a vocabulary-dense
+    * corpus every bucket fills toward the cap together, and between
+    * sf1 (~25 docs/bucket) and sf10 (~230) the aggregate grew ∝ N² —
+    * the 20.9×/decade x2 row in the round-11 sf10 linearity gate. The
+    * budget keeps SMALLEST-occupancy bucket classes first (x3's
+    * [[MaxCandidateVolumePerDoc]] df-class device, applied to the
+    * bucket-size histogram), making verify work ≤ budget·N at every
+    * SF. 256/doc keeps the sf0.01/sf0.1/sf1 gates cut-free (measured
+    * volume ≲ 150/doc there), so small-SF results are unchanged; on
+    * corpora dense enough to cut, the recall cost is MEASURED by x99
+    * (the LSH recall eval), never silent. */
+  private[graft] val MaxVerifyVolumePerDoc = 256L
+
   /** Stop-shingle document-frequency FLOOR for [[ngramJaccard]]: the
     * operative cut is the corpus-derived [[dfCapExpr]] = max(this,
     * ⌈N/100⌉) — a shingle is "boilerplate" when it appears in more than
@@ -410,9 +427,26 @@ object Dedup {
     // cache, which measured 2.5× cheaper at sf0.1 than materializing
     // the joined relation — the band table is cheap to rebuild from
     // cached signatures but costly to push through the block manager.
-    val keptBuckets = allBands.groupBy("band", "h")
+    val bstats = allBands.groupBy("band", "h")
       .agg(sum(col("gsz")).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
+    // VERIFY-VOLUME budget ([[MaxVerifyVolumePerDoc]]·N): keep
+    // smallest-occupancy bucket classes while cumulative Σ nb·bsz²
+    // stays within budget — derived over the bucket-size HISTOGRAM
+    // (≤ MaxBandBucket rows, so the running-sum window is a tiny
+    // single-partition stage, never a corpus-sized one), threshold a
+    // 1-row broadcast — x3's df-class device at the bucket level.
+    val nTot = mins.agg(sum(col("gsz")).as("n_docs"))
+    val bhist = bstats.groupBy("bsz").agg(count(lit(1)).as("nb"))
+    val keepB = bhist
+      .withColumn("cum",
+        sum(col("nb") * col("bsz") * col("bsz")).over(Window.orderBy("bsz")))
+      .join(broadcast(nTot))
+      .filter(col("cum") <= lit(MaxVerifyVolumePerDoc) * col("n_docs"))
+      .agg(coalesce(max(col("bsz")), lit(1L)).as("bsz_keep"))
+    val keptBuckets = bstats
+      .join(broadcast(keepB))
+      .filter(col("bsz") <= col("bsz_keep"))
       .select("band", "h")
     val bands = allBands.join(keptBuckets, Seq("band", "h"))
     // IN-BUCKET VERIFY (the round-11 sf10 gate finding). The previous

@@ -283,22 +283,10 @@ object SparkEntry {
        |      x -> md5('s' || p.band || ':' || x))), 1, 15) AS h
        |  FROM sh, (SELECT unnest(range(0, ${graft.operators.Dedup.NumMinhashes})) AS band) p
        |  WHERE len(sh) > 0
-       |), kept0 AS (
-       |  SELECT band, h, CAST(COUNT(*) AS BIGINT) AS bsz
+       |), kept AS (
+       |  SELECT band, h
        |  FROM all_bands GROUP BY band, h
        |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBandBucket}
-       |), bhist AS (
-       |  SELECT bsz, CAST(COUNT(*) AS BIGINT) AS nb FROM kept0 GROUP BY 1
-       |), nt AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh WHERE len(sh) > 0
-       |), kcls AS (
-       |  SELECT COALESCE(MAX(bsz), 1) AS bsz_keep FROM (
-       |    SELECT bsz, SUM(nb * bsz * bsz) OVER (ORDER BY bsz
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |    FROM bhist) c, nt
-       |  WHERE cum <= ${graft.operators.Dedup.MaxVerifyVolumePerDoc} * n_docs
-       |), kept AS (
-       |  SELECT band, h FROM kept0, kcls WHERE bsz <= bsz_keep
        |), bands AS (
        |  SELECT ab.doc_id, ab.band, ab.h
        |  FROM all_bands ab JOIN kept USING (band, h)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSql, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -65,23 +65,6 @@ object Dedup {
     * corpora (max bucket 114 at the 50k-doc sf1) the cap never fires and
     * results are unchanged. */
   private[graft] val MaxBandBucket = 256
-
-  /** x2's VERIFY-VOLUME budget (the round-11 full-battery sf10 gate
-    * finding): total in-bucket verify work — Σ over kept buckets of
-    * bsz² (the pair enumeration each bucket pays) — is capped at this
-    * × N documents. The per-bucket cap alone ([[MaxBandBucket]]) bounds
-    * the WORST bucket but not the AGGREGATE: on a vocabulary-dense
-    * corpus every bucket fills toward the cap together, and between
-    * sf1 (~25 docs/bucket) and sf10 (~230) the aggregate grew ∝ N² —
-    * the 20.9×/decade x2 row in the round-11 sf10 linearity gate. The
-    * budget keeps SMALLEST-occupancy bucket classes first (x3's
-    * [[MaxCandidateVolumePerDoc]] df-class device, applied to the
-    * bucket-size histogram), making verify work ≤ budget·N at every
-    * SF. 256/doc keeps the sf0.01/sf0.1/sf1 gates cut-free (measured
-    * volume ≲ 150/doc there), so small-SF results are unchanged; on
-    * corpora dense enough to cut, the recall cost is MEASURED by x99
-    * (the LSH recall eval), never silent. */
-  private[graft] val MaxVerifyVolumePerDoc = 256L
 
   /** Stop-shingle document-frequency FLOOR for [[ngramJaccard]]: the
     * operative cut is the corpus-derived [[dfCapExpr]] = max(this,
@@ -374,8 +357,19 @@ object Dedup {
     * bucket ~230 docs, just under the cap) made candidates ≈
     * #buckets·cap²/2 ≈ 3·10⁸ and even fp ARRAYS per pair measured a
     * 55+ GB fetch exchange — so verify now happens INSIDE the bucket
-    * row (see the in-bucket comment at the code), and only survivor
-    * pairs cross an exchange. Band-bucket hashes ride the bucket key
+    * row, and only survivor pairs cross an exchange. Round 12 replaced
+    * the in-bucket PAIRWISE enumeration (O(m²·|fp|) per bucket — the
+    * cap-filling transitional-quadratic window the round-11 sf10
+    * linearity gate flagged at 20.9×/decade) with a shared inverted
+    * fingerprint index per bucket ([[graft.expressions.SelfBucketPairs]],
+    * O(m·|fp| + Σ_pairs inter)); the same round DELETED the short-lived
+    * aggregate verify-volume budget the round-11 snapshot had landed
+    * ungated — it silently cut ~26% of true pairs on dense fixtures
+    * (the hot-bucket spec caught it), and the inverted index removes
+    * the cost problem the budget existed for without shedding ANY pair.
+    * The recall contract is therefore the pre-budget one again: every
+    * pair a surviving (≤ [[MaxBandBucket]]-doc) bucket surfaces is
+    * verified and reported. Band-bucket hashes ride the bucket key
     * the same way (min-signature truncated to the same 60-bit
     * long, again oracle-mirrored — truncation after the min on both
     * sides, so no order property is even needed).
@@ -427,26 +421,9 @@ object Dedup {
     // cache, which measured 2.5× cheaper at sf0.1 than materializing
     // the joined relation — the band table is cheap to rebuild from
     // cached signatures but costly to push through the block manager.
-    val bstats = allBands.groupBy("band", "h")
+    val keptBuckets = allBands.groupBy("band", "h")
       .agg(sum(col("gsz")).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
-    // VERIFY-VOLUME budget ([[MaxVerifyVolumePerDoc]]·N): keep
-    // smallest-occupancy bucket classes while cumulative Σ nb·bsz²
-    // stays within budget — derived over the bucket-size HISTOGRAM
-    // (≤ MaxBandBucket rows, so the running-sum window is a tiny
-    // single-partition stage, never a corpus-sized one), threshold a
-    // 1-row broadcast — x3's df-class device at the bucket level.
-    val nTot = mins.agg(sum(col("gsz")).as("n_docs"))
-    val bhist = bstats.groupBy("bsz").agg(count(lit(1)).as("nb"))
-    val keepB = bhist
-      .withColumn("cum",
-        sum(col("nb") * col("bsz") * col("bsz")).over(Window.orderBy("bsz")))
-      .join(broadcast(nTot))
-      .filter(col("cum") <= lit(MaxVerifyVolumePerDoc) * col("n_docs"))
-      .agg(coalesce(max(col("bsz")), lit(1L)).as("bsz_keep"))
-    val keptBuckets = bstats
-      .join(broadcast(keepB))
-      .filter(col("bsz") <= col("bsz_keep"))
       .select("band", "h")
     val bands = allBands.join(keptBuckets, Seq("band", "h"))
     // IN-BUCKET VERIFY (the round-11 sf10 gate finding). The previous
@@ -464,17 +441,15 @@ object Dedup {
     // (group, band) membership row (an O(groups·bands) exchange),
     // aggregate the bucket's members into one row (collect_list is
     // BOUNDED at [[MaxBandBucket]] entries × ~450 B by the cap — the
-    // cap IS the state bound), enumerate the bucket's ordered pairs
-    // with a double explode, and verify IMMEDIATELY in the same map
+    // cap IS the state bound), and verify IMMEDIATELY in the same map
     // stage. Only (gk_a, gk_b, inter, jaccard) SURVIVORS ever reach
     // another exchange — the per-pair array shipping is gone
-    // structurally, not just compressed. Verify work is unchanged
-    // (≤ cap²/2 intersections per bucket, in memory); a pair
+    // structurally, not just compressed. A pair
     // co-bucketed in k bands verifies k times instead of once
     // (k ≤ [[NumMinhashes]], and identical arrays give identical
     // values, so the n_bands groupBy's max() is exact). Skew is
-    // bounded STRUCTURALLY: one bucket row carries ≤ cap members and
-    // enumerates ≤ cap²/2 pairs inside one task — the quadratic
+    // bounded STRUCTURALLY: one bucket row carries ≤ cap members
+    // inside one task — the quadratic
     // blow-up the cap exists to prevent cannot reappear downstream
     // of it. Values are bit-identical to the fetch-join formulation
     // (same fingerprints, same arithmetic); the oracle is untouched.
@@ -486,23 +461,22 @@ object Dedup {
     val bucketed = memb.groupBy("band", "h")
       .agg(collect_list(struct(col("gk"), col("gsz"), col("fpa"),
         col("n"))).as("ms"))
-    // <= keeps the self-pair (within-group duplicates); a singleton
-    // group's self-pair would expand to zero member pairs — cut it here
-    // instead of carrying every unique document through verify.
+    // The pair enumeration + Jaccard verify runs INSIDE the bucket row
+    // over a SHARED inverted fingerprint index
+    // ([[graft.expressions.SelfBucketPairs]]): per-bucket cost is
+    // O(members·|fp| + Σ_pairs inter) instead of the double-explode +
+    // array_intersect form's O(members²·|fp|) — the round-12 fix for
+    // the cap-filling transitional-quadratic window the round-11 sf10
+    // gate measured (20.9×/decade), with NO recall change: the τ = 0.02
+    // floor makes inter = 0 pairs unreachable either way, so the
+    // survivor set (cross-group pairs ordered by gk, plus gsz ≥ 2
+    // self-pairs) is bit-identical. Only survivors leave the map stage.
     val gver = bucketed
-      .select(col("band"), explode(col("ms")).as("a"), col("ms"))
-      .select(col("band"), col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.gk") < col("b.gk") ||
-        (col("a.gk") === col("b.gk") && col("a.gsz") >= 2))
-      .withColumn("inter",
-        size(array_intersect(col("a.fpa"), col("b.fpa"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("a.n") + col("b.n") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.02)
-      .groupBy(col("a.gk").as("gk_a"), col("b.gk").as("gk_b"))
-      .agg(count(lit(1)).as("n_bands"), max(col("inter")).as("inter"),
-        max(col("jaccard")).as("jaccard"))
+      .select(explode(GraftSql.column(graft.expressions.SelfBucketPairs(
+        GraftSql.expression(col("ms")), 0.02))).as("p"))
+      .groupBy(col("p.gk_a").as("gk_a"), col("p.gk_b").as("gk_b"))
+      .agg(count(lit(1)).as("n_bands"), max(col("p.inter")).as("inter"),
+        max(col("p.jaccard")).as("jaccard"))
     // Expansion to member pairs: cross-group survivors emit every member
     // combination (ordered per pair by id); self-pairs emit each
     // within-group pair once. Output-sized streaming joins on gk.
@@ -1377,28 +1351,44 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= MaxBandBucket)
       .select("band", "h")
-    val cand = bands.filter(col("is_delta"))
-      .select(col("doc_id").as("delta_id"), col("band"), col("h"))
-      .join(baseBands.join(keptBuckets, Seq("band", "h"))
-        .select(col("doc_id").as("base_id"), col("band"), col("h")),
-        Seq("band", "h"))
-      .groupBy("delta_id", "base_id")
-      .agg(count(lit(1)).as("n_bands"))
     def fpOf(arr: Column): Column = transform(arr,
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
     val fps = marked.select(col("doc_id"), fpOf(col("sh")).as("fp"),
-      size(col("sh")).as("n"))
-    val ver = cand
+      size(col("sh")).cast("long").as("n"))
+    // The base side is aggregated to ONE inverted-index row per kept
+    // bucket ([[graft.expressions.BuildBucketIndex]] — collect_list is
+    // bounded by the cap), and each delta probe verifies against it
+    // inside the join's map stage
+    // ([[graft.expressions.ProbeBucketIndex]]): the round-12 fix for
+    // the candidate fetch-join shape the round-11 sf10 gate flagged at
+    // 21.3×/decade, which shipped BOTH fingerprint arrays once per
+    // (delta, base) CANDIDATE across two exchanges. Now the probe array
+    // crosses once per band and the bucket index once per bucket; only
+    // τ-survivors leave the map stage. Values are bit-identical (same
+    // fingerprints, same IEEE arithmetic) — the oracle is untouched. A
+    // pair surfacing in k agreeing bands verifies k times with
+    // identical values; the per-pair max() below collapses them —
+    // same match set as the old candidate-level pair dedup.
+    val buckets = baseBands
+      .join(keptBuckets, Seq("band", "h"))
+      .join(fps, "doc_id")
+      .groupBy("band", "h")
+      .agg(collect_list(struct(col("doc_id"), col("fp"), col("n")))
+        .as("ms"))
+      .select(col("band"), col("h"),
+        GraftSql.column(graft.expressions.BuildBucketIndex(
+          GraftSql.expression(col("ms")))).as("idx"))
+    val ver = bands.filter(col("is_delta"))
+      .select(col("doc_id").as("delta_id"), col("band"), col("h"))
       .join(fps.select(col("doc_id").as("delta_id"),
         col("fp").as("fp_d"), col("n").as("nd")), "delta_id")
-      .join(fps.select(col("doc_id").as("base_id"),
-        col("fp").as("fp_b"), col("n").as("nb")), "base_id")
-      .withColumn("inter",
-        size(array_intersect(col("fp_d"), col("fp_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("nd") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.02)
+      .join(buckets, Seq("band", "h"))
+      .select(col("delta_id"),
+        explode(GraftSql.column(graft.expressions.ProbeBucketIndex(
+          GraftSql.expression(col("fp_d")), GraftSql.expression(col("nd")),
+          GraftSql.expression(col("idx")), 0.02))).as("mt"))
+      .groupBy(col("delta_id"), col("mt.base_id").as("base_id"))
+      .agg(max(col("mt.jaccard")).as("jaccard"))
     val perDelta = ver.groupBy("delta_id").agg(
       count(lit(1)).as("n_matches"),
       max(struct(col("jaccard").as("j"), (-col("base_id")).as("nid")))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, GraftSql, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.functions.TextFunctions.{minhashSig, shingles}
@@ -140,11 +140,28 @@ object CorpusStream {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= Dedup.MaxBandBucket)
       .select("band", "h")
+    val baseFps = baseSh.select(col("doc_id").as("base_id"),
+      fpOf(col("sh")).as("fp_b"), size(col("sh")).cast("long").as("nb"))
+    // The static index is ONE inverted-fingerprint-index row per kept
+    // bucket ([[graft.expressions.BuildBucketIndex]] — x103's round-12
+    // shape): each probe verifies against the bucket row inside the
+    // stream-static join's map stage
+    // ([[graft.expressions.ProbeBucketIndex]]), so no candidate-level
+    // fingerprint arrays ever reach the dedup state store or an
+    // exchange — the round-11 sf10 gate's 35.5×/decade x104 row was
+    // exactly that: ~4 KB probe arrays riding one state-store row per
+    // (doc, base) CANDIDATE. The pair dedup now runs on τ-SURVIVORS
+    // (plus the null no-candidate row), whose values are identical in
+    // every agreeing band — same final match set, tiny state.
     val index = OperatorCaches.persist(
-      baseBands.join(keptBuckets, Seq("band", "h")))
-    val baseFps = OperatorCaches.persist(
-      baseSh.select(col("doc_id").as("base_id"),
-        fpOf(col("sh")).as("fp_b"), size(col("sh")).as("nb")))
+      baseBands.join(keptBuckets, Seq("band", "h"))
+        .join(baseFps, "base_id")
+        .groupBy("band", "h")
+        .agg(collect_list(struct(col("base_id"), col("fp_b"), col("nb")))
+          .as("ms"))
+        .select(col("band"), col("h"),
+          GraftSql.column(graft.expressions.BuildBucketIndex(
+            GraftSql.expression(col("ms")))).as("idx")))
     // The shingle array is materialized by a Generate (explode of a
     // 1-element array) — the stream-legal stand-in for the batch side's
     // persist barrier: without it, project-collapse inlines the
@@ -171,21 +188,20 @@ object CorpusStream {
         col("band"), bandLong(col("hs")).as("h"))
     val cand = banded
       .join(index, Seq("band", "h"), "left_outer")
-      .select(col("doc_id"), col("ts"), col("base_id"), col("fp_d"),
-        col("nd"))
-    // pair-dedupe BEFORE the verify: a pair surfaces once however many
-    // bands agree, so the fingerprint intersection runs once per PAIR
+      .select(col("doc_id"), col("ts"),
+        explode_outer(GraftSql.column(graft.expressions.ProbeBucketIndex(
+          GraftSql.expression(col("fp_d")), GraftSql.expression(col("nd")),
+          GraftSql.expression(col("idx")), 0.02))).as("mt"))
+      .select(col("doc_id"), col("ts"), col("mt.base_id").as("base_id"),
+        col("mt.jaccard").as("jaccard"))
+    // pair-dedupe the SURVIVORS: a pair surfaces once however many
+    // bands agree (identical verify values each time), and the
+    // no-candidate null rows collapse to one verdict row per doc
     val pairs =
       if (cand.isStreaming)
         cand.dropDuplicatesWithinWatermark(Seq("doc_id", "base_id"))
       else cand.dropDuplicates(Seq("doc_id", "base_id"))
     pairs
-      .join(baseFps, Seq("base_id"), "left_outer")
-      .withColumn("inter",
-        size(array_intersect(col("fp_d"), col("fp_b"))).cast("long"))
-      .withColumn("jaccard", when(col("base_id").isNotNull,
-        col("inter").cast("double") /
-          (col("nd") + col("nb") - col("inter")).cast("double")))
       .select(col("doc_id"), col("ts"), col("base_id"), col("jaccard"))
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))
       .agg(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSql, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -103,29 +103,28 @@ object Frequency {
 
   /** x66: per-document character-level Shannon entropy (nats) — the
     * gibberish/boilerplate signal quality filters threshold on. Pure
-    * map stage: per-row distinct-char counts via higher-order array
-    * functions, `ln` quantized per COUNT VALUE to a scaled integer
-    * (error ~1e-9 of a quantum — far below the rounding boundary), and
-    * H = ln(N) − (1/N)·Σ c·ln(c) assembled from exact longs with two
-    * final correctly-rounded double ops. No shuffle at all; the ORDER
-    * BY is presentation. */
+    * map stage: ONE pass per row builds the code-point histogram and
+    * the quantized-ln sum ([[graft.expressions.CharEntropyStats]] —
+    * O(len) per document, alphabet-independent; the HOF pipeline it
+    * replaces re-scanned the character array once per DISTINCT
+    * character, which the non-ASCII corpus's ~5× alphabet turned into
+    * the battery's worst near-linear row). `ln` stays quantized per
+    * COUNT VALUE to a scaled integer (error ~1e-9 of a quantum — far
+    * below the rounding boundary), and H = ln(N) − (1/N)·Σ c·ln(c) is
+    * assembled from exact longs with two final correctly-rounded
+    * double ops. No shuffle at all; the ORDER BY is presentation. */
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val sc = TextAnalysis.IdfScale
     docs(spark, sfDir)
       .filter(col("text").isNotNull && length(col("text")) > 0)
-      .withColumn("chars", split(col("text"), ""))
-      .withColumn("n", size(col("chars")).cast("long"))
-      .withColumn("cnts", expr(
-        "transform(array_distinct(chars), c -> CAST(size(filter(chars, x -> x = c)) AS BIGINT))"))
-      .withColumn("s_scaled", expr(
-        s"""aggregate(cnts, 0L, (a, c) ->
-           |  a + c * CAST(floor(ln(CAST(c AS DOUBLE)) * $sc.0 + 0.5) AS BIGINT))""".stripMargin))
+      .withColumn("st", GraftSql.column(graft.expressions.CharEntropyStats(
+        GraftSql.expression(col("text")), sc)))
       .withColumn("lnn_scaled",
-        floor(log(col("n").cast("double")) * sc + lit(0.5)).cast("long"))
-      .select(col("doc_id"), col("n").as("n_chars"),
-        size(col("cnts")).cast("long").as("n_distinct_chars"),
-        ((col("lnn_scaled") * col("n") - col("s_scaled")).cast("double") /
-          (lit(sc.toDouble) * col("n").cast("double"))).as("entropy_nats"))
+        floor(log(col("st.n").cast("double")) * sc + lit(0.5)).cast("long"))
+      .select(col("doc_id"), col("st.n").as("n_chars"),
+        col("st.n_distinct").as("n_distinct_chars"),
+        ((col("lnn_scaled") * col("st.n") - col("st.s_scaled")).cast("double") /
+          (lit(sc.toDouble) * col("st.n").cast("double"))).as("entropy_nats"))
       .orderBy("doc_id")
   }
 

@@ -392,9 +392,21 @@ object Similarity {
   }
 
   /** The trained (cid, cu) centroid relation — [[kmeansTrain]]'s
-    * composable form, consumed by [[ivfTopKTrained]]. */
+    * composable form, consumed by [[ivfTopKTrained]] and the rest of
+    * the trained-ANN family (x34/x90/x105/x106/x108).
+    *
+    * Memoized + persisted through [[OperatorCaches]] exactly like
+    * [[Dedup.pairTable]]: the relation is ≤ K×[[Dim]] rows but costs
+    * [[KmeansIters]] full corpus scans to train, and SEVEN battery
+    * queries derive from it — a deployment trains the quantizer once
+    * and serves every consumer from the artifact store (`Bench
+    * --shared` measures that stance). Bench/Verify release the memo
+    * between standalone runs, so per-query standalone measurement
+    * still charges every query its own training. */
   private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    lloyd(spark, sfDir)._1
+    OperatorCaches.memoized(spark, s"similarity.trainedCentroids:$sfDir") {
+      OperatorCaches.persist(lloyd(spark, sfDir)._1)
+    }
 
   /** [[KmeansIters]] Lloyd rounds: (trained centroids, final-round
     * assignment). Pure DataFrame composition — no driver actions.

@@ -1114,9 +1114,18 @@ object TextAnalysis {
     * layer adds a 1-row min/max broadcast and a ≤ [[CalibrationBins]]-
     * row aggregate. Binning is exact integer arithmetic —
     * `(score−mn)·bins div (mx−mn+1)`, numerator non-negative by
-    * construction, so truncation ≡ floor on both engines and the top
-    * score lands in bin bins−1; the only double is good_rate's single
-    * division. */
+    * construction, so truncation ≡ floor on both engines; the only
+    * double is good_rate's single division. The top score lands in bin
+    * bins−1 whenever the score spread mx−mn ≥ bins−1 (any real corpus:
+    * the quantized scores span thousands of units). On a DEGENERATE
+    * corpus with spread r < bins−1 the max lands in bin
+    * r·bins div (r+1) < bins−1 and the upper bins are structurally
+    * empty — the table honestly reports a near-constant score column
+    * rather than stretching r+1 distinct values across 10 bands; both
+    * engines compute the same arithmetic, so oracle parity is
+    * unaffected either way. (The OperatorsSpec bin-0/bin-9 assertions
+    * rely on the fixture's spread being ≥ 9, which its planted
+    * good/bad vocabulary guarantees.) */
   def distillCalibration(spark: SparkSession, sfDir: String): DataFrame =
     distillCalibrationFrom(docs(spark, sfDir))
 

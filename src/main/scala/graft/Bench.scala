@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Millisecond-precision JSON rendering: the driver's BENCH artifact
+    * is a stdout tail-scrape, and round 11's full-precision doubles
+    * pushed the 146-query line past the scrape window ("parsed": null,
+    * the complete record surviving only in the file copies). 4 decimals
+    * is ~40% fewer bytes and far below measurement noise. */
+  private def f4(d: Double): String =
+    if (d.isNaN || d.isInfinite) d.toString
+    else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -85,9 +94,9 @@ object Bench {
         n -> (System.nanoTime() - t0) / 1e9
       }
       util.OperatorCaches.release(spark)
-      val qsJson = timed.map { case (k, v) => s"\"" + k + "\":" + v }
+      val qsJson = timed.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"shared_session","value":${timed.map(_._2).sum},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
+      println(s"""{"metric":"shared_session","value":${f4(timed.map(_._2).sum)},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -228,9 +237,9 @@ object Bench {
       case c if c < ' '   => f"\\u${c.toInt}%04x"
       case c              => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _) => s"\"" + k + "\":" + medians(k) }
+    val qsMed = results.map { case (k, _) => s"\"" + k + "\":" + f4(medians(k)) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + jsonEsc(v) + "\""
@@ -238,7 +247,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMed =
       if (results.nonEmpty) results.map(r => medians(r._1)).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${f4(totalMed)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact is a stdout tail-scrape; at 126+ queries the
     // single JSON line outgrew the scrape window and BENCH_r09.json lost

@@ -228,7 +228,9 @@ object SparkEntry {
     "x111_index_maintain" -> (Similarity.indexMaintain _),
     "x112_cluster_quota" -> (Curation.clusterQuotaSample _),
     "x113_distill_calibration" -> (TextAnalysis.distillCalibration _),
-    "x114_split_leakage" -> (Curation.splitLeakage _)
+    "x114_split_leakage" -> (Curation.splitLeakage _),
+    "x115_quality_fusion" -> (Curation.qualityFusion _),
+    "x116_page_stitch" -> (Dedup.pageStitch _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -3671,6 +3673,69 @@ object SparkEntry {
          |SELECT fold_a, fold_b, n_pairs, fold_a <> fold_b AS leaked,
          |  CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE) AS pair_share
          |FROM cells, tot ORDER BY fold_a, fold_b""".stripMargin),
+
+    // Mirrors Curation.qualityFusion. The oracle keeps the TEXTBOOK
+    // unpartitioned RANK() windows — competition rank is a pure
+    // function of the signal value, so it equals the Spark side's
+    // histogram-derived rank (1 + count of strictly better values) on
+    // every tie pattern; the engines differ only in plan shape.
+    "x115_quality_fusion" -> {
+      val stops = graft.functions.TextFunctions.Stopwords
+        .map(s => s"'$s'").mkString(", ")
+      val k = graft.operators.Curation.RrfK
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |sig AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS s_len,
+         |  CAST(len(list_filter(t, x -> x IN ($stops))) AS BIGINT) AS s_stop,
+         |  CAST(len(list_distinct(t)) AS BIGINT)
+         |    * ${graft.operators.Curation.TtrScale}
+         |    // CAST(len(t) AS BIGINT) AS s_ttr
+         |  FROM d),
+         |r AS (SELECT doc_id,
+         |  CAST(RANK() OVER (ORDER BY s_len DESC) AS BIGINT) AS r_len,
+         |  CAST(RANK() OVER (ORDER BY s_stop DESC) AS BIGINT) AS r_stop,
+         |  CAST(RANK() OVER (ORDER BY s_ttr DESC) AS BIGINT) AS r_ttr
+         |  FROM sig)
+         |SELECT doc_id, r_len, r_stop, r_ttr,
+         |  CAST(1 AS DOUBLE) / CAST($k + r_len AS DOUBLE)
+         |    + CAST(1 AS DOUBLE) / CAST($k + r_stop AS DOUBLE)
+         |    + CAST(1 AS DOUBLE) / CAST($k + r_ttr AS DOUBLE) AS rrf
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors Dedup.pageStitch: boundary md5s, the MaxBandBucket
+    // occupancy cut on both sides, self-stitch excluded, min successor.
+    "x116_page_stitch" -> {
+      val k = graft.operators.Dedup.StitchTokens
+      val cap = graft.operators.Dedup.MaxBandBucket
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |e AS (SELECT doc_id,
+         |  CASE WHEN len(t) >= $k THEN
+         |    md5(array_to_string(list_slice(t, 1, $k), ' ')) END AS prefix_hash,
+         |  CASE WHEN len(t) >= $k THEN
+         |    md5(array_to_string(list_slice(t, len(t) - ${k - 1}, len(t)), ' '))
+         |  END AS suffix_hash
+         |  FROM d),
+         |pc AS (SELECT prefix_hash AS h, COUNT(*) AS pc FROM e
+         |  WHERE prefix_hash IS NOT NULL GROUP BY 1),
+         |sc AS (SELECT suffix_hash AS h, COUNT(*) AS sc FROM e
+         |  WHERE suffix_hash IS NOT NULL GROUP BY 1),
+         |kept AS (SELECT h FROM pc JOIN sc USING (h)
+         |  WHERE pc <= $cap AND sc <= $cap),
+         |links AS (
+         |  SELECT a.doc_id AS doc_a, CAST(COUNT(*) AS BIGINT) AS n_continues,
+         |    MIN(b.doc_id) AS next_doc
+         |  FROM e a JOIN kept kk ON a.suffix_hash = kk.h
+         |  JOIN e b ON b.prefix_hash = kk.h AND b.doc_id <> a.doc_id
+         |  GROUP BY 1)
+         |SELECT e.doc_id, e.prefix_hash, e.suffix_hash,
+         |  CAST(COALESCE(l.n_continues, 0) AS BIGINT) AS n_continues,
+         |  l.next_doc
+         |FROM e LEFT JOIN links l ON l.doc_a = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     // Mirrors Dedup.dupComponents: reachability closure over x2's pair
     // graph (the oracle can afford transitive closure at gate SF; the

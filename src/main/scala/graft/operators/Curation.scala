@@ -949,4 +949,82 @@ object Curation {
           .as("pair_share"))
       .orderBy("fold_a", "fold_b")
   }
+
+  /** x115: reciprocal-rank-fusion constant (Cormack & Clarke SIGIR'09's
+    * standard k = 60 — dampens the head so no single signal's top rank
+    * dominates the fused score). */
+  val RrfK = 60L
+
+  /** x115: quantization scale for the type-token-ratio signal — ranks
+    * are derived from VALUE HISTOGRAMS (see below), so every signal's
+    * distinct-value count must stay corpus-size-independent; a 0..1000
+    * integer TTR bounds its histogram at 1001 rows at any N. */
+  val TtrScale = 1000L
+
+  /** x115: QUALITY RANK FUSION — combine three per-document quality
+    * signals (token count, stopword hits, quantized type-token ratio —
+    * each "higher is better": longer, more natural, less repetitive)
+    * into one reciprocal-rank-fusion score
+    * `rrf = Σ_s 1/([[RrfK]] + rank_s)`, the standard way production
+    * pipelines merge heterogeneous quality signals without learning
+    * weights (rank space is scale-free, so token counts and ratios
+    * fuse without normalization).
+    *
+    * THE GLOBAL-RANK TRAP, and why this operator exists in this shape:
+    * the textbook formulation — `RANK() OVER (ORDER BY signal DESC)`
+    * per signal — is an unpartitioned window, which funnels the ENTIRE
+    * corpus through one sorting task (the same class of plan the x31
+    * guard forbids). Competition rank is a pure function of the
+    * signal's VALUE: rank(v) = 1 + #rows with value > v. So each
+    * signal's ranks are derived from its VALUE HISTOGRAM — a
+    * partial-aggregated groupBy (map-side combined, corpus-linear),
+    * a running sum over the histogram (a bounded relation: ≤ max
+    * tokens-per-document rows for s_len/s_stop, ≤ [[TtrScale]]+1 for
+    * s_ttr — corpus-SIZE-independent all three, so the single-partition
+    * window is over a small fixed relation), and a broadcast join back.
+    * The corpus itself is never globally sorted; the only corpus-sized
+    * exchanges are the three broadcast-join-free scans and the output
+    * sort. The DuckDB oracle keeps the textbook RANK() windows — same
+    * values, quadratically different plan.
+    *
+    * rrf is three correctly-rounded double divisions summed left to
+    * right over exact integer ranks — bit-identical cross-engine. */
+  def qualityFusion(spark: SparkSession, sfDir: String): DataFrame =
+    qualityFusionFrom(Tables.documentsParallel(spark, sfDir))
+
+  /** [[qualityFusion]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures pin ranks, ties, and the fused score
+    * against a driver-side model). */
+  private[graft] def qualityFusionFrom(d: DataFrame): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val sig = OperatorCaches.persist(
+      d.filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("s_len"),
+          expr(s"CAST(size(filter(t, x -> x IN ($stopList))) AS BIGINT)")
+            .as("s_stop"),
+          expr(s"CAST(size(array_distinct(t)) AS BIGINT) * $TtrScale " +
+            "div CAST(size(t) AS BIGINT)").as("s_ttr")))
+    // competition rank from the signal's value histogram: rank(v) =
+    // 1 + Σ counts of strictly better values — the running sum runs
+    // over the BOUNDED histogram (scaladoc above), never the corpus
+    def rankOf(cname: String, rname: String): DataFrame =
+      sig.groupBy(col(cname)).agg(count(lit(1)).as("cnt"))
+        .withColumn(rname,
+          lit(1L) + coalesce(
+            sum(col("cnt")).over(Window.orderBy(col(cname).desc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col(cname), col(rname))
+    sig
+      .join(broadcast(rankOf("s_len", "r_len")), "s_len")
+      .join(broadcast(rankOf("s_stop", "r_stop")), "s_stop")
+      .join(broadcast(rankOf("s_ttr", "r_ttr")), "s_ttr")
+      .select(col("doc_id"), col("r_len"), col("r_stop"), col("r_ttr"),
+        (lit(1.0) / (lit(RrfK) + col("r_len")).cast("double") +
+          lit(1.0) / (lit(RrfK) + col("r_stop")).cast("double") +
+          lit(1.0) / (lit(RrfK) + col("r_ttr")).cast("double")).as("rrf"))
+      .orderBy("doc_id")
+  }
 }

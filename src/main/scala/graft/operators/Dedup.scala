@@ -1407,4 +1407,66 @@ object Dedup {
           .as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** x116: tokens hashed at each document end for [[pageStitch]] — 5
+    * matches the prefix-key width x1's relaxed variant uses. */
+  val StitchTokens = 5
+
+  /** x116: PAGE-STITCH DETECTION — find documents whose last
+    * [[StitchTokens]] tokens exactly equal another document's first
+    * [[StitchTokens]] tokens: the crawl-pipeline signal for one logical
+    * document split across fetches (pagination, "continued on next
+    * page", chunked exports). Every non-null-text document gets a
+    * verdict row: its boundary hashes, how many documents it continues
+    * into, and the smallest such successor (deterministic tie).
+    *
+    * Scale shape: boundary hashes are ONE narrow projection (md5 of the
+    * k-token slice — the md5-injectivity trust x1 places in
+    * `md5(text)`); the stitch join is an equi-join on the 128-bit hash,
+    * and keys whose occupancy exceeds [[MaxBandBucket]] on EITHER side
+    * are cut before it by partial-aggregated counts joined back (a
+    * boilerplate opening/closing shared by a million documents is a
+    * template, not pagination — the same stance as the LSH band-bucket
+    * cap, and the same quadratic-inside-one-key blow-up it prevents).
+    * Per-doc stats are a partial-aggregated groupBy; the final verdict
+    * join is corpus-linear. */
+  def pageStitch(spark: SparkSession, sfDir: String): DataFrame =
+    pageStitchFrom(Tables.documentsParallel(spark, sfDir))
+
+  /** [[pageStitch]] over an arbitrary (doc_id, text) relation — the
+    * testable core (fixtures plant a stitched chain, a self-repeating
+    * document, and a boilerplate hot key). */
+  private[graft] def pageStitchFrom(d: DataFrame): DataFrame = {
+    val k = StitchTokens
+    val ends = OperatorCaches.persist(
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          when(size(col("t")) >= k,
+            md5(concat_ws(" ", slice(col("t"), 1, k)))).as("prefix_hash"),
+          when(size(col("t")) >= k,
+            md5(concat_ws(" ", slice(col("t"), -k, k)))).as("suffix_hash")))
+    val pref = ends.filter(col("prefix_hash").isNotNull)
+      .groupBy(col("prefix_hash").as("h")).agg(count(lit(1)).as("pc"))
+    val suf = ends.filter(col("suffix_hash").isNotNull)
+      .groupBy(col("suffix_hash").as("h")).agg(count(lit(1)).as("sc"))
+    val kept = pref.join(suf, "h")
+      .filter(col("pc") <= MaxBandBucket && col("sc") <= MaxBandBucket)
+      .select("h")
+    val links = ends
+      .select(col("doc_id").as("doc_a"), col("suffix_hash").as("h"))
+      .filter(col("h").isNotNull)
+      .join(kept, "h")
+      .join(ends.select(col("doc_id").as("doc_b"),
+          col("prefix_hash").as("h"))
+        .filter(col("h").isNotNull), "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("n_continues"), min(col("doc_b")).as("next_doc"))
+    ends.join(links, ends("doc_id") === links("doc_a"), "left")
+      .select(col("doc_id"), col("prefix_hash"), col("suffix_hash"),
+        coalesce(col("n_continues"), lit(0L)).as("n_continues"),
+        col("next_doc"))
+      .orderBy("doc_id")
+  }
 }

@@ -2069,4 +2069,64 @@ class OperatorsSpec extends SparkSpec {
           math.min(size, q.toLong))
       }
   }
+  test("x115 quality fusion: histogram-derived competition ranks match the " +
+      "textbook rank on ties, rrf is the exact three-term sum") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // hand-computable signals: (len, stop hits, ttr*1000)
+    //   d1 "the a big cat sat"  -> (5, 2, 1000)
+    //   d2 "the the the the"    -> (4, 4,  250)
+    //   d3 "x y z"              -> (3, 0, 1000)
+    //   d4 "a b c d"            -> (4, 1, 1000)
+    //   d5 null                 -> filtered
+    val docs = Seq(
+      (1L, "the a big cat sat"),
+      (2L, "the the the the"),
+      (3L, "x y z"),
+      (4L, "a b c d"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Curation.qualityFusionFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    def rrf(a: Long, b: Long, c: Long): Double =
+      1.0 / (Curation.RrfK + a) + 1.0 / (Curation.RrfK + b) +
+        1.0 / (Curation.RrfK + c)
+    // competition ranks: s_len 5>4=4>3 -> 1,2,2,4; s_stop 4>2>1>0;
+    // s_ttr 1000 (three-way tie, rank 1) > 250 (rank 4)
+    assert(out === Map(
+      1L -> ((1L, 2L, 1L, rrf(1, 2, 1))),
+      2L -> ((2L, 1L, 4L, rrf(2, 1, 4))),
+      3L -> ((4L, 4L, 1L, rrf(4, 4, 1))),
+      4L -> ((2L, 3L, 1L, rrf(2, 3, 1)))))
+  }
+
+  test("x116 page stitch: a suffix->prefix chain links with min-successor " +
+      "ties, self-stitch is excluded, short docs get null hashes") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "intro words here begin story p q r s t"),
+      (2L, "p q r s t goes on and ends u v w x y"),
+      (3L, "u v w x y final part of the doc"),
+      (4L, "short one"),
+      (5L, "m m m m m m"),
+      (6L, "p q r s t another continuation candidate here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.pageStitchFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.isNullAt(1), r.isNullAt(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    graft.util.OperatorCaches.release(spark)
+    // doc 1's suffix "p q r s t" continues into BOTH 2 and 6 -> count 2,
+    // min successor 2; doc 2 chains into 3; doc 5's prefix == its own
+    // suffix but self-pairs are excluded; doc 4 is under 5 tokens
+    assert(out(1L) === ((false, false, 2L, 2L)))
+    assert(out(2L) === ((false, false, 1L, 3L)))
+    assert(out(3L) === ((false, false, 0L, -1L)))
+    assert(out(4L) === ((true, true, 0L, -1L)))
+    assert(out(5L) === ((false, false, 0L, -1L)))
+    assert(out(6L) === ((false, false, 0L, -1L)))
+  }
 }
+

@@ -1281,4 +1281,38 @@ class PlanShapeSpec extends SparkSpec {
     assume(docs.rdd.getNumPartitions < want) // local corpus = few splits
     assert(Tables.parallelized(docs).rdd.getNumPartitions === want)
   }
+  test("x115 ranks come from bounded value histograms (every rank window " +
+      "sits above an aggregate), x116's stitch join is occupancy-capped") {
+    import graft.operators.{Curation, Dedup}
+    // x115: the textbook RANK() OVER (ORDER BY signal) is an
+    // unpartitioned corpus-wide sort in one task; the histogram
+    // formulation keeps every WindowExec above a groupBy whose output
+    // is bounded by the signal's value range, never corpus-sized
+    val qf = withoutAqe {
+      Curation.qualityFusion(spark, Sf).queryExecution.executedPlan
+    }
+    val wins = qf.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"expected histogram rank windows in x115:\n$qf")
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined,
+        s"x115 rank window is not over a histogram aggregate:\n$w")
+    }
+    assert(!qf.toString.contains("CartesianProduct"),
+      s"cartesian in x115:\n$qf")
+    // x116: the stitch equi-join must be gated by the MaxBandBucket
+    // occupancy cut on both boundary-hash sides, and never a cartesian
+    val ps = withoutAqe {
+      Dedup.pageStitch(spark, Sf).queryExecution.executedPlan
+    }
+    assert(ps.toString.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"occupancy cap missing from x116's plan:\n$ps")
+    assert(!ps.toString.contains("CartesianProduct"),
+      s"cartesian in x116:\n$ps")
+    graft.util.OperatorCaches.release(spark)
+  }
 }
+

@@ -7,8 +7,13 @@ object Bench {
     * the complete record surviving only in the file copies). 4 decimals
     * is ~40% fewer bytes and far below measurement noise. */
   private def f4(d: Double): String =
-    if (d.isNaN || d.isInfinite) d.toString
+    if (d.isNaN || d.isInfinite) "null" // raw NaN/Infinity tokens are invalid JSON
     else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Fixed-decimals rendering for the compact scraped line (see below). */
+  private def fN(d: Double, decimals: Int): String =
+    if (d.isNaN || d.isInfinite) "null"
+    else BigDecimal(d).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,7 +38,7 @@ object Bench {
         try s.filter(p => java.nio.file.Files.isRegularFile(p))
           .mapToLong(p => java.nio.file.Files.size(p)).sum()
         finally s.close()
-      } catch { case _: Throwable => 0L }
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     val initialPartitions = sys.env.getOrElse(
       "SPARK_GRAFT_INITIAL_PARTITIONS",
       if (sfBytes >= 100L * 1024 * 1024) "512" else cpus)
@@ -248,14 +253,36 @@ object Bench {
     val totalMed =
       if (results.nonEmpty) results.map(r => medians(r._1)).sum else 0.0
     val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${f4(totalMed)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // The driver's artifact is a stdout tail-scrape; at 126+ queries the
-    // single JSON line outgrew the scrape window and BENCH_r09.json lost
-    // the first ~65 queries' timings ("parsed": null). The file copy is
-    // the complete, machine-readable record regardless of scrape limits.
-    // Written under BOTH the stable name (what the driver knows to read)
-    // and an sf-labeled name, so consecutive runs at different SFs don't
-    // silently overwrite each other's complete record.
+    // The driver's BENCH artifact is a tail-scrape of the LAST 2000
+    // CHARS of stdout, json-parsed: the full 148-query line is ~7.8 KB,
+    // so every round through r12 recorded "parsed": null (the tail
+    // starts mid-JSON). Stdout therefore carries ONE compact line sized
+    // under the window: query keys are the id prefix before the first
+    // '_' ("x106_ivfpq_recall" -> "x106" — verified unique across the
+    // battery, and the map below fails fast if that ever breaks),
+    // values at 2 decimals (dropping to 1/0 if a huge-SF run would
+    // still overflow), medians and error MESSAGES live only in the file
+    // artifact + stderr. Full-name record: BENCH_LATEST[_<sf>].json.
+    def compactLine(decimals: Int): String = {
+      val shortPairs = results.map { case (k, v) =>
+        k.takeWhile(_ != '_') -> v
+      }
+      require(shortPairs.map(_._1).distinct.size == shortPairs.size,
+        "query id-prefix collision — compact bench keys would be ambiguous")
+      val qsShort = shortPairs
+        .map { case (k, v) => "\"" + k + "\":" + fN(v, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fN(total, decimals)},"unit":"sec","keys":"id-prefix; full names in BENCH_LATEST file","queries":$qsShort,"total_median":${fN(totalMed, decimals)},"failed":${errors.size},"sf":"$sfDir"}"""
+    }
+    val scraped = Iterator(2, 1, 0).map(compactLine)
+      .find(_.length <= 1900)
+      .getOrElse(compactLine(0))
+    println(scraped)
+    System.err.println(line)
+    // The file copy is the complete, machine-readable record regardless
+    // of scrape limits. Written under BOTH the stable name (what the
+    // driver knows to read) and an sf-labeled name, so consecutive runs
+    // at different SFs don't silently overwrite each other's record.
     val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
     val outFiles = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(Seq(_))

@@ -230,7 +230,8 @@ object SparkEntry {
     "x113_distill_calibration" -> (TextAnalysis.distillCalibration _),
     "x114_split_leakage" -> (Curation.splitLeakage _),
     "x115_quality_fusion" -> (Curation.qualityFusion _),
-    "x116_page_stitch" -> (Dedup.pageStitch _)
+    "x116_page_stitch" -> (Dedup.pageStitch _),
+    "x117_corpus_build" -> (Curation.corpusBuild _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -333,6 +334,63 @@ object SparkEntry {
         |sz AS (SELECT component_rep, COUNT(*) AS component_size
         |       FROM lab GROUP BY 1)
         |""".stripMargin
+
+  /** x94's gate-signal + calibration CTEs (`gd` → `gt`: tokenized
+    * signals, CDC max-chunk, Luhn count, per-source P25 token
+    * threshold) over an arbitrary (doc_id, source, text) FROM source —
+    * shared by the x94 oracle and x117's stage-3 gate (the x44 compose
+    * pattern). Emitted WITHOUT a leading WITH so it can extend an
+    * existing CTE chain; `from` must be a table name or an aliased
+    * subquery. */
+  private def qualityGateCtes(from: String): String = {
+    val w = graft.expressions.CdcChunks.Window
+    val m = 1L << graft.expressions.CdcChunks.MaskBits
+    val pct = graft.operators.TextAnalysis.CalibratePct
+    s"""gd AS MATERIALIZED (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n
+       |  FROM $from WHERE text IS NOT NULL AND length(text) >= 1),
+       |gc AS (
+       |  SELECT doc_id, n, j
+       |  FROM (SELECT doc_id, n, text,
+       |          unnest(range($w, GREATEST(n, $w))) AS j
+       |        FROM gd)
+       |  WHERE ${polyhashSql(s"substring(text, CAST(j - ${w - 1} AS INTEGER), $w)")} % $m = 0),
+       |gl AS (
+       |  SELECT doc_id, n,
+       |    j - coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0)
+       |      AS len,
+       |    n - j AS tail_len,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC) AS rd
+       |  FROM gc),
+       |ga AS (
+       |  SELECT doc_id, len FROM gl
+       |  UNION ALL SELECT doc_id, tail_len AS len FROM gl WHERE rd = 1),
+       |gmx AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_chunk
+       |        FROM ga GROUP BY 1),
+       |gp AS (
+       |  SELECT doc_id, CAST(len(list_filter(
+       |    regexp_extract_all(text, '[0-9]{13,19}', 0), r ->
+       |    list_reduce([CAST(0 AS BIGINT)] ||
+       |      list_transform(range(1, length(r) + 1), p ->
+       |        CASE WHEN p % 2 = 0 THEN
+       |          (CASE WHEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) > 9
+       |                THEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) - 9
+       |                ELSE 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) END)
+       |        ELSE ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48 END),
+       |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+       |  FROM gd),
+       |gh AS (SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM gd GROUP BY 1, 2),
+       |gw AS (SELECT source, n_tokens,
+       |         SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+       |         SUM(c) OVER (PARTITION BY source) AS n_s
+       |       FROM gh),
+       |gt AS (SELECT source, MIN(n_tokens) AS threshold
+       |       FROM gw WHERE cum >= (n_s * $pct + 99) // 100
+       |       GROUP BY source)""".stripMargin
+  }
 
   /** x100's full distillation pipeline as a CTE ending in `nbout` (the
     * mirror of [[graft.operators.TextAnalysis.nbDistillFrom]]'s output)
@@ -3338,54 +3396,8 @@ object SparkEntry {
     // Mirrors Curation.qualityGate2: the x79/x87/x88 sub-oracles with
     // g-prefixed CTEs, conjunction verdict (the x44 composition pattern).
     "x94_quality_gate2" -> {
-      val w = graft.expressions.CdcChunks.Window
-      val m = 1L << graft.expressions.CdcChunks.MaskBits
-      val pct = graft.operators.TextAnalysis.CalibratePct
       val mc = graft.operators.Curation.MaxChunkGate
-      s"""WITH gd AS (
-         |  SELECT doc_id, source, text,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(length(text) AS BIGINT) AS n
-         |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
-         |gc AS (
-         |  SELECT doc_id, n, j
-         |  FROM (SELECT doc_id, n, text,
-         |          unnest(range($w, GREATEST(n, $w))) AS j
-         |        FROM gd)
-         |  WHERE ${polyhashSql(s"substring(text, CAST(j - ${w - 1} AS INTEGER), $w)")} % $m = 0),
-         |gl AS (
-         |  SELECT doc_id, n,
-         |    j - coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0)
-         |      AS len,
-         |    n - j AS tail_len,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC) AS rd
-         |  FROM gc),
-         |ga AS (
-         |  SELECT doc_id, len FROM gl
-         |  UNION ALL SELECT doc_id, tail_len AS len FROM gl WHERE rd = 1),
-         |gmx AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_chunk
-         |        FROM ga GROUP BY 1),
-         |gp AS (
-         |  SELECT doc_id, CAST(len(list_filter(
-         |    regexp_extract_all(text, '[0-9]{13,19}', 0), r ->
-         |    list_reduce([CAST(0 AS BIGINT)] ||
-         |      list_transform(range(1, length(r) + 1), p ->
-         |        CASE WHEN p % 2 = 0 THEN
-         |          (CASE WHEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) > 9
-         |                THEN 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) - 9
-         |                ELSE 2 * (ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48) END)
-         |        ELSE ascii(substring(r, CAST(length(r) - p + 1 AS INTEGER), 1)) - 48 END),
-         |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
-         |  FROM gd),
-         |gh AS (SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
-         |       FROM gd GROUP BY 1, 2),
-         |gw AS (SELECT source, n_tokens,
-         |         SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
-         |         SUM(c) OVER (PARTITION BY source) AS n_s
-         |       FROM gh),
-         |gt AS (SELECT source, MIN(n_tokens) AS threshold
-         |       FROM gw WHERE cum >= (n_s * $pct + 99) // 100
-         |       GROUP BY source)
+      s"""WITH ${qualityGateCtes("documents")}
          |SELECT gd.doc_id, gd.source, gd.n_tokens,
          |  coalesce(gmx.max_chunk, gd.n) AS max_chunk,
          |  gp.n_luhn_valid,
@@ -3735,6 +3747,114 @@ object SparkEntry {
          |  l.next_doc
          |FROM e LEFT JOIN links l ON l.doc_a = e.doc_id
          |ORDER BY e.doc_id""".stripMargin
+    },
+
+    // Mirrors Curation.corpusBuild: the composed production pipeline.
+    // Stage CTEs compose the already-verified sub-oracles — x110's
+    // canonical-form groups over the train population, x102's keep
+    // policy over componentLabelsCte's `lab` restricted to s1
+    // survivors, x94's gate CTEs (qualityGateCtes) calibrated over s2
+    // survivors, x52's eval-overlap cut over the SAME `sh` CTE the LSH
+    // chain uses, x98's mixture and x26's packing over the final kept
+    // set — then one left-join assembly over all documents.
+    "x117_corpus_build" -> {
+      val bd = graft.operators.Curation.BenchmarkDocs
+      val cf = graft.operators.Curation.ContaminationFrac
+      val mc = graft.operators.Curation.MaxChunkGate
+      val q = graft.operators.Curation.MixtureQScale
+      val shards = graft.operators.Curation.PackShards
+      val budget = graft.operators.Curation.PackBudget
+      val up = sqlStr(graft.operators.Dedup.AsciiUpper)
+      val lo = sqlStr(graft.operators.Dedup.AsciiLower)
+      val pu = graft.operators.Dedup.AsciiPunct
+      val spaces = sqlStr(
+        " " * (graft.operators.Dedup.CanonWs.length + pu.length))
+      val from0 = s"chr(9) || chr(10) || chr(13) || ${sqlStr(pu)}"
+      componentLabelsCte +
+        s""", pop AS MATERIALIZED (SELECT doc_id, source, text, n_chars FROM documents
+           |  WHERE doc_id >= $bd),
+           |ncanon AS (SELECT doc_id,
+           |  trim(regexp_replace(translate(translate(text, $up, $lo),
+           |    $from0, $spaces), ' +', ' ', 'g')) AS ctext FROM pop),
+           |nh AS (SELECT doc_id, md5(ctext) AS norm_hash FROM ncanon),
+           |ng AS (SELECT norm_hash AS k_norm, MIN(doc_id) AS norm_rep
+           |  FROM nh GROUP BY 1),
+           |s1 AS MATERIALIZED (SELECT nh.doc_id, nh.doc_id = ng.norm_rep AS s1_norm_kept
+           |  FROM nh JOIN ng ON nh.norm_hash IS NOT DISTINCT FROM ng.k_norm),
+           |s1k AS (SELECT doc_id FROM s1 WHERE s1_norm_kept),
+           |c2 AS MATERIALIZED (SELECT l.doc_id, l.component_rep
+           |  FROM lab l JOIN s1k USING (doc_id)),
+           |cbest AS (SELECT component_rep, doc_id AS keep_doc FROM (
+           |    SELECT c2.component_rep, c2.doc_id,
+           |      ROW_NUMBER() OVER (PARTITION BY c2.component_rep
+           |        ORDER BY d.n_chars DESC, c2.doc_id ASC) AS rn
+           |    FROM c2 JOIN documents d USING (doc_id)) WHERE rn = 1),
+           |s2 AS MATERIALIZED (SELECT c2.doc_id, c2.doc_id = cbest.keep_doc AS s2_dedup_kept
+           |  FROM c2 JOIN cbest USING (component_rep)),
+           |s2k AS MATERIALIZED (SELECT doc_id FROM s2 WHERE s2_dedup_kept),
+           |${qualityGateCtes(
+                "(SELECT p.doc_id, p.source, p.text FROM pop p " +
+                  "JOIN s2k USING (doc_id)) src94")},
+           |g3 AS (SELECT gd.doc_id, gd.n_tokens,
+           |    gd.n_tokens >= gt.threshold AND gp.n_luhn_valid = 0
+           |      AND coalesce(gmx.max_chunk, gd.n) <= $mc AS q_keep
+           |  FROM gd LEFT JOIN gmx USING (doc_id) JOIN gp USING (doc_id)
+           |    JOIN gt USING (source)),
+           |s3 AS MATERIALIZED (SELECT s2k.doc_id,
+           |    COALESCE(g3.q_keep, FALSE) AS s3_quality_kept, g3.n_tokens
+           |  FROM s2k LEFT JOIN g3 USING (doc_id)),
+           |s3k AS MATERIALIZED (SELECT doc_id, n_tokens FROM s3 WHERE s3_quality_kept),
+           |ex4 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+           |bench4 AS (SELECT DISTINCT s FROM ex4 WHERE doc_id < $bd),
+           |nsh AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles
+           |  FROM sh WHERE len(sh) > 0),
+           |ov4 AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |  FROM ex4 e JOIN s3k USING (doc_id) JOIN bench4 b ON e.s = b.s
+           |  GROUP BY 1),
+           |s4 AS MATERIALIZED (SELECT s3k.doc_id, s3k.n_tokens,
+           |    COALESCE(nsh.n_shingles, 0) > 0 AND
+           |      CAST(COALESCE(ov4.n_shared, 0) AS DOUBLE)
+           |        / CAST(nsh.n_shingles AS DOUBLE) < $cf AS s4_clean
+           |  FROM s3k LEFT JOIN nsh USING (doc_id)
+           |    LEFT JOIN ov4 USING (doc_id)),
+           |fk AS MATERIALIZED (SELECT doc_id, n_tokens FROM s4 WHERE s4_clean),
+           |mper AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM documents d JOIN fk USING (doc_id) GROUP BY 1),
+           |mq AS (SELECT source, n_docs,
+           |  CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * $q.0) AS BIGINT)
+           |    AS q_score FROM mper),
+           |mt AS (SELECT CAST(SUM(q_score) AS BIGINT) AS q_total,
+           |  CAST(SUM(n_docs) AS BIGINT) AS n_total FROM mq),
+           |mix AS (SELECT source, n_docs AS src_kept_docs,
+           |  CAST(q_score AS DOUBLE) / CAST(t.q_total AS DOUBLE) AS src_weight,
+           |  CAST(q_score AS DOUBLE) / CAST(t.q_total AS DOUBLE)
+           |    * CAST(t.n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           |    AS src_oversample
+           |  FROM mq, mt t),
+           |pk AS (SELECT doc_id, n_tokens, doc_id % $shards AS shard FROM fk),
+           |pc2 AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+           |    PARTITION BY shard ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |    0) AS BIGINT) AS cum_before FROM pk),
+           |pack AS (SELECT doc_id, shard,
+           |    cum_before // $budget AS seq_in_shard,
+           |    cum_before % $budget AS offset_in_seq,
+           |    (cum_before % $budget) + n_tokens > $budget
+           |      AS crosses_boundary
+           |  FROM pc2)
+           |SELECT d.doc_id, d.source, d.doc_id < $bd AS is_eval,
+           |  s1.s1_norm_kept, s2.s2_dedup_kept, s3.s3_quality_kept,
+           |  s4.s4_clean,
+           |  COALESCE(s4.s4_clean, FALSE) AS final_kept,
+           |  pack.shard, pack.seq_in_shard, pack.offset_in_seq,
+           |  pack.crosses_boundary,
+           |  mix.src_kept_docs, mix.src_weight, mix.src_oversample
+           |FROM documents d
+           |LEFT JOIN s1 USING (doc_id) LEFT JOIN s2 USING (doc_id)
+           |LEFT JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
+           |LEFT JOIN pack USING (doc_id)
+           |LEFT JOIN mix ON d.source = mix.source
+           |ORDER BY d.doc_id""".stripMargin
     },
 
     // Mirrors Dedup.dupComponents: reachability closure over x2's pair

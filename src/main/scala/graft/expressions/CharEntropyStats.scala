@@ -35,8 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `string_split(text, '')` and `length`, all count Unicode code
   * points, which the sf1 multi-byte corpus gate verifies corpus-wide.
   *
-  * Null propagates; an empty string yields (0, 0, 0) — upstream filters
-  * empties, so the row never occurs in x66 itself. */
+  * Null propagates; an empty string yields (1, 1, 0), mirroring the HOF
+  * form it replaces (`split('', '')` is `['']` — one empty-string
+  * element, whose count-1 histogram entry contributes ⌊ln(1)·scale⌋ = 0)
+  * so the identity rewrite is total, not just total-under-x66's-filter. */
 case class CharEntropyStats(child: Expression, scale: Long)
     extends UnaryExpression {
 
@@ -66,6 +68,11 @@ case class CharEntropyStats(child: Expression, scale: Long)
 object CharEntropyStats {
   def compute(s: UTF8String, scale: Long): InternalRow = {
     val str = s.toString
+    // split('', '') = [''] in both Spark and DuckDB: one element, one
+    // distinct value, ln(1) contribution 0 — keep the rewrite an
+    // identity on the empty string too (see scaladoc).
+    if (str.isEmpty)
+      return new GenericInternalRow(Array[Any](1L, 1L, 0L))
     val hist = new mutable.LongMap[Long](64)
     var i = 0
     var n = 0L

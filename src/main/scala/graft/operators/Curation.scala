@@ -661,7 +661,13 @@ object Curation {
 
   /** [[qualityGate2]] over an arbitrary (doc_id, source, text) relation
     * — the testable core. */
-  private[graft] def qualityGate2From(docsDf: DataFrame): DataFrame = {
+  private[graft] def qualityGate2From(docsDf: DataFrame): DataFrame =
+    qualityGate2Core(docsDf).orderBy("doc_id")
+
+  /** [[qualityGate2From]] WITHOUT the final determinism sort — the
+    * composition seam (x117 persists this; caching the sorted form
+    * would materialize a corpus sort no consumer needs). */
+  private[graft] def qualityGate2Core(docsDf: DataFrame): DataFrame = {
     val d = docsDf.filter(col("text").isNotNull && length(col("text")) >= 1)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -685,7 +691,6 @@ object Curation {
         (col("n_tokens") >= col("threshold") &&
           col("n_luhn_valid") === 0L &&
           col("max_chunk") <= MaxChunkGate).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Sample size for [[weightedSample]]. */
@@ -1025,6 +1030,152 @@ object Curation {
         (lit(1.0) / (lit(RrfK) + col("r_len")).cast("double") +
           lit(1.0) / (lit(RrfK) + col("r_stop")).cast("double") +
           lit(1.0) / (lit(RrfK) + col("r_ttr")).cast("double")).as("rrf"))
+      .orderBy("doc_id")
+  }
+
+  /** x117: the COMPOSED END-TO-END CORPUS BUILD — the deployment story
+    * the battery implies query by query, stated as ONE plan: the
+    * production path normalized dedup (x110) → near-dup keep (x102) →
+    * quality gate v2 (x94) → decontamination (x52) → temperature
+    * mixture (x98) → sequence packing (x26), run through the SHARED
+    * seams in one session, emitting a verdict row for EVERY document
+    * (the x103 never-silently-dropped rule) plus the per-source output
+    * stats a training run consumes.
+    *
+    * Pipeline semantics (each stage sees the previous stage's
+    * survivors; a stage verdict is NULL for docs that never reached it):
+    *   - population: train docs (`doc_id >= ` [[BenchmarkDocs]]); eval
+    *     docs are the benchmark, not candidates — verdicts NULL,
+    *     `final_kept` false, flagged `is_eval`.
+    *   - s1 `s1_norm_kept`: x110's canonical-form group representative.
+    *   - s2 `s2_dedup_kept`: x102's longest-text keep policy over the
+    *     near-dup component labels of the session-shared full-corpus
+    *     LSH build ([[graft.operators.Dedup.dupComponents]] — union-find
+    *     over the whole corpus, THEN restricted to s1 survivors: the
+    *     standard order, since removing docs never creates new pairs,
+    *     and transitive links through removed members still witness
+    *     near-duplication), argmax re-run among survivors only.
+    *   - s3 `s3_quality_kept`: x94's gate with its per-source P25 token
+    *     calibration computed over s2 SURVIVORS (calibrate on what
+    *     enters the stage); docs with no text fail explicitly.
+    *   - s4 `s4_clean`: x52's eval-overlap contamination cut (shingle
+    *     table = the same session-shared relation the LSH build reads);
+    *     zero-shingle docs fail closed, x52's stance.
+    *   - mixture: x98's α=1/2 temperature weights over the FINAL kept
+    *     corpus, joined back per source (`src_kept_docs`, `src_weight`,
+    *     `src_oversample` — null for sources with nothing kept).
+    *   - packing: x26's sharded running token sum over the kept corpus
+    *     (`shard`, `seq_in_shard`, `offset_in_seq`, `crosses_boundary`
+    *     — null for dropped docs).
+    *
+    * Scale shape: every stage keeps its proven standalone shape — the
+    * LSH pair build is paid ONCE per session (memoized, checkpointed,
+    * lineage-truncated), the gate signal projection runs ONCE (inside
+    * the s3 barrier, plan-guarded), the calibration/mixture aggregates
+    * are source-bounded broadcasts, packing is the shard-parallel
+    * window — and the capstone adds only doc_id equi-joins
+    * (corpus-linear, partial-aggregated) plus one broadcast source
+    * join. Stage verdicts are eager lineage-truncated barriers (see the
+    * inline note: self-joins over shared lineage defeat plan-matched
+    * caching, and the barrier is the production materialization stance
+    * anyway), so the assembled plan reads four narrow materialized
+    * tables, never a stage's build twice. The final orderBy is the
+    * gate's determinism requirement, not operator work. */
+  def corpusBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val all = Tables.documentsParallel(spark, sfDir)
+    val train = all.filter(col("doc_id") >= BenchmarkDocs)
+    // Each stage is an EAGER LINEAGE-TRUNCATED BARRIER
+    // (OperatorCaches.materializeTruncated), not a lazy persist: every
+    // stage relation is consumed at least twice (as a verdict column
+    // and as the next stage's survivor filter), and those consumers
+    // SELF-JOIN over shared lineage — which defeats plan-matched
+    // caching outright (DeduplicateRelations re-instances the
+    // dupComponents checkpoint's LogicalRDD on the rewritten branch,
+    // sameResult fails, and the CacheManager silently re-runs the whole
+    // stage per consumer: the gate projection appeared 9× in the plan
+    // under persist()). The barrier is also the production deployment
+    // shape — a 100 TB corpus build materializes each stage's narrow
+    // verdict table once and fans out from the materialization. Each
+    // stage runs exactly once BY CONSTRUCTION (eager, at its val).
+    // s1: normalized exact dedup over the train population
+    val s1 = OperatorCaches.materializeTruncated(
+      Dedup.normalizedDedupCore(train)
+        .select(col("doc_id"), col("is_canonical").as("s1_norm_kept")))
+    val s1k = s1.filter(col("s1_norm_kept")).select("doc_id")
+    // s2: full-corpus component labels restricted to s1 survivors,
+    // x102's argmax keep policy re-run among the survivors
+    val compS1 = Dedup.dupComponents(spark, sfDir)
+      .select("doc_id", "component_rep").join(s1k, "doc_id")
+    val comp2 = compS1.join(
+      compS1.groupBy("component_rep").agg(count(lit(1)).as("component_size")),
+      "component_rep")
+    val s2 = OperatorCaches.materializeTruncated(Dedup.canonicalKeepCore(
+        train.select("doc_id", "n_chars"), comp2)
+      .select(col("doc_id"), col("kept").as("s2_dedup_kept")))
+    val s2k = s2.filter(col("s2_dedup_kept")).select("doc_id")
+    // s3: x94's gate, calibrated over the s2 survivors it sees — the
+    // gate projection is consumed exactly once, inside this barrier
+    val gate = qualityGate2Core(
+      train.select("doc_id", "source", "text").join(s2k, "doc_id"))
+    val s3 = OperatorCaches.materializeTruncated(s2k.join(
+        gate.select(col("doc_id"), col("keep"), col("n_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep"), lit(false))
+        .as("s3_quality_kept"), col("n_tokens")))
+    val s3k = s3.filter(col("s3_quality_kept")).select("doc_id", "n_tokens")
+    // s4: x52's contamination cut against the fixed eval shingle set,
+    // over the session-shared shingle table (zero-shingle docs have no
+    // row there and fail closed — FALSE AND NULL = FALSE both engines)
+    val sh = Dedup.shingleTable(spark, sfDir)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val bench = ex.filter(col("doc_id") < BenchmarkDocs)
+      .select("s").distinct()
+    val nsh = sh.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_shingles"))
+    val shared = ex.join(s3k.select("doc_id"), "doc_id").join(bench, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val s4 = OperatorCaches.materializeTruncated(
+      s3k.join(nsh, Seq("doc_id"), "left")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (coalesce(col("n_shingles"), lit(0L)) > 0L &&
+            coalesce(col("n_shared"), lit(0L)).cast("double")
+              / col("n_shingles").cast("double") < ContaminationFrac)
+            .as("s4_clean")))
+    val fk = s4.filter(col("s4_clean")).select("doc_id", "n_tokens")
+    // per-source output stats: x98's mixture over the kept corpus
+    val mix = temperatureMixtureFrom(
+        all.select("doc_id", "source").join(fk.select("doc_id"), "doc_id"))
+      .select(col("source"), col("n_docs").as("src_kept_docs"),
+        col("weight").as("src_weight"), col("oversample").as("src_oversample"))
+    // packing: x26's sharded running sum over the kept corpus
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pack = fk
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"cum_before div $PackBudget").as("seq_in_shard"),
+        pmod(col("cum_before"), lit(PackBudget)).as("offset_in_seq"),
+        (pmod(col("cum_before"), lit(PackBudget)) + col("n_tokens")
+          > lit(PackBudget)).as("crosses_boundary"))
+    all.select(col("doc_id"), col("source"),
+        (col("doc_id") < BenchmarkDocs).as("is_eval"))
+      .join(s1, Seq("doc_id"), "left")
+      .join(s2, Seq("doc_id"), "left")
+      .join(s3.select("doc_id", "s3_quality_kept"), Seq("doc_id"), "left")
+      .join(s4.select("doc_id", "s4_clean"), Seq("doc_id"), "left")
+      .join(pack, Seq("doc_id"), "left")
+      .join(mix, Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("is_eval"),
+        col("s1_norm_kept"), col("s2_dedup_kept"), col("s3_quality_kept"),
+        col("s4_clean"),
+        coalesce(col("s4_clean"), lit(false)).as("final_kept"),
+        col("shard"), col("seq_in_shard"), col("offset_in_seq"),
+        col("crosses_boundary"),
+        col("src_kept_docs"), col("src_weight"), col("src_oversample"))
       .orderBy("doc_id")
   }
 }

@@ -139,7 +139,7 @@ object Dedup {
   /** [[shingleTableFrom]] over the `documents` table. Loaded via
     * [[graft.queries.Tables.documentsParallel]] (conditional local
     * parallelism, no-op at scale). */
-  private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
     shingleTableFrom(Tables.documentsParallel(spark, sfDir))
 
   /** Exact dedup via content digest, plus a relaxed prefix-key variant
@@ -222,7 +222,14 @@ object Dedup {
   def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
     normalizedDedupFrom(Tables.documentsParallel(spark, sfDir))
 
-  private[graft] def normalizedDedupFrom(docs: DataFrame): DataFrame = {
+  private[graft] def normalizedDedupFrom(docs: DataFrame): DataFrame =
+    normalizedDedupCore(docs).orderBy("doc_id")
+
+  /** [[normalizedDedupFrom]] WITHOUT the final determinism sort — the
+    * composition seam (x117 persists a projection of this; caching the
+    * sorted form would materialize a corpus-wide sort no consumer
+    * needs). */
+  private[graft] def normalizedDedupCore(docs: DataFrame): DataFrame = {
     val d = OperatorCaches.persist(docs
       .select(col("doc_id"),
         md5(canonicalForm(col("text"))).as("norm_hash"),
@@ -234,7 +241,6 @@ object Dedup {
       .select(col("doc_id"), col("norm_hash"), col("n_norm_chars"),
         col("norm_rep"), col("norm_group_size"),
         (col("doc_id") === col("norm_rep")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** MinHash-LSH near-dup: candidates = pairs agreeing on ≥1 of 6 MinHash
@@ -290,19 +296,11 @@ object Dedup {
       cp
     }
 
-  /** Eager checkpoint with the build plan dereferenced — the
-    * [[materializeRoundReleasable]] storage choice without the releaser
-    * (the blocks live for the memo's lifetime; [[OperatorCaches.release]]
-    * + the caller's GC reclaim them). */
-  private def materializeTruncated(dfIn: DataFrame): DataFrame = {
-    var df = dfIn
-    val out = df.sparkSession.sparkContext.getCheckpointDir match {
-      case Some(_) => df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
-    }
-    df = null
-    out
-  }
+  /** Eager checkpoint with the build plan dereferenced — see
+    * [[OperatorCaches.materializeTruncated]] (moved there so x117's
+    * stage barriers share it). */
+  private def materializeTruncated(dfIn: DataFrame): DataFrame =
+    OperatorCaches.materializeTruncated(dfIn)
 
   /** [[minhashLsh]] over an arbitrary persisted (doc_id, sh) relation —
     * the testable core (the skew spec drives it with a mass-duplicated
@@ -1274,6 +1272,12 @@ object Dedup {
     * testable seam (fixtures plant components with known lengths and
     * ties). */
   private[graft] def canonicalKeepFrom(docs: DataFrame,
+      comp: DataFrame): DataFrame =
+    canonicalKeepCore(docs, comp).orderBy("doc_id")
+
+  /** [[canonicalKeepFrom]] WITHOUT the final determinism sort — the
+    * composition seam (see [[normalizedDedupCore]]). */
+  private[graft] def canonicalKeepCore(docs: DataFrame,
       comp: DataFrame): DataFrame = {
     val membered = comp.join(docs, "doc_id")
     // argmax by (n_chars desc, doc_id asc) as one lexicographic struct
@@ -1285,7 +1289,6 @@ object Dedup {
     membered.join(best, "component_rep")
       .select(col("doc_id"), col("component_rep"), col("component_size"),
         col("keep_doc"), (col("doc_id") === col("keep_doc")).as("kept"))
-      .orderBy("doc_id")
   }
 
   /** Near-dup decision threshold for [[deltaDedup]]: a delta doc whose

@@ -66,6 +66,28 @@ object OperatorCaches {
     df
   }
 
+  /** Eager checkpoint with the build plan dereferenced — a STAGE
+    * BARRIER: consumers scan the materialized blocks, never the build
+    * lineage. Used where plan-matched caching ([[persist]]) cannot
+    * serve: (a) iterative builds whose fresh RDDs no plan matcher can
+    * unify ([[graft.operators.Dedup.dupComponents]]), and (b) stage
+    * relations consumed through SELF-JOINS over shared lineage —
+    * `DeduplicateRelations` re-instances any `LogicalRDD` leaf on the
+    * rewritten branch, and `LogicalRDD` does not canonicalize its
+    * output ids, so `sameResult` fails and the CacheManager silently
+    * recomputes the whole cached subtree per consumer (x117's gate
+    * projection appeared NINE times before this). Blocks are reclaimed
+    * by the ContextCleaner once the returned DataFrame is unreachable. */
+  def materializeTruncated(dfIn: DataFrame): DataFrame = {
+    var df = dfIn
+    val out = df.sparkSession.sparkContext.getCheckpointDir match {
+      case Some(_) => df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+    df = null
+    out
+  }
+
   /** Unpersist the caches registered under `spark` and forget their
     * handles. Safe to call any number of times; caches already dropped
     * by other means (e.g. `clearCache()`) unpersist as a no-op. */

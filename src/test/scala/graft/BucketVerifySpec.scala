@@ -123,7 +123,9 @@ class BucketVerifySpec extends SparkSpec {
       "aaaa",
       "𝄞 music 𝄞𝄞", // U+1D11E musical clef
       "мир мир abc",
-      "x")
+      "x",
+      "", // split('','') = [''] — the identity must hold on empties too
+      "   ")
     val d = texts.toDF("text")
     val oldForm = d
       .withColumn("chars", split(col("text"), ""))

@@ -2128,5 +2128,78 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) === ((false, false, 0L, -1L)))
     assert(out(6L) === ((false, false, 0L, -1L)))
   }
+
+  test("x117 corpus build: stage verdicts gate monotonically, packing and " +
+      "mixture recompute exactly from the kept set, every stage fires") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Curation, Dedup}
+    val out = Curation.corpusBuild(spark, Sf).collect()
+    val rows = out.map { r =>
+      def ob(i: Int): Option[Boolean] =
+        if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+      def ol(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), r.getString(1), r.getBoolean(2), // doc_id, source, is_eval
+        ob(3), ob(4), ob(5), ob(6), r.getBoolean(7), // s1..s4, final_kept
+        ol(8), ol(9), ol(10), // shard, seq_in_shard, offset_in_seq
+        ol(12)) // src_kept_docs
+    }
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length.toLong === nDocs, "one verdict row per document")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (id, _, isEval, s1, s2, s3, s4, fk, sh, sq, off, _) =>
+      assert(isEval === (id < Curation.BenchmarkDocs))
+      // reached-stage null discipline: a stage verdict exists iff the
+      // doc survived every previous stage (eval docs reach none)
+      assert(s1.isDefined === !isEval, s"doc $id s1")
+      assert(s2.isDefined === s1.contains(true), s"doc $id s2")
+      assert(s3.isDefined === s2.contains(true), s"doc $id s3")
+      assert(s4.isDefined === s3.contains(true), s"doc $id s4")
+      assert(fk === s4.contains(true), s"doc $id final_kept")
+      assert(sh.isDefined === fk && sq.isDefined === fk &&
+        off.isDefined === fk, s"doc $id pack cols")
+    }
+    // every stage must actually drop someone on this corpus — otherwise
+    // the fixture isn't exercising the pipeline
+    def dropped(sel: ((Long, String, Boolean, Option[Boolean],
+        Option[Boolean], Option[Boolean], Option[Boolean], Boolean,
+        Option[Long], Option[Long], Option[Long], Option[Long])) =>
+        Option[Boolean]): Int = rows.count(r => sel(r).contains(false))
+    // (s1 drops nobody at sf0.001 — the corpus has no normalized-dup
+    // groups among train docs; s1 is instead validated against the
+    // standalone seam below)
+    assert(dropped(_._5) > 0, "s2 dropped none")
+    assert(dropped(_._6) > 0, "s3 dropped none")
+    assert(dropped(_._7) > 0, "s4 dropped none")
+    // s1 cross-check against the standalone seam it composes
+    val train = graft.queries.Tables.documentsParallel(spark, Sf)
+      .filter(col("doc_id") >= Curation.BenchmarkDocs)
+    val s1Seam = Dedup.normalizedDedupFrom(train)
+      .select("doc_id", "is_canonical").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.filterNot(_._3).foreach { r =>
+      assert(r._4.contains(s1Seam(r._1)), s"doc ${r._1} s1 vs seam")
+    }
+    // per-source kept counts are exactly the kept rows per source
+    val kept = rows.filter(_._8)
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    kept.foreach(r => assert(r._12.contains(bySource(r._2))))
+    // packing recomputed exactly: per shard, kept docs in doc_id order
+    // accumulate n_tokens into (seq, offset)
+    val toks = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.groupBy(_._9.get).foreach { case (_, ms) =>
+      var cum = 0L
+      ms.sortBy(_._1).foreach { r =>
+        assert(r._10.contains(cum / Curation.PackBudget), s"doc ${r._1} seq")
+        assert(r._11.contains(cum % Curation.PackBudget), s"doc ${r._1} off")
+        cum += toks(r._1)
+      }
+    }
+    graft.util.OperatorCaches.release(spark)
+  }
 }
 

@@ -1308,10 +1308,64 @@ class PlanShapeSpec extends SparkSpec {
     val ps = withoutAqe {
       Dedup.pageStitch(spark, Sf).queryExecution.executedPlan
     }
-    assert(ps.toString.contains(s"<= ${Dedup.MaxBandBucket}"),
-      s"occupancy cap missing from x116's plan:\n$ps")
+    // structural, not string-match: FilterExecs must carry BOTH
+    // occupancy-cap predicates (pc <= MaxBandBucket, sc <= ...) as
+    // literal comparisons on those attributes — any other <= 256 in the
+    // plan can't satisfy this. The optimizer splits the conjunction and
+    // pushes each side below the kept-key join, so collect over ALL
+    // filters.
+    val capNames = ps.collect {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+              a: org.apache.spark.sql.catalyst.expressions.Attribute,
+              org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+              if v == Dedup.MaxBandBucket.toLong => a.name
+        }
+    }.flatten.toSet
+    assert(capNames.contains("pc") && capNames.contains("sc"),
+      s"occupancy cap (pc AND sc <= ${Dedup.MaxBandBucket}) missing from " +
+        s"x116's plan (found: $capNames):\n$ps")
     assert(!ps.toString.contains("CartesianProduct"),
       s"cartesian in x116:\n$ps")
+    graft.util.OperatorCaches.release(spark)
+  }
+
+  test("x117 composes through shared seams: the assembled plan reads " +
+      "stage BARRIERS — no stage build, LSH signature, gate projection " +
+      "or shingle build re-runs inside it — and has no cartesian") {
+    // every stage (s1 dedup, s2 keep, s3 gate, s4 decontaminate) is an
+    // eager lineage-truncated materialization that ran exactly once, by
+    // construction, when corpusBuild assembled the DataFrame (self-joins
+    // over shared lineage defeat plan-matched caching — see the operator
+    // note). The assertable consequence: the FINAL plan contains none of
+    // the stage-build expressions — if a future edit un-barriers a stage,
+    // its build expressions (CDC chunker, minhash, shingles) leak back
+    // into this plan, once per consumer.
+    val top = withoutAqe {
+      graft.operators.Curation.corpusBuild(spark, Sf)
+        .queryExecution.executedPlan
+    }
+    def countExpr(f: org.apache.spark.sql.catalyst.expressions.Expression
+        => Boolean): Int =
+      top.collect { case node =>
+        node.expressions.map(_.collect { case e if f(e) => e }.size).sum
+      }.sum
+    assert(countExpr(_.isInstanceOf[graft.expressions.MinHashSig]) === 0,
+      "x117 rebuilds the LSH signature in the assembled plan")
+    assert(countExpr(_.isInstanceOf[graft.expressions.CdcChunks]) === 0,
+      "x117 gate projection leaked past its stage barrier")
+    assert(countExpr(_.isInstanceOf[graft.expressions.WordShingles]) === 0,
+      "x117 shingle build leaked past its stage barrier")
+    // the assembly is joins over the four barrier scans + documents —
+    // any text-column scan means a stage is being recomputed inline
+    val textScans = top.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "text") => f
+    }
+    assert(textScans.isEmpty,
+      s"x117 assembly re-scans document text:\n$top")
+    assert(!top.toString.contains("CartesianProduct"), "cartesian in x117")
     graft.util.OperatorCaches.release(spark)
   }
 }

@@ -47,6 +47,17 @@ _ap.add_argument("out", nargs="?", default="testdata/sf1")
 _ap.add_argument("--copies", type=int, default=10)
 _ap.add_argument("--tables", default="",
                  help="comma-separated subset; default all")
+_ap.add_argument("--vocab", choices=["observed", "heaps"],
+                 default="observed",
+                 help="documents vocabulary: 'observed' reuses sf0.1's "
+                 "fixed ~50-word vocabulary at every scale (the "
+                 "worst case for LSH bucket occupancy — shingle space "
+                 "fixed while N grows); 'heaps' draws a synthetic "
+                 "vocabulary that grows as V = 3*sqrt(total_tokens) "
+                 "(Heaps' law, beta=0.5) with Zipf(1.1) frequencies — "
+                 "the natural-text shape, for measuring what the "
+                 "MaxBandBucket occupancy cap costs on a corpus whose "
+                 "vocabulary scales with it (VERDICT r12 #4)")
 _args = _ap.parse_args()
 
 SRC = "/root/testdata/sf0.1"
@@ -160,9 +171,30 @@ def main():
         lang_p = lang_counts / lang_counts.sum()
         n_docs = src_docs.num_rows * COPIES
         lengths = rng.integers(10, 101, size=n_docs)
-        vocab_arr = np.array(vocab)
-        texts = [" ".join(vocab_arr[rng.integers(0, len(vocab_arr), size=n)])
-                 for n in lengths]
+        if _args.vocab == "heaps":
+            # natural-text shape: vocabulary grows with the corpus
+            # (Heaps V = K*T^beta, K=3, beta=0.5) and word frequencies
+            # follow Zipf. Words are deterministic synthetic tokens;
+            # the multi-byte forcing set stays appended so the
+            # byte-vs-character gates keep firing.
+            total_tokens = int(lengths.sum())
+            v_size = max(64, int(3 * np.sqrt(total_tokens)))
+            synth = np.array([f"w{i:06d}" for i in range(v_size)])
+            vocab_arr = np.concatenate([synth, np.array(vocab[-16:])])
+            ranks = np.arange(1, len(vocab_arr) + 1, dtype=np.float64)
+            zipf_p = ranks ** -1.1
+            zipf_p /= zipf_p.sum()
+            # one bulk draw (per-doc rng.choice(p=...) re-cumsums the
+            # distribution 500k times at sf10)
+            flat = rng.choice(len(vocab_arr), size=total_tokens, p=zipf_p)
+            offs = np.concatenate([[0], np.cumsum(lengths)])
+            texts = [" ".join(vocab_arr[flat[offs[i]:offs[i + 1]]])
+                     for i in range(n_docs)]
+        else:
+            vocab_arr = np.array(vocab)
+            texts = [" ".join(
+                vocab_arr[rng.integers(0, len(vocab_arr), size=n)])
+                for n in lengths]
         # planted exact dups at the observed rate (8 per 5000 docs, group size 2)
         n_dups = 8 * COPIES
         dup_to = rng.choice(np.arange(n_docs // 2, n_docs), size=n_dups, replace=False)

@@ -204,6 +204,25 @@ def x102_expected(con, oracle, out_dir=None):
     df["kept"] = df["doc_id"] == df["keep_doc"]
     return df
 
+def x117_expected(con, oracle, out_dir=None):
+    """x117_corpus_build: the same union-find substitution as x101/x102
+    — the capstone's oracle composes componentLabelsCte, whose recursive
+    reachability is quadratic in component size (fine for the driver at
+    sf0.01, measured >25 min at sf1). Labels come from x101_expected
+    (union-find over x2's verified pairs); the REST of the composed SQL
+    runs verbatim with the one `lab` reference redirected to the
+    registered labels table, leaving the recursive chain unreferenced —
+    DuckDB never evaluates unreferenced CTEs. The driver's independent
+    sf0.01 gate still runs the committed SQL untouched."""
+    base = x101_expected(con, oracle, out_dir)
+    con.register("uf_lab_df", base[["doc_id", "component_rep"]])
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE uf_lab AS SELECT * FROM uf_lab_df")
+    sql = oracle["x117_corpus_build"]
+    assert sql.count("FROM lab l") == 1, "x117 oracle shape changed"
+    return con.execute(sql.replace("FROM lab l", "FROM uf_lab l")).df()
+
+
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
@@ -245,6 +264,8 @@ def main(sf_dir, out_dir, skip=()):
                     if name == "x101_dup_components"
                     else x102_expected(con, oracle_all, x2_dir)
                     if name == "x102_canonical_keep"
+                    else x117_expected(con, oracle_all, x2_dir)
+                    if name == "x117_corpus_build"
                     else con.execute(oracle[name]).df())
         except Exception as e:
             print(f"{'ERROR':>9}  {name}: {e}  [{time.time() - t_q:.1f}s]",

@@ -98,6 +98,12 @@ def main():
                          "bench phases")
     ap.add_argument("--base-dir", default=SF01,
                     help="small-SF dir (ratio denominator)")
+    ap.add_argument("--base-json", default="",
+                    help="reuse a recorded base bench (a BENCH_LATEST-"
+                         "shaped file) instead of re-benching --base-dir "
+                         "— e.g. the sf1 full-battery artifact the sf0.1"
+                         "->sf1 gate just wrote, when chaining the "
+                         "sf1->sf10 gate right after it")
     ap.add_argument("--big-dir", default=SF1,
                     help="large-SF dir (correctness + ratio numerator)")
     ap.add_argument("queries", nargs="*")
@@ -150,7 +156,10 @@ def main():
             failures.append(
                 f"{args.big_dir} correctness: check.py reported failures")
 
-    base = bench(args.base_dir, args.queries)
+    if args.base_json:
+        base = json.load(open(args.base_json))["queries"]
+    else:
+        base = bench(args.base_dir, args.queries)
     big = bench(args.big_dir, args.queries)
     bl = os.path.basename(args.base_dir.rstrip("/"))
     gl = os.path.basename(args.big_dir.rstrip("/"))

@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's BENCH artifact is json.loads of the LAST 2000 chars of
+// raw sbt stdout. Through round 13 that parse failed every round even
+// after the compact line fit the window, because sbt decorated the
+// tail: forked-run output was logged as "[info] {…}" and the run ended
+// with "[success] Total time: …". StdoutOutput passes the forked JVM's
+// stdout through verbatim (no logger prefix); showSuccess drops the
+// footer. Bench additionally newline-pads before its compact line so
+// the scrape window is whitespace + JSON only.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

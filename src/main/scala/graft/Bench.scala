@@ -253,36 +253,14 @@ object Bench {
     val totalMed =
       if (results.nonEmpty) results.map(r => medians(r._1)).sum else 0.0
     val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":${f4(totalMed)},"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
-    // The driver's BENCH artifact is a tail-scrape of the LAST 2000
-    // CHARS of stdout, json-parsed: the full 148-query line is ~7.8 KB,
-    // so every round through r12 recorded "parsed": null (the tail
-    // starts mid-JSON). Stdout therefore carries ONE compact line sized
-    // under the window: query keys are the id prefix before the first
-    // '_' ("x106_ivfpq_recall" -> "x106" — verified unique across the
-    // battery, and the map below fails fast if that ever breaks),
-    // values at 2 decimals (dropping to 1/0 if a huge-SF run would
-    // still overflow), medians and error MESSAGES live only in the file
-    // artifact + stderr. Full-name record: BENCH_LATEST[_<sf>].json.
-    def compactLine(decimals: Int): String = {
-      val shortPairs = results.map { case (k, v) =>
-        k.takeWhile(_ != '_') -> v
-      }
-      require(shortPairs.map(_._1).distinct.size == shortPairs.size,
-        "query id-prefix collision — compact bench keys would be ambiguous")
-      val qsShort = shortPairs
-        .map { case (k, v) => "\"" + k + "\":" + fN(v, decimals) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fN(total, decimals)},"unit":"sec","keys":"id-prefix; full names in BENCH_LATEST file","queries":$qsShort,"total_median":${fN(totalMed, decimals)},"failed":${errors.size},"sf":"$sfDir"}"""
-    }
-    val scraped = Iterator(2, 1, 0).map(compactLine)
-      .find(_.length <= 1900)
-      .getOrElse(compactLine(0))
-    println(scraped)
-    System.err.println(line)
     // The file copy is the complete, machine-readable record regardless
-    // of scrape limits. Written under BOTH the stable name (what the
-    // driver knows to read) and an sf-labeled name, so consecutive runs
-    // at different SFs don't silently overwrite each other's record.
+    // of scrape limits, and is written FIRST: if compact-line assembly
+    // ever threw (the old id-prefix collision `require`), the whole
+    // run's timings must not die with it. Written under BOTH the stable
+    // name (what scale_gate knows to read) and an sf-labeled name, so
+    // consecutive runs at different SFs don't silently overwrite each
+    // other's record.
+    System.err.println(line)
     val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
     val outFiles = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(Seq(_))
@@ -293,7 +271,41 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     }
+    // The driver's BENCH artifact is json.loads of the LAST 2000 CHARS
+    // of raw sbt stdout: the full 148-query line is ~7.8 KB, so every
+    // round through r12 recorded "parsed": null (the tail starts
+    // mid-JSON). Stdout therefore carries ONE compact line sized under
+    // the window: query keys are the id prefix before the first '_'
+    // ("x106_ivfpq_recall" -> "x106" — unique across the battery; on a
+    // future collision the line falls back to full names and may
+    // overflow the window, degrading the scrape but never the run),
+    // values at 2 decimals (dropping to 1/0 if a huge-SF run would
+    // still overflow), medians and error MESSAGES live only in the file
+    // artifact + stderr. Full-name record: BENCH_LATEST[_<sf>].json.
+    def compactLine(decimals: Int): String = {
+      val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
+      val collide = shortKeys.distinct.size != shortKeys.size
+      val pairs =
+        if (collide) results
+        else results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+      val qsShort = pairs
+        .map { case (k, v) => "\"" + k + "\":" + fN(v, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fN(total, decimals)},"unit":"sec","keys":"id-prefix; full names in BENCH_LATEST file","queries":$qsShort,"total_median":${fN(totalMed, decimals)},"failed":${errors.size},"sf":"$sfDir"}"""
+    }
+    val scraped = Iterator(2, 1, 0).map(compactLine)
+      .find(_.length <= 1900)
+      .getOrElse(compactLine(0))
+    // Stop Spark BEFORE the scraped line: a sporadic shutdown-time WARN
+    // on stdout after the line would re-enter the driver's 2000-char
+    // window and break the parse.
     spark.stop()
+    // Newline-pad so stdout's final 2000 chars are whitespace + the
+    // compact line and nothing else (json.loads tolerates leading
+    // whitespace; anything earlier on stdout — Spark warnings, progress
+    // noise — is pushed out of the scrape window).
+    print("\n" * 2100)
+    println(scraped)
     // A bench with ANY failed query must not look like a success to the
     // driver or to gate.sh — rc=0 with failures is how round 7 went blind.
     if (errors.nonEmpty) {

@@ -24,4 +24,27 @@ fi
 # shift broke 15 queries at ANALYSIS time and nothing here noticed;
 # this step turns that class of outage into a non-zero gate exit.
 sbt -batch Test/compile
-exec sbt -batch "runMain graft.Analyze /root/testdata/sf0.001"
+sbt -batch "runMain graft.Analyze /root/testdata/sf0.001"
+# Driver-scrape simulation (VERDICT r13 #2): the driver's BENCH artifact
+# is json.loads of the LAST 2000 chars of RAW sbt stdout. Rounds 11-13
+# each "fixed" the compact line and still recorded "parsed": null,
+# because the fix was verified against the line, not the artifact: sbt's
+# "[info] " prefix and "[success] Total time" footer sat inside the
+# window. This step runs a minimal bench exactly as the driver does and
+# asserts the tail parses — the artifact IS the acceptance test.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
+SPARK_GRAFT_BENCH_OUT=/tmp/gate_bench_artifact.json \
+  sbt -batch "runMain graft.Bench r1_ingest_raw r2_subject_segments" \
+  > /tmp/gate_bench_stdout.txt 2>/tmp/gate_bench_stderr.txt \
+  || { echo "gate: minimal bench failed"; tail -5 /tmp/gate_bench_stderr.txt; exit 1; }
+python3 - <<'EOF'
+import json
+tail = open("/tmp/gate_bench_stdout.txt", errors="replace").read()[-2000:]
+try:
+    rec = json.loads(tail)
+except Exception as e:
+    raise SystemExit(f"DRIVER-SCRAPE SIMULATION FAILED: json.loads(stdout[-2000:])"
+                     f" -> {e}\ntail repr: {tail[-300:]!r}")
+assert rec.get("queries"), rec
+print("driver-scrape simulation OK:", rec["queries"])
+EOF

@@ -62,25 +62,26 @@ def run(cmd, **kw):
 
 
 def bench(sf_dir, queries):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    # Pin the artifact to a per-call path (ADVICE r13): an inherited
+    # SPARK_GRAFT_BENCH_OUT would send Bench's record elsewhere, and the
+    # old mtime-guarded read of BENCH_LATEST.json would then fall back to
+    # parsing the stdout COMPACT line, whose id-prefix keys ("x117")
+    # never intersect the file artifact's full names
+    # ("x117_corpus_build") — silently voiding the gate. The file
+    # artifact (full names, 4-decimal min-of-3) is now the ONLY source.
+    out = os.path.join(
+        "/tmp", f"scale_gate_bench_{os.path.basename(sf_dir.rstrip('/'))}.json")
+    if os.path.isfile(out):
+        os.remove(out)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_OUT=out)
     cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(queries)]
-    import time
-    t0 = time.time()
-    p = run(cmd, env=env, stdout=subprocess.PIPE, text=True)
+    p = run(cmd, env=env)
     if p.returncode != 0:
         sys.exit(f"bench failed at {sf_dir} (rc={p.returncode})")
-    # The FILE artifact carries full query names and 4-decimal timings;
-    # the stdout line is the driver-scrape-sized compact form (id-prefix
-    # keys, 2 decimals) — parse it only as a fallback. mtime-guarded so
-    # a stale file from an earlier run can never stand in for this one.
-    latest = os.path.join(REPO, "BENCH_LATEST.json")
-    if os.path.isfile(latest) and os.path.getmtime(latest) >= t0:
-        return json.load(open(latest))["queries"]  # per-query min-of-3
-    for line in p.stdout.splitlines():
-        line = line.replace("[info]", "").strip()
-        if line.startswith('{"metric"'):
-            return json.loads(line)["queries"]
-    sys.exit(f"no bench JSON line found at {sf_dir}")
+    if not os.path.isfile(out):
+        sys.exit(f"bench at {sf_dir} wrote no artifact at {out}")
+    return json.load(open(out))["queries"]  # per-query min-of-3
 
 
 def main():
@@ -161,12 +162,23 @@ def main():
     else:
         base = bench(args.base_dir, args.queries)
     big = bench(args.big_dir, args.queries)
+    # A disjoint key set means the two sides came from different
+    # namespaces (e.g. a --base-json of compact id-prefix keys vs the
+    # file artifact's full names): every lookup would miss, the loop
+    # would compare NOTHING, and the gate would print success. Fail.
+    if not set(base) & set(big):
+        sys.exit("base/big bench records share no query keys — namespace "
+                 "mismatch (id-prefix stdout line vs full-name artifact?)")
     bl = os.path.basename(args.base_dir.rstrip("/"))
     gl = os.path.basename(args.big_dir.rstrip("/"))
     print(f"\n{'query':28s} {bl:>8s} {gl:>8s} {'ratio':>7s}  budget {args.budget}x")
+    skipped_null = []
     for q in sorted(big):
         b, g = base.get(q), big[q]
         if b is None:
+            continue
+        if g is None:  # Bench renders non-finite timings as JSON null
+            skipped_null.append(q)
             continue
         ratio = g / b if b > 0 else float("inf")
         verdict = "ok"
@@ -176,6 +188,8 @@ def main():
                 f"{q}: {gl} {g:.2f}s is {ratio:.1f}x its {bl} {b:.2f}s "
                 f"(> {args.budget}x budget) — super-linear scale shape")
         print(f"{q:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}x  {verdict}")
+    if skipped_null:
+        print(f"note: skipped null-timed queries: {', '.join(skipped_null)}")
 
     if failures:
         print("\nSCALE GATE FAILED:")

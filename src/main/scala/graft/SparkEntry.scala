@@ -231,7 +231,13 @@ object SparkEntry {
     "x114_split_leakage" -> (Curation.splitLeakage _),
     "x115_quality_fusion" -> (Curation.qualityFusion _),
     "x116_page_stitch" -> (Dedup.pageStitch _),
-    "x117_corpus_build" -> (Curation.corpusBuild _)
+    "x117_corpus_build" -> (Curation.corpusBuild _),
+    // batch flavor of the STREAMING corpus build (x57 first-seen dedup →
+    // x104 base-index near-dup → x94 gate with base-corpus calibration;
+    // StreamingSpec drives the online side) — oracle composed from
+    // x103/x104's near-dup CTEs and x94's gate CTEs
+    "x118_corpus_build_stream" ->
+      (graft.streaming.CorpusStream.corpusBuildBatch _)
   )
 
   /** Shared DuckDB CTE: the deterministic NATS-like envelope synthesized
@@ -342,10 +348,24 @@ object SparkEntry {
     * pattern). Emitted WITHOUT a leading WITH so it can extend an
     * existing CTE chain; `from` must be a table name or an aliased
     * subquery. */
-  private def qualityGateCtes(from: String): String = {
+  /** x94's gate CTEs (signals `gd`/`gmx`/`gp`, thresholds `gt`) over
+    * `from`. `thrFrom` reroutes the per-source P25 calibration to a
+    * DIFFERENT relation (x118: signals over the arriving stream,
+    * thresholds over the standing base corpus — the
+    * Curation.tokenThresholdsFrom seam's mirror). */
+  private def qualityGateCtes(from: String,
+      thrFrom: Option[String] = None): String = {
     val w = graft.expressions.CdcChunks.Window
     val m = 1L << graft.expressions.CdcChunks.MaskBits
     val pct = graft.operators.TextAnalysis.CalibratePct
+    val gdb = thrFrom.map(t =>
+      s"""gdb AS (
+         |  SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM $t WHERE text IS NOT NULL AND length(text) >= 1),
+         |""".stripMargin).getOrElse("")
+    val thrSrc = thrFrom.map(_ => "gdb").getOrElse("gd")
+    gdb +
     s"""gd AS MATERIALIZED (
        |  SELECT doc_id, source, text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -382,7 +402,7 @@ object SparkEntry {
        |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
        |  FROM gd),
        |gh AS (SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS c
-       |       FROM gd GROUP BY 1, 2),
+       |       FROM $thrSrc GROUP BY 1, 2),
        |gw AS (SELECT source, n_tokens,
        |         SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
        |         SUM(c) OVER (PARTITION BY source) AS n_s
@@ -442,13 +462,14 @@ object SparkEntry {
        |""".stripMargin
   }
 
-  /** x103 / x104 shared oracle: the delta-vs-base near-dup SQL (both
-    * the batch pipeline and the streaming composition reduce to this
-    * relation on the documents table). */
-  private lazy val deltaDedupSql: String = {
+  /** x103 / x104 / x118 shared CTE chain: the delta-vs-base near-dup
+    * relations on the documents table, ending at `agg` (per-delta match
+    * counts) and `best` (best base partner). [[deltaDedupSql]] appends
+    * the x103/x104 final select; the x118 oracle composes these with
+    * x94's gate CTEs and the first-seen-dedup window. */
+  private lazy val deltaDedupCtes: String = {
       val nm = graft.operators.Dedup.NumMinhashes
       val cap = graft.operators.Dedup.MaxBandBucket
-      val tau = graft.operators.Dedup.DeltaDupTau
       shingleCte +
         s""", sp AS (SELECT CAST(FLOOR(CAST(MAX(doc_id) AS DOUBLE) * 4 / 5)
            |    AS BIGINT) AS split_id FROM documents),
@@ -489,7 +510,15 @@ object SparkEntry {
            |  SELECT delta_id, base_id AS best_base, jaccard AS best_jaccard
            |  FROM (SELECT v.*, ROW_NUMBER() OVER (PARTITION BY delta_id
            |          ORDER BY jaccard DESC, base_id ASC) AS rn FROM v)
-           |  WHERE rn = 1)
+           |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** x103 / x104 shared oracle: [[deltaDedupCtes]] + the per-delta
+    * verdict select. */
+  private lazy val deltaDedupSql: String = {
+      val tau = graft.operators.Dedup.DeltaDupTau
+      deltaDedupCtes +
+        s"""
            |SELECT d.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
            |  b.best_base, b.best_jaccard,
            |  COALESCE(b.best_jaccard >= $tau, FALSE) AS is_dup
@@ -3893,6 +3922,54 @@ object SparkEntry {
     // 0.02 floor, best match by (jaccard desc, base_id asc).
     "x103_delta_dedup" -> deltaDedupSql,
     "x104_stream_delta_dedup" -> deltaDedupSql,
+
+    // Mirrors CorpusStream.corpusBuildBatch (the batch carrier of the
+    // x118 streaming corpus build): x57's first-seen exact dedup over
+    // the delta (s1), x103/x104's near-dup verdict vs the base (s2,
+    // masked to s1 survivors), x94's gate with signals over the delta
+    // and the P25 calibration over the BASE corpus (s3, masked to
+    // s1∧s2 survivors; no-text / no-calibration docs fail closed);
+    // stage verdicts NULL when unreached, one row per delta doc.
+    "x118_corpus_build_stream" -> {
+      val tau = graft.operators.Dedup.DeltaDupTau
+      val mc = graft.operators.Curation.MaxChunkGate
+      deltaDedupCtes +
+        s""", s1x AS MATERIALIZED (
+           |  SELECT d.doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY md5(coalesce(d.text, ''))
+           |      ORDER BY d.doc_id) = 1 AS s1_exact_kept
+           |  FROM documents d, sp WHERE d.doc_id >= sp.split_id),
+           |${qualityGateCtes(
+                "(SELECT d2.doc_id, d2.source, d2.text FROM documents d2, " +
+                  "sp WHERE d2.doc_id >= sp.split_id) srcd",
+                Some("(SELECT d3.source, d3.text FROM documents d3, sp " +
+                  "WHERE d3.doc_id < sp.split_id) srcb"))},
+           |g118 AS (
+           |  SELECT gd.doc_id,
+           |    gd.n_tokens >= gt.threshold AND gp.n_luhn_valid = 0
+           |      AND coalesce(gmx.max_chunk, gd.n) <= $mc AS gate_keep
+           |  FROM gd LEFT JOIN gmx USING (doc_id) JOIN gp USING (doc_id)
+           |    JOIN gt USING (source))
+           |SELECT d.doc_id, s1x.s1_exact_kept,
+           |  CASE WHEN s1x.s1_exact_kept
+           |    THEN NOT COALESCE(b.best_jaccard >= $tau, FALSE) END
+           |    AS s2_neardup_kept,
+           |  CASE WHEN s1x.s1_exact_kept
+           |      AND NOT COALESCE(b.best_jaccard >= $tau, FALSE)
+           |    THEN COALESCE(g118.gate_keep, FALSE) END AS s3_quality_kept,
+           |  COALESCE(s1x.s1_exact_kept
+           |    AND NOT COALESCE(b.best_jaccard >= $tau, FALSE)
+           |    AND COALESCE(g118.gate_keep, FALSE), FALSE) AS final_kept,
+           |  CASE WHEN s1x.s1_exact_kept
+           |    THEN COALESCE(a.n_matches, 0) END AS n_base_matches
+           |FROM documents d CROSS JOIN sp
+           |LEFT JOIN s1x ON s1x.doc_id = d.doc_id
+           |LEFT JOIN agg a ON a.delta_id = d.doc_id
+           |LEFT JOIN best b ON b.delta_id = d.doc_id
+           |LEFT JOIN g118 ON g118.doc_id = d.doc_id
+           |WHERE d.doc_id >= sp.split_id
+           |ORDER BY d.doc_id""".stripMargin
+    },
 
     // Mirrors ProductQuantization.ivfPqTopK: Lloyd-trained √(N/8) cells
     // (kmeansCte) routed by the two-level quantized ranking, PQ codes

@@ -664,6 +664,33 @@ object Curation {
   private[graft] def qualityGate2From(docsDf: DataFrame): DataFrame =
     qualityGate2Core(docsDf).orderBy("doc_id")
 
+  /** Per-source P25 token-count thresholds (x79's calibration) over an
+    * arbitrary (source, text) relation — the CALIBRATION seam: x94
+    * computes it over the same relation it gates (calibrate on what
+    * enters the stage), while x118's streaming corpus build computes it
+    * over the STANDING base corpus and broadcasts the tiny (source,
+    * threshold) table to the arriving stream — the only streaming-legal
+    * stance (a per-micro-batch percentile would be neither
+    * deterministic nor what an at-ingest gate means). The percentile
+    * runs over the bounded (source, n_tokens) histogram, never corpus
+    * rows, so the broadcast is a few rows regardless of corpus size. */
+  private[graft] def tokenThresholdsFrom(docsDf: DataFrame): DataFrame = {
+    val hist = docsDf
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("source"), size(tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+    hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("k",
+        expr(s"(n_s * ${TextAnalysis.CalibratePct} + 99) DIV 100"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("source").agg(min(col("n_tokens")).as("threshold"))
+  }
+
   /** [[qualityGate2From]] WITHOUT the final determinism sort — the
     * composition seam (x117 persists this; caching the sorted form
     * would materialize a corpus sort no consumer needs). */
@@ -675,17 +702,7 @@ object Curation {
         size(expr("filter(regexp_extract_all(text, '[0-9]{13,19}', 0), " +
           s"r -> ${TextAnalysis.luhnOk("r")})")).cast("long")
           .as("n_luhn_valid"))
-    val hist = d.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
-    val thr = hist
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy("source").orderBy("n_tokens")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n_s", sum(col("c")).over(Window.partitionBy("source")))
-      .withColumn("k",
-        expr(s"(n_s * ${TextAnalysis.CalibratePct} + 99) DIV 100"))
-      .filter(col("cum") >= col("k"))
-      .groupBy("source").agg(min(col("n_tokens")).as("threshold"))
-    d.join(broadcast(thr), "source")
+    d.join(broadcast(tokenThresholdsFrom(docsDf)), "source")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("max_chunk"), col("n_luhn_valid"),
         (col("n_tokens") >= col("threshold") &&

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, Dataset, GraftSql, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-import graft.functions.TextFunctions.{minhashSig, shingles}
+import graft.functions.TextFunctions.{cdcChunks, minhashSig, shingles, tokens}
 import graft.util.OperatorCaches
 
 /** Per-content-hash dedup state for [[CorpusStream.firstSeenDedup]]. */
@@ -123,7 +123,8 @@ object CorpusStream {
     * dedup + open-window buffers, both bounded by the watermark. */
   def deltaDedupStream(spark: SparkSession, streamDocs: DataFrame,
       baseDocs: DataFrame,
-      watermarkDelay: String = "10 seconds"): DataFrame = {
+      watermarkDelay: String = "10 seconds",
+      carry: Seq[String] = Nil): DataFrame = {
     import graft.operators.Dedup
     def bandLong(hs: Column) =
       conv(substring(hs, 1, 15), 16, 10).cast("long")
@@ -166,10 +167,16 @@ object CorpusStream {
     // 1-element array) — the stream-legal stand-in for the batch side's
     // persist barrier: without it, project-collapse inlines the
     // interpreted shingle builder into every consumer (fp, sig, size).
+    // `carry` columns are doc-constant verdict columns a COMPOSED
+    // pipeline (x118) threads through this operator: they ride the
+    // narrow pre-explode projection, the band join, and the final
+    // per-doc aggregate (max of a doc-constant is the constant) —
+    // never state, never a new exchange key. Nil for plain x104.
     val probes = streamDocs
-      .select(col("doc_id"), col("ts").cast("timestamp"),
+      .select(Seq(col("doc_id"), col("ts").cast("timestamp")) ++
+        carry.map(col) :+
         explode(array(shingles(coalesce(col("text"), lit("")))))
-          .as("sh"))
+          .as("sh"): _*)
       .withWatermark("ts", watermarkDelay)
     // Probe fingerprints are computed ONCE per doc BEFORE the band
     // explode and ride the exchanges as 60-bit longs (the x2 sf10
@@ -178,22 +185,25 @@ object CorpusStream {
     // the band join and re-md5'd them per band-hit, measuring 15.2×
     // per decade; this shape measures linear again.
     val banded = probes
-      .select(col("doc_id"), col("ts"), fpOf(col("sh")).as("fp_d"),
+      .select(Seq(col("doc_id"), col("ts")) ++ carry.map(col) ++ Seq(
+        fpOf(col("sh")).as("fp_d"),
         size(col("sh")).cast("long").as("nd"),
         posexplode_outer(
           when(size(col("sh")) > 0,
-            minhashSig(col("sh"), Dedup.NumMinhashes))))
-      .toDF("doc_id", "ts", "fp_d", "nd", "band", "hs")
-      .select(col("doc_id"), col("ts"), col("fp_d"), col("nd"),
-        col("band"), bandLong(col("hs")).as("h"))
+            minhashSig(col("sh"), Dedup.NumMinhashes)))): _*)
+      .toDF(Seq("doc_id", "ts") ++ carry ++
+        Seq("fp_d", "nd", "band", "hs"): _*)
+      .select(Seq(col("doc_id"), col("ts")) ++ carry.map(col) ++ Seq(
+        col("fp_d"), col("nd"),
+        col("band"), bandLong(col("hs")).as("h")): _*)
     val cand = banded
       .join(index, Seq("band", "h"), "left_outer")
-      .select(col("doc_id"), col("ts"),
+      .select(Seq(col("doc_id"), col("ts")) ++ carry.map(col) :+
         explode_outer(GraftSql.column(graft.expressions.ProbeBucketIndex(
           GraftSql.expression(col("fp_d")), GraftSql.expression(col("nd")),
-          GraftSql.expression(col("idx")), 0.02))).as("mt"))
-      .select(col("doc_id"), col("ts"), col("mt.base_id").as("base_id"),
-        col("mt.jaccard").as("jaccard"))
+          GraftSql.expression(col("idx")), 0.02))).as("mt"): _*)
+      .select(Seq(col("doc_id"), col("ts"), col("mt.base_id").as("base_id"),
+        col("mt.jaccard").as("jaccard")) ++ carry.map(col): _*)
     // pair-dedupe the SURVIVORS: a pair surfaces once however many
     // bands agree (identical verify values each time), and the
     // no-candidate null rows collapse to one verdict row per doc
@@ -201,20 +211,23 @@ object CorpusStream {
       if (cand.isStreaming)
         cand.dropDuplicatesWithinWatermark(Seq("doc_id", "base_id"))
       else cand.dropDuplicates(Seq("doc_id", "base_id"))
+    val aggs = Seq(
+      sum(when(col("jaccard") >= 0.02, 1L).otherwise(0L))
+        .as("n_matches"),
+      max(when(col("jaccard") >= 0.02,
+        struct(col("jaccard").as("j"), (-col("base_id")).as("nid"))))
+        .as("best")) ++
+      carry.map(c => max(col(c)).as(c))
     pairs
-      .select(col("doc_id"), col("ts"), col("base_id"), col("jaccard"))
+      .select(Seq(col("doc_id"), col("ts"), col("base_id"),
+        col("jaccard")) ++ carry.map(col): _*)
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))
-      .agg(
-        sum(when(col("jaccard") >= 0.02, 1L).otherwise(0L))
-          .as("n_matches"),
-        max(when(col("jaccard") >= 0.02,
-          struct(col("jaccard").as("j"), (-col("base_id")).as("nid"))))
-          .as("best"))
-      .select(col("doc_id"), col("n_matches"),
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("doc_id"), col("n_matches"),
         (-col("best.nid")).as("best_base"),
         col("best.j").as("best_jaccard"),
         coalesce(col("best.j") >= Dedup.DeltaDupTau, lit(false))
-          .as("is_dup"))
+          .as("is_dup")) ++ carry.map(col): _*)
   }
 
   /** [[deltaDedupStream]] over the service's NATS ENVELOPE stream — the
@@ -254,5 +267,172 @@ object CorpusStream {
       .select(col("doc_id"),
         timestamp_seconds(col("doc_id")).as("ts"), col("text"))
     deltaDedupStream(spark, delta, base).orderBy("doc_id")
+  }
+
+  /** x118: the STREAMING CORPUS BUILD — x117's deployment story at the
+    * crawl-ingest boundary: every ARRIVING document runs the per-doc
+    * stages of the corpus build online and gets ONE keep verdict row,
+    * with stage verdicts NULL when unreached (x117's never-silently-
+    * dropped rule, held under streaming semantics):
+    *
+    *   - s1 `s1_exact_kept`: x57's first-seen exact dedup state machine
+    *     (per-content-hash (firstId, n) state, event-time TTL) — run in
+    *     APPEND mode, because the chain below adds further stateful
+    *     operators and Update-mode `flatMapGroupsWithState` cannot be
+    *     followed by them; the document itself rides the iterator
+    *     output, never the state store.
+    *   - s2 `s2_neardup_kept`: x104's near-dup verdict against the
+    *     persisted capped base index (stream-static — no stream-stream
+    *     state), carried per-doc through [[deltaDedupStream]]'s `carry`
+    *     seam. The verdict is computed for EVERY arriving doc and
+    *     masked to s1 survivors in the final projection: filtering s1
+    *     losers out would silently drop their verdict rows (re-joining
+    *     them back = a stream-stream join), and the verdict depends
+    *     only on the doc vs the STATIC base, so compute-then-mask is
+    *     semantically identical — the documented cost is the extra
+    *     probe work for exact-dup arrivals, a vanishing fraction of a
+    *     crawl.
+    *   - s3 `s3_quality_kept`: x94's gate projection, STATELESS per
+    *     doc — signals (token count, max CDC chunk, Luhn-valid card
+    *     count) are a narrow map stage, and the per-source P25 token
+    *     calibration comes from the STANDING corpus as a broadcast
+    *     ([[graft.operators.Curation.tokenThresholdsFrom]] over the
+    *     base — the at-ingest stance; x117's batch flavor calibrates on
+    *     what enters the stage, which a stream cannot know). Docs with
+    *     null/empty text or a source absent from the base calibration
+    *     fail explicitly (x94's discipline).
+    *
+    * x117's corpus-level stages (mixture, packing) are deliberately
+    * absent: they are functions of the FINAL kept corpus, which an
+    * at-ingest verdict cannot know — the deployment runs x118 at the
+    * boundary and x117 at compaction.
+    *
+    * Streaming state = s1's per-hash entries (TTL-bounded) + x104's
+    * pair-dedup and open-window buffers (watermark-bounded); the chain
+    * is fMGWS(Append) → stateless gate projection + threshold broadcast
+    * → stream-static band join → dropDuplicatesWithinWatermark →
+    * windowed per-doc aggregate, all Append-legal. In BATCH mode the
+    * same composition runs with timeouts un-armed and the watermark
+    * eliminated — [[corpusBuildBatch]] is the oracle-checkable carrier
+    * (`x118_corpus_build_stream`, sharing x103/x104's near-dup oracle
+    * CTEs and x94's gate CTEs).
+    *
+    * 100 TB note: per-micro-batch cost is the x104 probe cost plus a
+    * narrow gate projection; the only additions to x104's proven shape
+    * are two boolean carry columns and one few-row broadcast. */
+  def corpusBuildStream(spark: SparkSession, streamDocs: DataFrame,
+      baseDocs: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      armTtl: Boolean = true,
+      ttlMs: Long = 3600L * 1000): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Spark's UnsupportedOperationChecker rejects ANY stateful operator
+    // downstream of flatMapGroupsWithState ("possible correctness issue
+    // due to global watermark"): it cannot see inside the user function,
+    // so it conservatively assumes fMGWS may emit rows older than the
+    // watermark, which downstream state would silently discard. This
+    // operator's state function provably cannot: every input row is
+    // emitted in the SAME micro-batch it arrives, with its event time
+    // UNMODIFIED (the state machine only annotates, never buffers or
+    // re-times), so its output is exactly as late as its input — the
+    // situation every single-stage watermarked query already handles.
+    // Spark's own documented escape hatch for this case is the
+    // checkCorrectness flag; the restart spec exercises the chain's
+    // cross-batch behavior end to end.
+    if (streamDocs.isStreaming)
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+    // static per-source calibration from the standing corpus, persisted
+    // like x104's base index (re-built per micro-batch otherwise)
+    val thr = OperatorCaches.persist(
+      Curation.tokenThresholdsFrom(baseDocs))
+    val s1 = streamDocs
+      .select(col("doc_id").cast("long"), col("ts").cast("timestamp"),
+        col("source"), col("text"),
+        md5(coalesce(col("text"), lit(""))).as("text_hash"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, String, String, String)]
+      .groupByKey(_._5)
+      .flatMapGroupsWithState[DedupKeyState,
+        (Long, Timestamp, String, String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._1, r._2.getTime))
+            val prev = state.getOption
+            val first = prev.map(_.firstId).getOrElse(sorted.head._1)
+            var n = prev.map(_.n).getOrElse(0L)
+            val out = sorted.map { case (id, t, src, txt, _) =>
+              n += 1
+              (id, t, src, txt, n == 1L)
+            }
+            state.update(DedupKeyState(first, n))
+            if (armTtl)
+              state.setTimeoutTimestamp(sorted.map(_._2.getTime).max + ttlMs)
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "ts", "source", "text", "s1_exact_kept")
+    // x94's gate signals as a stateless projection; null/empty text and
+    // missing calibration sources fail explicitly (hasText leads the
+    // conjunction, so the guarded-null signals can never leak a NULL
+    // verdict: false AND NULL = false)
+    val hasText = col("text").isNotNull && length(col("text")) >= 1
+    val sig = s1
+      .withColumn("n_tokens",
+        when(hasText, size(tokens(col("text"))).cast("long")))
+      .withColumn("max_chunk",
+        when(hasText, array_max(cdcChunks(col("text"))).cast("long")))
+      .withColumn("n_luhn_valid",
+        when(hasText, size(expr(
+          "filter(regexp_extract_all(text, '[0-9]{13,19}', 0), " +
+            s"r -> ${graft.operators.TextAnalysis.luhnOk("r")})"))
+          .cast("long")))
+      .join(broadcast(thr), Seq("source"), "left_outer")
+      .withColumn("gate_keep",
+        hasText &&
+          coalesce(col("n_tokens") >= col("threshold"), lit(false)) &&
+          col("n_luhn_valid") === 0L &&
+          col("max_chunk") <= lit(Curation.MaxChunkGate))
+    val nd = deltaDedupStream(spark,
+      sig.select("doc_id", "ts", "text", "s1_exact_kept", "gate_keep"),
+      baseDocs, watermarkDelay,
+      carry = Seq("s1_exact_kept", "gate_keep"))
+    val s2ok = !col("is_dup")
+    nd.select(col("doc_id"),
+      col("s1_exact_kept"),
+      when(col("s1_exact_kept"), s2ok).as("s2_neardup_kept"),
+      when(col("s1_exact_kept") && s2ok,
+        coalesce(col("gate_keep"), lit(false))).as("s3_quality_kept"),
+      coalesce(col("s1_exact_kept") && s2ok && col("gate_keep"),
+        lit(false)).as("final_kept"),
+      when(col("s1_exact_kept"), col("n_matches")).as("n_base_matches"))
+  }
+
+  /** [[corpusBuildStream]]'s batch carrier over the documents table —
+    * the same in-plan 80th-percentile id-space split as
+    * [[deltaDedupBatch]] (base below, arriving stream at/above, event
+    * time = doc_id seconds), so the streaming composition is checked
+    * against ANSI SQL composed from x103/x104's near-dup CTEs and x94's
+    * gate CTEs, and the StreamingSpec restart test drives the same code
+    * online. */
+  def corpusBuildBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.queries.Tables.documentsParallel(spark, sfDir)
+    val split = docs.agg(
+      floor(max(col("doc_id")).cast("double") * 4.0 / 5.0)
+        .cast("long").as("split_id"))
+    val base = docs.crossJoin(broadcast(split))
+      .filter(col("doc_id") < col("split_id"))
+      .select("doc_id", "source", "text")
+    val delta = docs.crossJoin(broadcast(split))
+      .filter(col("doc_id") >= col("split_id"))
+      .select(col("doc_id"),
+        timestamp_seconds(col("doc_id")).as("ts"),
+        col("source"), col("text"))
+    corpusBuildStream(spark, delta, base, armTtl = false)
+      .orderBy("doc_id")
   }
 }

@@ -2201,5 +2201,63 @@ class OperatorsSpec extends SparkSpec {
     }
     graft.util.OperatorCaches.release(spark)
   }
+
+  test("x118 streaming corpus build (batch mode): every arriving doc gets " +
+      "one verdict row, stage verdicts gate monotonically with NULLs past " +
+      "the first failed stage, and each stage fires on the fixture") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // base corpus: 'web' P25 token threshold = 4 (counts 8, 4, 8 →
+    // k = (3*25+99)//100 = 1 → min n_tokens at cum>=1), 'books' = 3
+    val base = Seq(
+      (0L, "web", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (1L, "web", "a b c d"),
+      (2L, "web", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "books", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val delta = Seq(
+      // exact copy of base 2 → near-dup drop at s2
+      (10L, "web", "alpha beta gamma delta epsilon zeta eta theta"),
+      // novel, 6 tokens >= web threshold 4 → kept end to end
+      (11L, "web", "totally unrelated novel content here ok"),
+      // exact copy of doc 11 WITHIN the stream → first-seen drop at s1
+      (12L, "web", "totally unrelated novel content here ok"),
+      // 1 token < threshold (and zero 3-shingles → null band) → s3 drop
+      (13L, "web", "hi"),
+      // null text → s1 keeps the hash-of-empty, gate fails closed
+      (14L, "web", null),
+      // Luhn-valid card number → s3 drop
+      (15L, "web", "card 4111111111111111 here four five six"),
+      // source absent from the base calibration → s3 fails closed
+      (16L, "newsrc", "some words from a source absent in base ok"),
+      // books source, 4 tokens >= books threshold 3 → kept
+      (17L, "books", "p q r s"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), timestamp_seconds(col("doc_id")).as("ts"),
+        col("source"), col("text"))
+    val out = graft.streaming.CorpusStream
+      .corpusBuildStream(spark, delta, base, armTtl = false)
+      .collect()
+    assert(out.length === 8, "one verdict row per arriving doc")
+    val rows = out.map { r =>
+      def ob(i: Int) = if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+      def ol(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getLong(0) -> ((r.getBoolean(1), ob(2), ob(3), r.getBoolean(4),
+        ol(5)))
+    }.toMap
+    assert(rows(10L) === ((true, Some(false), None, false, Some(1L))))
+    assert(rows(11L) === ((true, Some(true), Some(true), true, Some(0L))))
+    assert(rows(12L) === ((false, None, None, false, None)))
+    assert(rows(13L) === ((true, Some(true), Some(false), false, Some(0L))))
+    assert(rows(14L) === ((true, Some(true), Some(false), false, Some(0L))))
+    assert(rows(15L) === ((true, Some(true), Some(false), false, Some(0L))))
+    assert(rows(16L) === ((true, Some(true), Some(false), false, Some(0L))))
+    assert(rows(17L) === ((true, Some(true), Some(true), true, Some(0L))))
+    // the base-calibrated threshold seam the gate broadcasts
+    val thr = Curation.tokenThresholdsFrom(base).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr === Map("web" -> 4L, "books" -> 3L))
+    graft.util.OperatorCaches.release(spark)
+  }
 }
 

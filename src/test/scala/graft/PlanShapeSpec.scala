@@ -1029,6 +1029,69 @@ class PlanShapeSpec extends SparkSpec {
     graft.util.OperatorCaches.release(spark)
   }
 
+  test("x118 batch carrier: the composed at-ingest verdict keeps every " +
+      "shared seam's contract — ONE first-seen state operator, the base " +
+      "bucket cap, no cartesian, no md5 at/above the band join, and the " +
+      "gate threshold arriving through a broadcast") {
+    val p118 = withoutAqe {
+      graft.streaming.CorpusStream.corpusBuildBatch(spark, Sf)
+        .queryExecution.executedPlan
+    }
+    val s = p118.toString
+    // exactly one first-seen state machine (x57's seam; batch-mode
+    // flatMapGroupsWithState plans as MapGroupsExec) — a second one
+    // would mean the composition re-deduped somewhere
+    assert(p118.collect {
+      case f: org.apache.spark.sql.execution.MapGroupsExec => f
+    }.size === 1, s"expected exactly one fMGWS/MapGroups in x118:\n$p118")
+    // x104's base bucket cap survives the composition
+    assert(s.contains(s"<= ${Dedup.MaxBandBucket}"),
+      s"base bucket cap missing from x118's plan:\n$p118")
+    assert(!s.contains("CartesianProduct"), s"cartesian in x118:\n$p118")
+    // the only NLJ is the 1-row split-boundary aggregate broadcast
+    p118.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      assert(build.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined, s"x118 split join is not aggregate-backed:\n$build")
+    }
+    // probe fingerprints are 60-bit longs BEFORE the band exchange —
+    // x104's sf10 lesson holds through the composition (the s1 hash and
+    // gate md5s live below the join, in the pre-explode projection)
+    val bandJoin = p118.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.toSet == Set("band", "h") => j
+    }
+    assert(bandJoin.isDefined, s"no (band, h) equi-join in x118:\n$p118")
+    val offenders = p118.collect { case n => n }
+      .filter(n => n.collectFirst { case x if x eq bandJoin.get => x }.isDefined)
+      .filter(n => n.expressions.exists(_.collectFirst {
+        case e: org.apache.spark.sql.catalyst.expressions.Md5 => e
+      }.isDefined))
+    assert(offenders.isEmpty,
+      s"md5 evaluated at/above x118's band join:\n" +
+        offenders.map(_.nodeName).mkString(", "))
+    // the per-source calibration reaches the stream side as a broadcast
+    // hash join on source (a shuffle there would re-key the corpus by a
+    // few-valued column)
+    assert(p118.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.toSet == Set("source") => j
+    }.nonEmpty, s"gate threshold join is not a broadcast on source:\n$p118")
+    graft.util.OperatorCaches.release(spark)
+  }
+
   test("x105 IVF-PQ: the ADC scan reaches the codes through a broadcast " +
       "hash join on the CELL key with the bounded query/LUT table as the " +
       "build side (the corpus codes stream), no cartesian, every NLJ " +

@@ -700,6 +700,78 @@ class StreamingSpec extends SparkSpec {
     assert(byId(103L)._2 === Some(1L) && byId(103L)._4)
   }
 
+  test("x118 corpusBuildStream: the three-stage at-ingest verdict runs " +
+      "ONLINE (fMGWS → stream-static near-dup → windowed verdict is a " +
+      "legal chain), first-seen state survives a restart, and dup/" +
+      "novel/null-text/short docs all emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("graft_cbs_cp").toString
+    // 'web' P25 threshold = 4 tokens, 'books' = 3 (see OperatorsSpec)
+    val base = Seq(
+      (0L, "web", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (1L, "web", "a b c d"),
+      (2L, "web", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "books", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val src = MemoryStream[DocSrc]
+    val got = scala.collection.mutable.Map
+      .empty[Long, (Boolean, Option[Boolean], Option[Boolean], Boolean,
+        Option[Long])]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusStream
+        .corpusBuildStream(spark, src.toDF(), base)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            df.collect().foreach { r =>
+              def ob(i: Int) =
+                if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+              got(r.getLong(0)) = ((r.getBoolean(1), ob(2), ob(3),
+                r.getBoolean(4),
+                if (r.isNullAt(5)) None else Some(r.getLong(5))))
+            }
+          }; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val t0 = Timestamp.valueOf("2024-01-15 10:00:00").getTime
+    def at(minutes: Long) = new Timestamp(t0 + minutes * 60000)
+    // batch 1: a near-copy of base 2, a novel doc that clears the gate,
+    // a null-text doc
+    src.addData(
+      DocSrc(10, "web", "alpha beta gamma delta epsilon zeta eta theta",
+        at(0)),
+      DocSrc(11, "web", "totally unrelated novel content here ok", at(0)),
+      DocSrc(14, "web", null, at(0)))
+    run()
+    // batch 2 = a RESTARTED query: doc 12 repeats doc 11's content —
+    // first-seen state must recognize it ACROSS the restart; its later
+    // event time flushes batch 1's verdict windows
+    src.addData(
+      DocSrc(12, "web", "totally unrelated novel content here ok", at(5)))
+    run()
+    // batch 3: sentinel flushes doc 12's window
+    src.addData(
+      DocSrc(99, "web", "flush sentinel advancing the watermark far on",
+        at(10)))
+    run()
+    val byId = got.synchronized(got.toMap)
+    assert(byId(10L) === ((true, Some(false), None, false, Some(1L))),
+      s"doc 10 must be a near-dup of base 2: ${byId.get(10L)}")
+    assert(byId(11L) === ((true, Some(true), Some(true), true, Some(0L))),
+      s"doc 11 must survive all stages: ${byId.get(11L)}")
+    assert(byId(14L) === ((true, Some(true), Some(false), false, Some(0L))),
+      s"null-text doc must still get a verdict: ${byId.get(14L)}")
+    assert(byId(12L) === ((false, None, None, false, None)),
+      s"doc 12 must be first-seen-dropped ACROSS the restart: " +
+        s"${byId.get(12L)}")
+  }
+
   test("deltaDedup end-to-end through the DSv2 replay source: verdicts " +
       "survive a checkpoint restart and land in the parquet sink (the " +
       "Service --delta path)") {
@@ -772,6 +844,9 @@ class StreamingSpec extends SparkSpec {
 
 /** Document row for the streaming-dedup spec. */
 case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+/** Document row (with source) for the streaming corpus-build spec. */
+case class DocSrc(doc_id: Long, source: String, text: String, ts: Timestamp)
 
 /** Event row for the streaming-sessionization test. */
 case class SessEv(event_id: Long, ts: Timestamp, user_id: Long,

@@ -82,8 +82,13 @@ object Bench {
       val names =
         if (qargs.nonEmpty) qargs.toSeq
         else Seq(
-          // the composed-dedup trio behind Dedup.pairTable
+          // the composed-dedup trio behind Dedup.pairTable, then the
+          // x117 capstone build consuming the SAME session-shared pair
+          // build + component seams (its deployment stance: the corpus
+          // build runs where the dedup family already materialized its
+          // stages — standalone, it honestly pays them itself)
           "x99_lsh_recall", "x101_dup_components", "x102_canonical_keep",
+          "x117_corpus_build",
           // the trained-ANN family behind Similarity.trainedCentroids:
           // the first consumer trains the Lloyd quantizer, the rest
           // read the memoized artifact

@@ -25,6 +25,13 @@ object VectorFunctions {
     GraftSql.column(VecDot(
       GraftSql.expression(asDoubles(a)), GraftSql.expression(asDoubles(b))))
 
+  /** Top-k candidate ids of `cands` (array<struct<id, v>>) by
+    * (dot(vec, v) DESC, id ASC) — the shuffle-free argmax/rank the ANN
+    * assignment stages use; see [[graft.expressions.TopDots]]. */
+  def topDots(vec: Column, cands: Column, k: Int): Column =
+    GraftSql.column(graft.expressions.TopDots(
+      GraftSql.expression(vec), GraftSql.expression(cands), k))
+
   /** Σ (aᵢ−bᵢ)² — codegen'd tight loop, left-to-right accumulation. */
   def l2sq(a: Column, b: Column): Column =
     GraftSql.column(VecL2Sq(

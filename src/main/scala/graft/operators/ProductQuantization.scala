@@ -206,7 +206,7 @@ object ProductQuantization {
     val e = Similarity.normalized(spark, sfDir)
     val ranked = OperatorCaches.persist(
       Similarity.quantizedRanking(e,
-        Similarity.trainedCentroids(spark, sfDir)))
+        Similarity.trainedCentroids(spark, sfDir), Similarity.NumProbes))
     val assign = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     // the stored IVF-PQ index: cell-keyed PQ code words

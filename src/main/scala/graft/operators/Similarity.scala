@@ -224,63 +224,80 @@ object Similarity {
     * replaces the brute-force N×K dot matrix (`corpus × broadcast(cents)`)
     * the round-6 audit flagged as the one super-linear term.
     *
-    * Structure (all dots are the codegen'd [[graft.expressions.VecDot]],
-    * all windows are per-vector or per-centroid — never corpus-wide):
+    * Structure (all dots are tight-loop folds bit-identical to
+    * [[graft.expressions.VecDot]]; since optimization round 14 the whole
+    * ranking is a PURE MAP STAGE over the corpus — guide §2.4):
     *
     *  1. nsup = ⌈√K⌉ super-centroids — the lowest-cid slice of the
-    *     centroid relation (the rank window is over the ≤K-row centroid
-    *     relation, not the corpus; a production deployment would take
-    *     super-centroids from the trainer's coarse level instead);
-    *  2. centroid → nearest super-centroid (K×√K dots, corpus-free);
-    *  3. vector → its [[SuperProbes]] nearest super-cells (N×√K dots);
+    *     centroid relation (a `slice` of the sorted collect, not a rank
+    *     window; a production deployment would take super-centroids from
+    *     the trainer's coarse level instead);
+    *  2. centroid → nearest super-centroid (K×√K dots, corpus-free,
+    *     computed INSIDE the one bounded broadcast prep row);
+    *  3. vector → its [[SuperProbes]] nearest super-cells (N×√K dots,
+    *     one [[graft.expressions.TopDots]] per row);
     *  4. refine: rank only the probed super-cells' centroids
-    *     (N×~SuperProbes·√K dots).
+    *     (N×~SuperProbes·√K dots, a second TopDots per row).
     *
-    * Per-vector work drops from K dots to ~(1+SuperProbes)·√K: with the
-    * query-path √N cell curve assignment is now ∝ N·N^¼ (near-linear,
-    * from N^1.5); with x8's linear cell curve ∝ N^1.5/√125 (from
-    * N²/125). Each further quantizer level takes another square root —
-    * the recursion to log is mechanical but unwarranted below ~10⁹
-    * vectors. Assignment becomes approximate (a vector whose true
-    * nearest centroid lies outside its probed super-cells gets its best
-    * in-probe centroid — standard IVF semantics, same trade as
-    * [[NumProbes]]); the DuckDB oracle mirrors the exact same two-level
-    * ranking so correctness stays hash-exact.
+    * Until round 14 steps 3–4 were broadcast joins (N×√K and
+    * N×~SuperProbes·√K intermediate ROWS) each ranked by a `row_number`
+    * window PARTITIONED BY vec_id — i.e. two full-corpus exchanges plus
+    * sorts per ranking, at 100 TB two corpus shuffles that exist only to
+    * bring a vector's ≤(1+SuperProbes)·√K candidates into one task. The
+    * candidates are bounded, so they now ride to the vector instead: one
+    * 1-row broadcast carries (sarr, smap) and the per-vector top-k runs
+    * inside the row (ordering bit-identical to the windows it replaces —
+    * dot DESC via `Double.compare`, id ASC; see [[graft.expressions.TopDots]]).
+    * The only exchange left is the bounded centroid collect_list merge.
+    *
+    * Per-vector work stays ~(1+SuperProbes)·√K dots: with the query-path
+    * √N cell curve assignment is ∝ N·N^¼ (near-linear); with x8's linear
+    * cell curve ∝ N^1.5/√125. Assignment remains approximate exactly as
+    * before (same candidate sets, same ranking); the DuckDB oracle
+    * mirrors the identical two-level ranking so correctness stays
+    * hash-exact.
     *
     * Returns (vec_id, u, cid, crn): per-vector candidate-centroid
-    * ranking, crn ordered by dot desc with cid tiebreak. */
-  private[graft] def quantizedRanking(e: DataFrame, centsIn: DataFrame): DataFrame = {
-    // The centroid relation is referenced three times below (count, super
-    // slice, refine map); persist it — it is ≤K rows, and for the TRAINED
-    // path ([[ivfTopKTrained]]) each unpersisted reference would re-run
-    // the entire Lloyd training (measured 2× on x34 at sf0.1).
-    val cents = OperatorCaches.persist(centsIn)
-    val n = cents.agg(
-      ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("nsup"))
-    val sups = cents.join(broadcast(n))
-      .withColumn("srn", row_number().over(Window.orderBy("cid")))
-      .filter(col("srn") <= col("nsup"))
-      .select(col("cid").as("sid"), col("cu").as("su"))
-    val byCent = Window.partitionBy("cid")
-      .orderBy(col("sdot").desc, col("sid"))
-    val cmap = cents.join(broadcast(sups))
-      .withColumn("sdot", dot(col("cu"), col("su")))
-      .withColumn("mrn", row_number().over(byCent))
-      .filter(col("mrn") === 1)
-      .select(col("cid"), col("cu"), col("sid"))
-    val byVecSup = Window.partitionBy("vec_id")
-      .orderBy(col("sdot").desc, col("sid"))
-    val vsup = e.join(broadcast(sups))
-      .withColumn("sdot", dot(col("u"), col("su")))
-      .withColumn("srn", row_number().over(byVecSup))
-      .filter(col("srn") <= SuperProbes)
-      .select(col("vec_id"), col("u"), col("sid"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("cdot").desc, col("cid"))
-    vsup.join(broadcast(cmap), "sid")
-      .withColumn("cdot", dot(col("u"), col("cu")))
-      .withColumn("crn", row_number().over(byVec))
-      .select(col("vec_id"), col("u"), col("cid"), col("crn"))
+    * ranking truncated to `maxRank` (crn ordered by dot desc with cid
+    * tiebreak — callers never read past their probe depth). */
+  private[graft] def quantizedRanking(e: DataFrame, centsIn: DataFrame,
+      maxRank: Int): DataFrame = {
+    // ONE bounded aggregate builds the whole routing artifact as a
+    // single broadcast row: carr (all ≤K centroids sorted by cid), sarr
+    // (the ⌈√K⌉ lowest-cid super-centroids — identical to the old
+    // row_number-over-cid slice), and smap (super id → member centroids,
+    // nearest-super assignment by (sdot DESC, sid ASC) — the old
+    // per-centroid window as a TopDots argmax over the collected array).
+    val prep = centsIn
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cu")))).as("carr"))
+      .select(col("carr"),
+        expr("slice(carr, 1, cast(ceil(sqrt(cast(size(carr) as double))) as int))")
+          .as("sarr"))
+      .select(col("sarr"),
+        transform(col("carr"), c => struct(
+          element_at(topDots(c.getField("cu"), col("sarr"), 1), 1).as("sid"),
+          c.getField("cid").as("cid"),
+          c.getField("cu").as("cu"))).as("assigned"))
+      .select(col("sarr"),
+        map_from_arrays(
+          transform(col("sarr"), s => s.getField("cid")),
+          transform(col("sarr"), s =>
+            transform(
+              filter(col("assigned"),
+                a => a.getField("sid") === s.getField("cid")),
+              a => struct(a.getField("cid").as("cid"),
+                a.getField("cu").as("cu"))))).as("smap"))
+    // Pure map stage: probe the super level, gather the probed cells'
+    // centroids from the broadcast map, rank — no corpus exchange.
+    val cands = flatten(transform(
+      topDots(col("u"), col("sarr"), SuperProbes),
+      sid => element_at(col("smap"), sid)))
+    e.join(broadcast(prep))
+      .select(col("vec_id"), col("u"),
+        posexplode(topDots(col("u"), cands, maxRank)).as(Seq("pos", "cid")))
+      .select(col("vec_id"), col("u"), col("cid"),
+        (col("pos") + 1).cast("int").as("crn"))
   }
 
   /** Shared IVF probe/rank pipeline over an arbitrary (cid, cu) centroid
@@ -297,9 +314,10 @@ object Similarity {
     // one pass, |queries|-bounded build side) for a caller-supplied set.
     val flagged = querySet match {
       case None =>
-        quantizedRanking(e, cents).withColumn("is_q", defaultQueryPred)
+        quantizedRanking(e, cents, NumProbes)
+          .withColumn("is_q", defaultQueryPred)
       case Some(q) =>
-        quantizedRanking(e, cents)
+        quantizedRanking(e, cents, NumProbes)
           .join(broadcast(q.select(col("vec_id")).distinct()
             .withColumn("qf", lit(true))), Seq("vec_id"), "left_outer")
           .withColumn("is_q", coalesce(col("qf"), lit(false)))
@@ -381,11 +399,12 @@ object Similarity {
     * all members simply drops out (standard Lloyd degeneracy; identical
     * in both engines). */
   def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val (cents, lastAssign) = lloyd(spark, sfDir)
-    val sizes = lastAssign.groupBy("cell")
-      .agg(count(lit(1)).as("n_members"))
-    cents.select(col("cid"), posexplode(col("cu")).as(Seq("dim", "centroid")))
-      .join(sizes, col("cid") === col("cell")).drop("cell")
+    // n_members rides on the trained centroid relation (the final Lloyd
+    // update already counted it) — the separate corpus-scale sizes
+    // aggregation + join this replaces measured one full extra pass
+    val (cents, _) = lloyd(spark, sfDir)
+    cents.select(col("cid"), col("n_members"),
+        posexplode(col("cu")).as(Seq("dim", "centroid")))
       .select(col("cid"), col("dim").cast("long").as("dim"),
         col("centroid"), col("n_members"))
       .orderBy("cid", "dim")
@@ -426,32 +445,54 @@ object Similarity {
     * seam that lets [[indexMaintain]] train on the BASE slice only (the
     * production index is trained at snapshot time, then frozen while
     * deltas stream in). K rides [[derivedCellsExpr]]'s √(N/8) curve over
-    * the TRAINING relation's count. */
+    * the TRAINING relation's count.
+    *
+    * Per-iteration shape since optimization round 14 (guide §2.3/§2.4 —
+    * the previous shape paid per iteration: one broadcast join fanning
+    * the corpus out K×, one `row_number` window = a corpus exchange +
+    * sort, a 64× `posexplode` through a (cell, dim)-keyed aggregate, and
+    * a second groupBy(cell) to reassemble the centroid arrays):
+    *
+    *  - assignment is a PURE MAP: the ≤K-row centroid relation collects
+    *    into one broadcast row and [[graft.expressions.TopDots]] takes
+    *    the argmax inside the row (same (cdot DESC, cid ASC) order, same
+    *    K·Dim flops, zero corpus exchange);
+    *  - the mean update is ONE partial-aggregated groupBy(cell) with the
+    *    elementwise fixed-point sum [[graft.functions.VecSumScaled]] —
+    *    the same `floor(v·1e6 + 0.5)` longs summed exactly, each map
+    *    partition emitting ≤K buffer rows, centroid arrays coming out
+    *    assembled (no fan-out, no reassembly shuffle).
+    *
+    * The returned centroid relation also carries `n_members` (the update
+    * already counts it — [[kmeansTrain]] reads it instead of re-scanning
+    * the assignment). Centroid values are bit-identical: exact integer
+    * sums in any order, one correctly-rounded double division. */
   private[graft] def lloydFrom(e: DataFrame): (DataFrame, DataFrame) = {
+    val vsum = udaf(new graft.functions.VecSumScaled(KmeansScale, Dim),
+      ExpressionEncoder[Array[Double]]())
     var cents = standInCentroids(e)
     var lastAssign: DataFrame = null
     for (_ <- 1 to KmeansIters) {
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("cdot").desc, col("cid"))
-      val assign = e.join(broadcast(cents))
-        .withColumn("cdot", dot(col("u"), col("cu")))
-        .withColumn("crn", row_number().over(byVec))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("u"))
+      val carr = cents.groupBy()
+        .agg(sort_array(collect_list(struct(col("cid"), col("cu")))).as("carr"))
+      val assign = e.join(broadcast(carr))
+        .select(col("vec_id"),
+          element_at(topDots(col("u"), col("carr"), 1), 1).as("cell"),
+          col("u"))
       lastAssign = assign
-      val means = assign
-        .select(col("cell"), posexplode(col("u")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(
-          (sum(floor(col("v") * KmeansScale + 0.5).cast("long")).cast("double") /
-            (lit(KmeansScale) * count(lit(1)).cast("double"))).as("cval"))
-      cents = means.groupBy("cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cval")))),
-          x => x.getField("cval")).as("cu"))
-        .select(col("cell").as("cid"), col("cu"))
+      cents = assign.groupBy("cell")
+        .agg(vsum(col("u")).as("sv"), count(lit(1)).as("n_members"))
+        .select(col("cell").as("cid"),
+          transform(col("sv"), s => s.cast("double")
+            / (lit(KmeansScale) * col("n_members").cast("double"))).as("cu"),
+          col("n_members"))
     }
-    (cents, lastAssign)
+    // The trained relation is ≤K rows but costs KmeansIters corpus
+    // passes; consumers that reference it more than once (x90 reads it
+    // three times — cohesion broadcast + both separation sides) must not
+    // re-train per reference. Lazy K-row persist: single-consumer paths
+    // (x33/x111) pay only a bounded cache write.
+    (OperatorCaches.persist(cents), lastAssign)
   }
 
   /** x90: CLUSTER QUALITY metrics for the x33-trained quantizer — per
@@ -517,7 +558,7 @@ object Similarity {
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normalized(spark, sfDir)
     val cents = dupCentroids(e)
-    val assign = quantizedRanking(e, cents).filter(col("crn") === 1)
+    val assign = quantizedRanking(e, cents, 1).filter(col("crn") === 1)
       .select(col("vec_id"), col("u"), col("cid").as("cell"))
     // centroid similarity for the keep-priority ranking (the quantizer
     // ranks by this dot internally but does not expose it; one extra
@@ -577,7 +618,7 @@ object Similarity {
     // pair — cheap, fused multiply-adds) instead of a corpus-pair-scale
     // exchange. Results are identical: the dot is deterministic per
     // pair, so distinct-after-filter = distinct-before-fetch.
-    val cells = quantizedRanking(e, cents)
+    val cells = quantizedRanking(e, cents, DupProbes)
       .filter(col("crn") <= DupProbes)
       .select(col("vec_id"), col("u"), col("cid").as("cell"))
     val a = cells.select(col("vec_id").as("id_a"), col("u").as("ua"),
@@ -655,7 +696,7 @@ object Similarity {
   def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normalized(spark, sfDir)
     val ranked = OperatorCaches.persist(
-      quantizedRanking(e, trainedCentroids(spark, sfDir))
+      quantizedRanking(e, trainedCentroids(spark, sfDir), NumProbes)
         .withColumn("is_q", defaultQueryPred)
         .filter(col("crn") === 1 ||
           (col("is_q") && col("crn") <= NumProbes)))
@@ -722,7 +763,7 @@ object Similarity {
       .filter(col("vec_id") < col("split_id"))
       .select("vec_id", "u")
     val cents = lloydFrom(base)._1
-    val assign = quantizedRanking(e, cents).filter(col("crn") === 1)
+    val assign = quantizedRanking(e, cents, 1).filter(col("crn") === 1)
       .select("vec_id", "cid")
     val counts = assign.crossJoin(broadcast(split))
       .groupBy("cid")

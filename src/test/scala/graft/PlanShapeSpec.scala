@@ -63,11 +63,16 @@ class PlanShapeSpec extends SparkSpec {
       // window). The top-k ObjectHashAggregate must be present...
       assert(p.contains("ObjectHashAggregate"), s"no partial top-k in:\n$p")
       // ...and nothing may funnel CORPUS rows through a single partition.
-      // The one admissible single-partition stage is the derived-ncells
-      // 1-row count merge (Similarity.standInCentroids): 32 partial
-      // counts → one row, bounded at any corpus size. Assert
-      // structurally that every single-partition exchange is that
-      // aggregate merge and nothing else.
+      // The admissible single-partition stages are bounded aggregate
+      // merges: the derived-ncells 1-row count (Similarity.
+      // standInCentroids — 32 partial counts → one row) and, since
+      // optimization round 14, the centroid collect_list that builds the
+      // ranking's one broadcast prep row (Similarity.quantizedRanking /
+      // lloydFrom: ≤K centroid rows → one array — bounded by the cell
+      // curve at any corpus size, and the thing that REPLACED two
+      // full-corpus window exchanges). Assert structurally that every
+      // single-partition exchange is one of those merges and nothing
+      // else.
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       val singles = withoutAqe {
         mk().queryExecution.executedPlan
@@ -76,8 +81,9 @@ class PlanShapeSpec extends SparkSpec {
             if ex.outputPartitioning.numPartitions == 1 => ex
       }
       singles.foreach { ex =>
-        assert(ex.child.toString.contains("count"),
-          s"single-partition stage is not the 1-row ncells count:\n$ex")
+        assert(ex.child.toString.contains("count") ||
+            ex.child.toString.contains("collect_list"),
+          s"single-partition stage is not a bounded centroid/ncells merge:\n$ex")
       }
     }
   }
@@ -190,11 +196,14 @@ class PlanShapeSpec extends SparkSpec {
       val s = build.toString
       // bounded build sides only: the 1-row derived-ncells/nsup
       // aggregates, the centroid table whose lineage carries the
-      // `vec_id < ncells` cut (Similarity.standInCentroids), or the
-      // two-level quantizer's ≤⌈√K⌉-row super-centroid slice
-      // (sid/su — appears as a ReusedExchange of the sups broadcast)
+      // `vec_id < ncells` cut (Similarity.standInCentroids), or — since
+      // optimization round 14 — the quantizer's ONE-row routing prep
+      // (sarr/smap: the collected ≤K centroid array + super-cell map
+      // that replaced the sups/cmap broadcast joins and their corpus
+      // windows)
       assert(s.contains("ncells") || s.contains("nsup") ||
-        (s.contains("sid#") && s.contains("su#")),
+        (s.contains("sid#") && s.contains("su#")) ||
+        (s.contains("sarr#") && s.contains("smap#")),
         s"nested-loop build side is not a bounded centroid-family table:\n$s")
     }
   }

@@ -292,9 +292,30 @@ object Dedup {
       // the build's scratch actually RETURNED at the seam.
       val cp = materializeTruncated(
         minhashLsh(spark, sfDir).select("doc_a", "doc_b"))
-      System.gc()
+      // The GC nudge exists so the ContextCleaner can delete the build's
+      // corpus-scale shuffle files BEFORE consumer stages run (peak
+      // scratch = max(build, consumer), not their sum — the round-11
+      // sf10 finding: ~50 GB of verify-exchange scratch at 500k docs).
+      // A forced FULL GC costs a few hundred ms on this heap, and five
+      // battery queries pay it per run, so it engages only when the
+      // input corpus is large enough for build scratch to matter
+      // (≥ 1 GiB input — sf10 and up; at the small SFs the build's
+      // scratch is MBs and the cleaner's normal cadence suffices). On a
+      // stat failure it nudges anyway — the safe side at scale.
+      if (corpusBytes(sfDir) >= 1024L * 1024 * 1024) System.gc()
       cp
     }
+
+  /** Total bytes under the corpus dir (driver-side file walk, no Spark
+    * job) — the scratch-pressure heuristic for [[pairTable]]'s GC nudge.
+    * `Long.MaxValue` on failure: an unstatable corpus gets the nudge. */
+  private def corpusBytes(sfDir: String): Long =
+    try {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+      try s.filter(p => java.nio.file.Files.isRegularFile(p))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
   /** Eager checkpoint with the build plan dereferenced — see
     * [[OperatorCaches.materializeTruncated]] (moved there so x117's
@@ -1126,10 +1147,13 @@ object Dedup {
       ccFrom(
         Tables.documentsParallel(spark, sfDir).select(col("doc_id")),
         // doc_a < doc_b by x2's construction → (u, v) = (doc_b, doc_a)
-        // is already in canonical larger-first orientation; the pair
-        // relation is the session-shared [[pairTable]] materialization
+        // is already in canonical larger-first orientation AND distinct
+        // (one row per group pair × member pair), so the solve skips its
+        // defensive canonicalize+distinct; the pair relation is the
+        // session-shared [[pairTable]] materialization
         pairTable(spark, sfDir)
-          .select(col("doc_b").as("u"), col("doc_a").as("v")))
+          .select(col("doc_b").as("u"), col("doc_a").as("v")),
+        pairsCanonical = true)
     }
 
   /** Large-star: connect every strictly-larger neighbor of u to
@@ -1209,12 +1233,26 @@ object Dedup {
     * pair edges (`u`, `v`) — the testable seam (fixtures drive path
     * graphs, stars, and merged components through the alternation and
     * check labels against a driver-side union-find). */
-  private[graft] def ccFrom(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    var (e, freeE) = materializeRoundReleasable(pairs
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
+  private[graft] def ccFrom(ids: DataFrame, pairs: DataFrame): DataFrame =
+    ccFrom(ids, pairs, pairsCanonical = false)
+
+  /** `pairsCanonical = true` skips the defensive canonicalize+distinct
+    * shuffle when the caller's edges are already distinct with u > v —
+    * true by construction for [[pairTable]]'s output (one row per
+    * ordered group pair × member pair), saving one full pair-table
+    * exchange per consumer (optimization round 14). The algorithm's
+    * fixpoint is duplicate-insensitive either way; the flag only elides
+    * provably-dead work. */
+  private[graft] def ccFrom(ids: DataFrame, pairs: DataFrame,
+      pairsCanonical: Boolean): DataFrame = {
+    val canon =
+      if (pairsCanonical) pairs.select("u", "v")
+      else pairs
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    var (e, freeE) = materializeRoundReleasable(canon)
     var nEdges = e.count()
     var converged = nEdges == 0L
     var round = 0

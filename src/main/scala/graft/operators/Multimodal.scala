@@ -294,7 +294,11 @@ object Multimodal {
       count(lit(1)).as("n_frames"),
       count_distinct(col("fh")).as("n_distinct_frames"),
       expr("bit_xor(DISTINCT fh)").as("frame_digest"))
-    val sig = frames.distinct()
+    // Persisted: the distinct frame-set relation is read THREE times
+    // (the DF cut, both pairing sides via `cut`, and the per-video nd
+    // counts) — unpersisted, the distinct shuffle re-ran per reference
+    // (optimization round 14, guide §5).
+    val sig = graft.util.OperatorCaches.persist(frames.distinct())
     val kept = sig.groupBy("fh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.MaxBandBucket).select("fh")
     val cut = sig.join(kept, Seq("fh"))

@@ -98,14 +98,22 @@ object Quantization {
     val scaled = scaledVectors(spark, sfDir)
     val once = scaled.select(col("vec_id"), col("sarr"),
       posexplode(col("sarr")).as(Seq("i", "svi")))
-    val pairs = once
+    // The three outputs are BOUNDED (≤Dim²/2, Dim, 1 rows) but each costs
+    // a corpus-scale aggregation — and their consumers reference them
+    // more than once ([[eigenRelation]] mirrors `pairs` through a union
+    // and broadcasts `dimSums` twice; x74 runs a second momentPass for
+    // the mean array). Persisting the bounded results makes every
+    // re-reference a ≤2080-row cache read instead of a repeated corpus
+    // pass (measured: x73/x74 ran the Dim²/2 decimal aggregation twice
+    // before this — optimization round 14, guide §1.2/§5).
+    val pairs = OperatorCaches.persist(once
       .select(col("i"), col("svi"), posexplode(col("sarr")).as(Seq("j", "svj")))
       .filter(col("i") <= col("j"))
       .groupBy("i", "j")
-      .agg(sum((col("svi") * col("svj")).cast("decimal(25,0)")).as("spp"))
-    val dimSums = once.groupBy("i")
-      .agg(sum(col("svi").cast("decimal(25,0)")).as("sum_i"))
-    val n = scaled.agg(count(lit(1)).as("n_vecs"))
+      .agg(sum((col("svi") * col("svj")).cast("decimal(25,0)")).as("spp")))
+    val dimSums = OperatorCaches.persist(once.groupBy("i")
+      .agg(sum(col("svi").cast("decimal(25,0)")).as("sum_i")))
+    val n = OperatorCaches.persist(scaled.agg(count(lit(1)).as("n_vecs")))
     MomentPass(pairs, dimSums, n)
   }
 

@@ -1057,7 +1057,13 @@ object TextAnalysis {
   /** [[nbDistill]] over an arbitrary (doc_id, text) relation — the
     * testable core (fixtures plant a stopword-free doc, a stopword-rich
     * doc, and check the trained log-odds against a driver-side model). */
-  private[graft] def nbDistillFrom(d: DataFrame): DataFrame = {
+  private[graft] def nbDistillFrom(d: DataFrame): DataFrame =
+    nbDistillCore(d).orderBy("doc_id")
+
+  /** [[nbDistillFrom]] WITHOUT the final determinism sort — the
+    * composition seam x113 persists (caching through the corpus-wide
+    * orderBy would materialize a sort nobody downstream needs). */
+  private[graft] def nbDistillCore(d: DataFrame): DataFrame = {
     val qln = (x: Column) =>
       floor(log(x) * IdfScale + lit(0.5)).cast("long")
     val tok = OperatorCaches.persist(
@@ -1090,7 +1096,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("teacher_good"),
         coalesce(col("score_q"), lit(0L)).as("score_q"),
         (coalesce(col("score_q"), lit(0L)) > 0L).as("student_keep"))
-      .orderBy("doc_id")
   }
 
   /** x113: reliability-table bin count. */
@@ -1133,7 +1138,12 @@ object TextAnalysis {
     * the testable core (fixtures pin bin edges and rates against a
     * driver-side model). */
   private[graft] def distillCalibrationFrom(d: DataFrame): DataFrame = {
-    val scored = nbDistillFrom(d)
+    // Persisted: the scored relation is consumed TWICE (the min/max edge
+    // aggregate and the binning pass), and without the materialization
+    // the whole x100 train+score pipeline re-ran for each — measured
+    // x113 ≈ 2× x100 before this (optimization round 14, guide §5). The
+    // cache is one narrow row per doc.
+    val scored = OperatorCaches.persist(nbDistillCore(d))
     val rng = scored.agg(min(col("score_q")).as("mn"),
       max(col("score_q")).as("mx"))
     scored.crossJoin(broadcast(rng))

@@ -186,35 +186,22 @@ object Quantization {
     val mat = rows.groupBy("n_vecs")
       .agg(expr("transform(sort_array(collect_list(struct(i, rowv))), s -> s.rowv)")
         .as("m"))
-    val matvec = "transform(m, row -> aggregate(zip_with(row, %s, (x, y) -> x * y), " +
-      "cast(0.0 as double), (acc, x) -> acc + x))"
-    var it = mat.withColumn("v",
-      expr(s"transform(sequence(1, $Dim), x -> cast(1.0 as double))"))
-    for (_ <- 1 to PcaIters) {
-      // Persist each (1-row) step: without the boundary, project collapse
-      // inlines iteration k−1 into the ~3 places iteration k reads it,
-      // and the optimizer's working tree grows 3^PcaIters-fold — the
-      // plan analyzes fine but never finishes optimizing. The persisted
-      // row is bytes; the cost is one tiny job per step.
-      it = OperatorCaches.persist(it
-        .withColumn("w", expr(matvec.format("v")))
-        .withColumn("mx", expr("array_max(transform(w, x -> abs(x)))"))
-        .withColumn("v",
-          expr("transform(w, x -> if(mx = 0.0d, cast(0.0 as double), x / mx))"))
-        .drop("w", "mx"))
-    }
-    it
-      .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), " +
-        "cast(0.0 as double), (acc, x) -> acc + x))"))
-      .withColumn("u",
-        expr("transform(v, x -> if(nrm = 0.0d, cast(0.0 as double), x / nrm))"))
-      .withColumn("wu", expr(matvec.format("u")))
-      .withColumn("eigenvalue",
-        expr("aggregate(zip_with(u, wu, (x, y) -> x * y), " +
-          "cast(0.0 as double), (acc, x) -> acc + x)")
+    // The whole [[PcaIters]]-step iteration runs inside ONE expression
+    // over the 1-row dense matrix ([[graft.expressions.PowerIter]] —
+    // bit-parity with the unrolled HOF formulation it replaces, see its
+    // scaladoc). The unrolled form needed one persist boundary per step
+    // (project-collapse otherwise grows the tree 3^PcaIters-fold): 8
+    // cache materializations and 8 interpreted HOF towers for 8·Dim²
+    // fused multiply-adds on one row (optimization round 14, guide §1.2).
+    val pw = org.apache.spark.sql.GraftSql.column(
+      graft.expressions.PowerIter(
+        org.apache.spark.sql.GraftSql.expression(col("m")), PcaIters))
+    mat
+      .withColumn("pw", pw)
+      .select(col("n_vecs"), col("m"), col("pw.u").as("u"),
+        (col("pw.ray")
           / (col("n_vecs").cast("double") * col("n_vecs").cast("double"))
-          / lit(CovScale.toDouble * CovScale.toDouble))
-      .select(col("n_vecs"), col("m"), col("u"), col("eigenvalue"))
+          / lit(CovScale.toDouble * CovScale.toDouble)).as("eigenvalue"))
   }
 
   /** x73: TOP PRINCIPAL COMPONENT via power iteration — the dimension-

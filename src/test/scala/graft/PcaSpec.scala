@@ -108,4 +108,49 @@ class PcaSpec extends SparkSpec {
         s"vec ${r.get(0)}: coord ${r.get(1)} vs $want")
     }
   }
+
+  test("PowerIter expression is bit-identical to the unrolled HOF power steps") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val n = 12
+    // random symmetric matrix (incl. negative entries) as a 1-row DF
+    val m0 = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- 0 to i) {
+      val v = rng.nextDouble() * 2 - 1
+      m0(i)(j) = v; m0(j)(i) = v
+    }
+    val df = Seq(Tuple1(m0.map(_.toSeq).toSeq)).toDF("m")
+    // reference: the unrolled HOF formulation the expression replaced
+    val matvec = "transform(m, row -> aggregate(zip_with(row, %s, (x, y) -> x * y), " +
+      "cast(0.0 as double), (acc, x) -> acc + x))"
+    var it = df.withColumn("v",
+      expr(s"transform(sequence(1, $n), x -> cast(1.0 as double))"))
+    for (_ <- 1 to Quantization.PcaIters) {
+      it = it
+        .withColumn("w", expr(matvec.format("v")))
+        .withColumn("mx", expr("array_max(transform(w, x -> abs(x)))"))
+        .withColumn("v",
+          expr("transform(w, x -> if(mx = 0.0d, cast(0.0 as double), x / mx))"))
+        .drop("w", "mx")
+    }
+    val ref = it
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), " +
+        "cast(0.0 as double), (acc, x) -> acc + x))"))
+      .withColumn("u",
+        expr("transform(v, x -> if(nrm = 0.0d, cast(0.0 as double), x / nrm))"))
+      .withColumn("wu", expr(matvec.format("u")))
+      .withColumn("ray",
+        expr("aggregate(zip_with(u, wu, (x, y) -> x * y), " +
+          "cast(0.0 as double), (acc, x) -> acc + x)"))
+      .select("u", "ray").collect()(0)
+    val fast = df.select(org.apache.spark.sql.GraftSql.column(
+        graft.expressions.PowerIter(
+          org.apache.spark.sql.GraftSql.expression(col("m")),
+          Quantization.PcaIters)).as("pw"))
+      .select(col("pw.u").as("u"), col("pw.ray").as("ray")).collect()(0)
+    assert(ref.getSeq[Double](0) === fast.getSeq[Double](0),
+      "eigenvector diverges from the HOF formulation")
+    assert(ref.getDouble(1) === fast.getDouble(1),
+      "Rayleigh numerator diverges from the HOF formulation")
+  }
 }

@@ -1115,14 +1115,38 @@ object Curation {
     // shape — a 100 TB corpus build materializes each stage's narrow
     // verdict table once and fans out from the materialization. Each
     // stage runs exactly once BY CONSTRUCTION (eager, at its val).
-    // s1: normalized exact dedup over the train population
-    val s1 = OperatorCaches.materializeTruncated(
-      Dedup.normalizedDedupCore(train)
-        .select(col("doc_id"), col("is_canonical").as("s1_norm_kept")))
+    // s1: normalized exact dedup over the train population. The s1
+    // barrier and the component solve below are INDEPENDENT (s1 reads
+    // only the documents scan; dupComponents reads the shingle/pair
+    // machinery), yet both are driver-blocking eager builds — run
+    // sequentially they cost their SUM in wall-clock while the tail of
+    // each leaves most cores idle. Submitting s1 from a helper thread
+    // lets the scheduler back-fill (guide §2.6 "overlap independent
+    // jobs"): peak wall-clock becomes ~max(s1, component solve). Spark's
+    // scheduler is made for this; the shared OperatorCaches registry is
+    // synchronized, and materializeRoundReleasable identifies its
+    // checkpoint storage exactly (no registry diff), so a concurrent
+    // barrier cannot be mis-released. This shares nothing across
+    // queries — both builds belong to this one operator invocation.
+    val s1Pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val s1F = s1Pool.submit(new java.util.concurrent.Callable[DataFrame] {
+      override def call(): DataFrame = OperatorCaches.materializeTruncated(
+        Dedup.normalizedDedupCore(train)
+          .select(col("doc_id"), col("is_canonical").as("s1_norm_kept")))
+    })
+    // the component solve runs on THIS thread, concurrently with s1
+    val comp =
+      try Dedup.dupComponents(spark, sfDir)
+      catch { case t: Throwable => s1Pool.shutdownNow(); throw t }
+    val s1 =
+      try s1F.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause }
+      finally s1Pool.shutdown()
     val s1k = s1.filter(col("s1_norm_kept")).select("doc_id")
     // s2: full-corpus component labels restricted to s1 survivors,
     // x102's argmax keep policy re-run among the survivors
-    val compS1 = Dedup.dupComponents(spark, sfDir)
+    val compS1 = comp
       .select("doc_id", "component_rep").join(s1k, "doc_id")
     val comp2 = compS1.join(
       compS1.groupBy("component_rep").agg(count(lit(1)).as("component_size")),

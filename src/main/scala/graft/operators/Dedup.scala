@@ -575,13 +575,19 @@ object Dedup {
     * relation — lets [[lshRecallEval]] share ONE corpus scan + shingle
     * build (and its cache) between its truth and predicted sides. */
   private[graft] def ngramJaccardFromSh(sh: DataFrame): DataFrame =
+    ngramJaccardCoreFromSh(sh).orderBy("doc_a", "doc_b")
+
+  /** [[ngramJaccardFromSh]] WITHOUT the final determinism sort — the
+    * composition seam (see [[normalizedDedupCore]]): [[lshRecallEval]]
+    * materializes this relation and re-aggregates it, so the sorted
+    * form would cost a sort no consumer reads. */
+  private[graft] def ngramJaccardCoreFromSh(sh: DataFrame): DataFrame =
     shinglePairStatsFromSh(sh)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.03)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
 
   /** Shared candidate generation for [[ngramJaccardFrom]] and
     * [[ngramContainmentFrom]]: DF-capped inverted index → co-occurrence
@@ -1078,9 +1084,35 @@ object Dedup {
     // shingleTable call resolves to the SAME cached plan as `sh`), so
     // a session that already ran x101/x102 reuses their pair build.
     val sh = shingleTable(spark, sfDir)
-    lshRecallFrom(
-      ngramJaccardFromSh(sh).select("doc_a", "doc_b", "jaccard"),
-      pairTable(spark, sfDir))
+    // The two sides are INDEPENDENT downstream of `sh` (truth = the
+    // inverted-index Jaccard pipeline, predicted = the LSH build), yet
+    // ran serially: [[pairTable]] is a driver-blocking eager barrier,
+    // and the truth pipeline then ran inside the final join's job. The
+    // truth side is materialized from a helper thread while pairTable
+    // builds on this one (guide §2.6, the x117 s1 pattern): wall-clock
+    // becomes ~shared shingle build + max(truth, LSH build) + the tiny
+    // join of two bounded pair relations. Concurrent first touches of
+    // the shared `sh` cache are block-level deduplicated (BlockManager
+    // getOrElseUpdate locks per block), the OperatorCaches registry is
+    // synchronized, and the truth relation is BOUNDED (pairs at
+    // jaccard ≥ 0.03 under x3's candidate budget), so the extra
+    // checkpoint is output-sized. The materialized truth is sort-free
+    // ([[ngramJaccardCoreFromSh]]) — [[lshRecallFrom]] re-aggregates,
+    // so x3's determinism orderBy would be dead work here.
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val truthF = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+      override def call(): DataFrame = OperatorCaches.materializeTruncated(
+        ngramJaccardCoreFromSh(sh).select("doc_a", "doc_b", "jaccard"))
+    })
+    val pred =
+      try pairTable(spark, sfDir)
+      catch { case t: Throwable => pool.shutdownNow(); throw t }
+    val truth =
+      try truthF.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause }
+      finally pool.shutdown()
+    lshRecallFrom(truth, pred)
   }
 
   /** [[lshRecallEval]]'s eval core over arbitrary truth

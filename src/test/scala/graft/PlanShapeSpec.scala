@@ -873,24 +873,33 @@ class PlanShapeSpec extends SparkSpec {
     // discipline. Since the round-11 staged pairTable, the LSH side is
     // checkpoint-materialized BEFORE the eval plan exists (so the two
     // corpus-scale exchanges never share peak scratch — the sf10 gate
-    // finding): x2's band-bucket cap is asserted on the BUILD plan, and
-    // x99's own plan must read the materialized pairs as an RDD scan,
-    // keep x3's volume-budget cut, and add no cartesian.
+    // finding), and since round 15 the TRUTH side is materialized the
+    // same way (concurrently with the pair build — guide §2.6): each
+    // side's candidate cap is asserted on ITS build plan, and x99's own
+    // plan must read BOTH materialized pair relations as RDD scans,
+    // re-planning neither, and add no cartesian.
     val pBuild = withoutAqe {
       D.minhashLsh(spark, Sf).queryExecution.executedPlan
     }.toString
     assert(pBuild.contains(s"<= ${Dedup.MaxBandBucket}"),
       s"x2's band-bucket cap missing from the pair build:\n$pBuild")
+    val tBuild = withoutAqe {
+      D.ngramJaccardCoreFromSh(D.shingleTable(spark, Sf))
+        .queryExecution.executedPlan
+    }.toString
+    assert(tBuild.contains("df_keep"),
+      s"x3's volume-budget cut missing from the truth build:\n$tBuild")
     val p99 = withoutAqe {
       D.lshRecallEval(spark, Sf).queryExecution.executedPlan
     }.toString
     assert(p99.contains("ExistingRDD") || p99.contains("Scan ExistingRDD"),
-      s"x99's predicted side is not the materialized pair table:\n$p99")
+      s"x99's sides are not materialized pair tables:\n$p99")
     assert(!p99.contains(s"<= ${Dedup.MaxBandBucket}"),
       "x99 re-plans the LSH build instead of scanning the checkpointed " +
         s"pair table:\n$p99")
-    assert(p99.contains("df_keep"),
-      s"x3's volume-budget cut missing from x99's plan:\n$p99")
+    assert(!p99.contains("df_keep"),
+      "x99 re-plans the truth pipeline instead of scanning its " +
+        s"checkpointed pairs:\n$p99")
     assert(!p99.contains("CartesianProduct"), s"cartesian in x99:\n$p99")
     graft.util.OperatorCaches.release(spark)
     // x100: ONE corpus scan (the persisted token-bucket relation feeds

@@ -29,12 +29,32 @@ object Profile {
           .orElse(Option(js.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description"))))
           .getOrElse("")
-        starts.put(js.jobId, (System.nanoTime(), desc))
+        // AQE materializes each shuffle stage as its own job with no
+        // callsite — the stage NAMES (deduped) are the attribution
+        val stages = js.stageInfos.map(_.name.takeWhile(_ != '\n'))
+          .distinct.mkString(" | ")
+        val label = if (desc.nonEmpty) s"$desc  [$stages]" else s"[$stages]"
+        starts.put(js.jobId, (System.nanoTime(), label))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.get(je.jobId)).foreach { case (t0, desc) =>
           val dt = (System.nanoTime() - t0) / 1e9
           lines.add(f"job ${je.jobId}%4d  ${dt}%8.3f s  $desc")
+        }
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        if (m != null) {
+          val rt = m.executorRunTime / 1e3
+          val in = m.inputMetrics.bytesRead / 1e6
+          val sr = m.shuffleReadMetrics.totalBytesRead / 1e6
+          val sw = m.shuffleWriteMetrics.bytesWritten / 1e6
+          val sp = (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6
+          lines.add(f"  stage ${si.stageId}%4d  tasks ${si.numTasks}%4d  " +
+            f"cpu ${rt}%8.2f s  in ${in}%8.1f MB  sRead ${sr}%8.1f MB  " +
+            f"sWrite ${sw}%8.1f MB  spill ${sp}%8.1f MB")
         }
       }
     })

@@ -348,15 +348,41 @@ object CorpusStream {
     // like x104's base index (re-built per micro-batch otherwise)
     val thr = OperatorCaches.persist(
       Curation.tokenThresholdsFrom(baseDocs))
+    // x94's gate SIGNALS are pure per-doc functions of `text` — they are
+    // computed HERE, upstream of the state machine's text_hash exchange,
+    // and carried through it (optimization round 15, guide §2.1/§2.5).
+    // Downstream of that exchange they ran in the post-shuffle stage,
+    // whose batch-mode parallelism AQE sizes by the exchange's BYTES
+    // (tiny: one compressed text row per doc) while the stage is
+    // COMPUTE-dense (rolling-hash CDC chunks, Luhn regexp, tokenizer) —
+    // measured at sf1: 74 s of CPU squeezed into 2 coalesced tasks while
+    // 30 cores idled. On the scan side the work runs at input-split
+    // parallelism at any scale. Values are identical by construction
+    // (same expressions over the same unmodified text; the state
+    // machine only annotates rows, never rewrites them). null/empty
+    // text keeps its explicit failure: hasText leads the gate
+    // conjunction below, so a guarded-null signal can never leak a NULL
+    // verdict (false AND NULL = false).
+    val hasText = col("text").isNotNull && length(col("text")) >= 1
     val s1 = streamDocs
       .select(col("doc_id").cast("long"), col("ts").cast("timestamp"),
         col("source"), col("text"),
-        md5(coalesce(col("text"), lit(""))).as("text_hash"))
+        md5(coalesce(col("text"), lit(""))).as("text_hash"),
+        when(hasText, size(tokens(col("text"))).cast("long"))
+          .as("n_tokens"),
+        when(hasText, array_max(cdcChunks(col("text"))).cast("long"))
+          .as("max_chunk"),
+        when(hasText, size(expr(
+          "filter(regexp_extract_all(text, '[0-9]{13,19}', 0), " +
+            s"r -> ${graft.operators.TextAnalysis.luhnOk("r")})"))
+          .cast("long")).as("n_luhn_valid"))
       .withWatermark("ts", watermarkDelay)
-      .as[(Long, Timestamp, String, String, String)]
+      .as[(Long, Timestamp, String, String, String,
+        Option[Long], Option[Long], Option[Long])]
       .groupByKey(_._5)
       .flatMapGroupsWithState[DedupKeyState,
-        (Long, Timestamp, String, String, Boolean)](
+        (Long, Timestamp, String, String,
+          Option[Long], Option[Long], Option[Long], Boolean)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -365,9 +391,9 @@ object CorpusStream {
             val prev = state.getOption
             val first = prev.map(_.firstId).getOrElse(sorted.head._1)
             var n = prev.map(_.n).getOrElse(0L)
-            val out = sorted.map { case (id, t, src, txt, _) =>
+            val out = sorted.map { case (id, t, src, txt, _, nt, mc, nl) =>
               n += 1
-              (id, t, src, txt, n == 1L)
+              (id, t, src, txt, nt, mc, nl, n == 1L)
             }
             state.update(DedupKeyState(first, n))
             if (armTtl)
@@ -375,22 +401,11 @@ object CorpusStream {
             out.iterator
           }
       }
-      .toDF("doc_id", "ts", "source", "text", "s1_exact_kept")
-    // x94's gate signals as a stateless projection; null/empty text and
-    // missing calibration sources fail explicitly (hasText leads the
-    // conjunction, so the guarded-null signals can never leak a NULL
-    // verdict: false AND NULL = false)
-    val hasText = col("text").isNotNull && length(col("text")) >= 1
+      .toDF("doc_id", "ts", "source", "text",
+        "n_tokens", "max_chunk", "n_luhn_valid", "s1_exact_kept")
+    // the gate VERDICT stays a stateless post-state projection (the
+    // few-row threshold broadcast joins on `source`)
     val sig = s1
-      .withColumn("n_tokens",
-        when(hasText, size(tokens(col("text"))).cast("long")))
-      .withColumn("max_chunk",
-        when(hasText, array_max(cdcChunks(col("text"))).cast("long")))
-      .withColumn("n_luhn_valid",
-        when(hasText, size(expr(
-          "filter(regexp_extract_all(text, '[0-9]{13,19}', 0), " +
-            s"r -> ${graft.operators.TextAnalysis.luhnOk("r")})"))
-          .cast("long")))
       .join(broadcast(thr), Seq("source"), "left_outer")
       .withColumn("gate_keep",
         hasText &&
